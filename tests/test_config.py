@@ -1,0 +1,122 @@
+"""Config tree tests (reference analog: tests/unit/test_base.py DatasetConfig
+validation at :57-66)."""
+
+import dataclasses
+
+import pytest
+
+from twotower_tpu.config import (
+    Config,
+    DatasetConfig,
+    ModelConfig,
+    PreprocessingConfig,
+    RetrievalConfig,
+    load_config,
+    parse_cli_overrides,
+)
+
+
+def test_defaults_match_reference_schema():
+    cfg = Config()
+    # reference: configs/data_config.yaml:54-71
+    assert cfg.model.embedding_dim == 128
+    assert cfg.model.user_tower_dims == [512, 256, 128]
+    assert cfg.model.item_tower_dims == [512, 256, 128]
+    assert cfg.model.dropout_rate == 0.1
+    assert cfg.model.l2_regularization == 1e-6
+    assert cfg.training.batch_size == 1024
+    assert cfg.training.learning_rate == 0.001
+    assert cfg.training.epochs == 50
+    assert cfg.training.patience == 5
+    assert cfg.retrieval.candidate_sampling == "in_batch"
+    assert cfg.retrieval.temperature == 0.1
+    assert cfg.retrieval.top_k_eval == [1, 5, 10, 20, 50, 100]
+    # reference: configs/data_config.yaml:40-45
+    assert cfg.preprocessing.min_interactions_per_user == 5
+    assert cfg.preprocessing.min_interactions_per_item == 5
+    assert cfg.preprocessing.train_split == 0.8
+
+
+def test_dataset_config_validation():
+    with pytest.raises(ValueError):
+        DatasetConfig(name="")
+    with pytest.raises(ValueError):
+        DatasetConfig(categories=[])
+    with pytest.raises(ValueError):
+        DatasetConfig(sample_size=0)
+
+
+def test_split_validation():
+    with pytest.raises(ValueError):
+        PreprocessingConfig(train_split=0.9, val_split=0.2, test_split=0.1)
+
+
+def test_model_validation():
+    with pytest.raises(ValueError):
+        ModelConfig(user_tower_dims=[64, 32], item_tower_dims=[64, 16])
+    with pytest.raises(ValueError):
+        ModelConfig(embedding_dim=0)
+
+
+def test_retrieval_validation():
+    with pytest.raises(ValueError):
+        RetrievalConfig(candidate_sampling="bogus")
+    with pytest.raises(ValueError):
+        RetrievalConfig(temperature=0.0)
+    assert RetrievalConfig().max_k == 100
+
+
+def test_from_dict_accepts_reference_nested_layout():
+    # The reference nests training/retrieval under model
+    # (configs/data_config.yaml:61-71); we accept both layouts.
+    raw = {
+        "model": {
+            "embedding_dim": 64,
+            "training": {"batch_size": 256},
+            "retrieval": {"temperature": 0.2},
+        }
+    }
+    cfg = Config.from_dict(raw)
+    assert cfg.model.embedding_dim == 64
+    assert cfg.training.batch_size == 256
+    assert cfg.retrieval.temperature == 0.2
+
+
+def test_yaml_roundtrip(tmp_path):
+    cfg = Config()
+    p = tmp_path / "cfg.yaml"
+    import yaml
+
+    p.write_text(yaml.safe_dump(cfg.to_dict()))
+    loaded = Config.from_yaml(p)
+    assert loaded.to_dict() == cfg.to_dict()
+
+
+def test_default_yaml_loads():
+    from pathlib import Path
+
+    cfg = load_config(Path(__file__).resolve().parents[1] / "configs" / "default.yaml")
+    assert cfg.model.embedding_dim == 128
+    assert cfg.mesh.shard_embeddings is True
+
+
+def test_overrides():
+    cfg = Config().with_overrides({"training.batch_size": 4096})
+    assert cfg.training.batch_size == 4096
+    with pytest.raises(KeyError):
+        Config().with_overrides({"training.nope": 1})
+
+
+def test_parse_cli_overrides():
+    out = parse_cli_overrides(["training.batch_size=512", "model.compute_dtype=float32"])
+    assert out == {"training.batch_size": 512, "model.compute_dtype": "float32"}
+    with pytest.raises(ValueError):
+        parse_cli_overrides(["bad-pair"])
+
+
+def test_unknown_keys_tolerated():
+    cfg = Config.from_dict({"model": {"embedding_dim": 32, "future_field": 1}})
+    assert cfg.model.embedding_dim == 32
+    assert not hasattr(cfg.model, "future_field") or isinstance(
+        dataclasses.asdict(cfg.model), dict
+    )

@@ -1,0 +1,358 @@
+"""Typed configuration tree for the TPU two-tower retrieval engine.
+
+Mirrors the capability schema of the reference repo's single source of truth
+(reference: configs/data_config.yaml:1-71 and src/data/base.py:17-32), but as
+a validated dataclass tree with YAML loading and dotted-path CLI overrides.
+
+Design notes (TPU-first):
+- Every field that shapes a compiled program (batch size, embedding dim,
+  tower widths, top-k list) is a static Python value so jitted functions
+  trace once per config, never per step.
+- Mesh/sharding topology lives here too (the reference has no distributed
+  config at all; see SURVEY.md section 2.2 row 22).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+# ---------------------------------------------------------------------------
+# Leaf config sections
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DatasetConfig:
+    """Dataset source description (reference: src/data/base.py:17-32).
+
+    The reference's ``DatasetConfig.__post_init__`` enforces that the
+    k-core thresholds are present; we keep that contract and extend it.
+    """
+
+    name: str = "amazon_reviews_2023"
+    source: str = "McAuley-Lab/Amazon-Reviews-2023"
+    categories: list[str] = field(default_factory=lambda: ["All_Beauty"])
+    cache_dir: str = "data/cache"
+    cache_max_age_hours: float = 24.0
+    sample_size: int | None = None
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        if not self.name:
+            raise ValueError("dataset.name must be non-empty")
+        if not self.categories:
+            raise ValueError("dataset.categories must be non-empty")
+        if self.sample_size is not None and self.sample_size <= 0:
+            raise ValueError("dataset.sample_size must be positive when set")
+
+
+@dataclass
+class FilteringConfig:
+    """Row-level filters (reference: configs/data_config.yaml:46-51)."""
+
+    min_rating: float = 1.0
+    max_rating: float = 5.0
+    remove_duplicates: bool = True
+    min_text_length: int = 10
+    max_text_length: int = 2000
+
+    def __post_init__(self) -> None:
+        if self.min_rating > self.max_rating:
+            raise ValueError("filtering.min_rating must be <= max_rating")
+
+
+@dataclass
+class PreprocessingConfig:
+    """Preprocessing thresholds (reference: configs/data_config.yaml:33-52).
+
+    ``min_interactions_per_user/item`` drive the iterative k-core filter
+    (reference: src/data/preprocessor.py:192-211).
+    """
+
+    text_fields: list[str] = field(
+        default_factory=lambda: ["title", "text", "features", "description"]
+    )
+    min_interactions_per_user: int = 5
+    min_interactions_per_item: int = 5
+    max_kcore_iterations: int = 10
+    max_sequence_length: int = 512
+    train_split: float = 0.8
+    val_split: float = 0.1
+    test_split: float = 0.1
+    lowercase: bool = True
+    remove_html: bool = True
+    remove_urls: bool = True
+    remove_special_chars: bool = True
+    remove_stopwords: bool = False
+    stem_words: bool = False
+    filtering: FilteringConfig = field(default_factory=FilteringConfig)
+
+    def __post_init__(self) -> None:
+        if self.min_interactions_per_user < 1 or self.min_interactions_per_item < 1:
+            raise ValueError("min_interactions_per_{user,item} must be >= 1")
+        total = self.train_split + self.val_split + self.test_split
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(f"splits must sum to 1.0, got {total}")
+
+
+@dataclass
+class ModelConfig:
+    """Two-tower architecture (reference: configs/data_config.yaml:54-59)."""
+
+    embedding_dim: int = 128
+    user_tower_dims: list[int] = field(default_factory=lambda: [512, 256, 128])
+    item_tower_dims: list[int] = field(default_factory=lambda: [512, 256, 128])
+    dropout_rate: float = 0.1
+    l2_regularization: float = 1e-6
+    # TPU-first extensions: compute dtype for the MXU hot path; params stay f32.
+    compute_dtype: str = "bfloat16"
+    normalize_embeddings: bool = True
+
+    def __post_init__(self) -> None:
+        if self.embedding_dim <= 0:
+            raise ValueError("model.embedding_dim must be positive")
+        if not self.user_tower_dims or not self.item_tower_dims:
+            raise ValueError("tower dims must be non-empty")
+        if self.user_tower_dims[-1] != self.item_tower_dims[-1]:
+            raise ValueError(
+                "user and item towers must share a final dim "
+                f"({self.user_tower_dims[-1]} != {self.item_tower_dims[-1]})"
+            )
+        if not 0.0 <= self.dropout_rate < 1.0:
+            raise ValueError("model.dropout_rate must be in [0, 1)")
+
+    @property
+    def output_dim(self) -> int:
+        return self.user_tower_dims[-1]
+
+
+@dataclass
+class TrainingConfig:
+    """Optimizer/loop hyperparameters (reference: configs/data_config.yaml:61-66)."""
+
+    batch_size: int = 1024
+    learning_rate: float = 0.001
+    epochs: int = 50
+    patience: int = 5
+    validation_freq: int = 1
+    optimizer: str = "adam"
+    weight_decay: float = 0.0
+    warmup_steps: int = 0
+    seed: int = 42
+    log_every_steps: int = 100
+    checkpoint_dir: str = "models/artifacts"
+    keep_checkpoints: int = 3
+    early_stopping_metric: str = "recall@10"
+
+    def __post_init__(self) -> None:
+        if self.batch_size <= 0:
+            raise ValueError("training.batch_size must be positive")
+        if self.learning_rate <= 0:
+            raise ValueError("training.learning_rate must be positive")
+        if self.patience < 0:
+            raise ValueError("training.patience must be >= 0")
+
+
+@dataclass
+class RetrievalConfig:
+    """Loss/eval schema (reference: configs/data_config.yaml:68-71)."""
+
+    candidate_sampling: str = "in_batch"
+    temperature: float = 0.1
+    logq_correction: bool = True
+    top_k_eval: list[int] = field(default_factory=lambda: [1, 5, 10, 20, 50, 100])
+
+    def __post_init__(self) -> None:
+        if self.candidate_sampling not in ("in_batch", "uniform"):
+            raise ValueError(
+                f"retrieval.candidate_sampling must be 'in_batch' or 'uniform', "
+                f"got {self.candidate_sampling!r}"
+            )
+        if self.temperature <= 0:
+            raise ValueError("retrieval.temperature must be positive")
+        if not self.top_k_eval or any(k <= 0 for k in self.top_k_eval):
+            raise ValueError("retrieval.top_k_eval must be positive ints")
+
+    @property
+    def max_k(self) -> int:
+        return max(self.top_k_eval)
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh topology — TPU-native extension (no reference analog;
+    SURVEY.md section 2.2 row 22 documents the reference's zero parallelism).
+
+    ``data`` is the batch axis (DP for the dense towers); ``model`` is the
+    row-sharding axis for the embedding tables. On a multi-host slice the
+    data axis should map onto DCN and the model axis onto ICI.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1  # -1: infer from available devices
+    num_model: int = 1
+    shard_embeddings: bool = True
+
+    def __post_init__(self) -> None:
+        if self.num_model < 1:
+            raise ValueError("mesh.num_model must be >= 1")
+
+
+@dataclass
+class ServingConfig:
+    """Serving surface (reference: pyproject.toml:36-39,68; README.md:54)."""
+
+    host: str = "0.0.0.0"  # nosec B104 - serving bind address, same as reference intent
+    port: int = 8000
+    top_k: int = 100
+    max_batch_size: int = 256
+    index_type: str = "tpu_mips"  # tpu_mips | cpu_flat (native C++ fallback)
+
+
+# ---------------------------------------------------------------------------
+# Root config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Config:
+    """Root configuration tree."""
+
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    preprocessing: PreprocessingConfig = field(default_factory=PreprocessingConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Config":
+        """Build from a (possibly partial) nested dict.
+
+        Accepts both this package's layout and the reference YAML layout in
+        which ``training``/``retrieval`` nest under ``model``
+        (reference: configs/data_config.yaml:54-71).
+        """
+        raw = dict(raw)
+        model_raw = dict(raw.get("model") or {})
+        # Reference layout: hoist model.training / model.retrieval to top level.
+        for key in ("training", "retrieval"):
+            if key in model_raw and key not in raw:
+                raw[key] = model_raw.pop(key)
+            else:
+                model_raw.pop(key, None)
+        raw["model"] = model_raw
+
+        sections: dict[str, Any] = {}
+        for f in dataclasses.fields(cls):
+            section_raw = raw.get(f.name)
+            if section_raw is None:
+                continue
+            sections[f.name] = _build_section(f.type, section_raw)
+        return cls(**sections)
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "Config":
+        with open(path) as fh:
+            raw = yaml.safe_load(fh) or {}
+        return cls.from_dict(raw)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    def with_overrides(self, overrides: dict[str, Any]) -> "Config":
+        """Apply dotted-path overrides, e.g. {"training.batch_size": 4096}."""
+        raw = self.to_dict()
+        for dotted, value in overrides.items():
+            node = raw
+            *parents, leaf = dotted.split(".")
+            for part in parents:
+                if part not in node or not isinstance(node[part], dict):
+                    raise KeyError(f"unknown config path: {dotted}")
+                node = node[part]
+            if leaf not in node:
+                raise KeyError(f"unknown config path: {dotted}")
+            node[leaf] = value
+        return Config.from_dict(raw)
+
+
+def _build_section(section_type: Any, raw: Any) -> Any:
+    """Instantiate a dataclass section from a raw dict, recursing into
+    nested dataclass fields and ignoring unknown keys (forward compat)."""
+    if isinstance(section_type, str):
+        section_type = _SECTION_TYPES.get(_last_name(section_type), None)
+    if section_type is None or not dataclasses.is_dataclass(section_type):
+        return raw
+    if not isinstance(raw, dict):
+        raise TypeError(f"expected dict for {section_type}, got {type(raw)}")
+    known = {f.name: f for f in dataclasses.fields(section_type)}
+    kwargs: dict[str, Any] = {}
+    for key, value in raw.items():
+        f = known.get(key)
+        if f is None:
+            continue  # forward/unknown keys tolerated, like yaml.safe_load use in ref
+        if dataclasses.is_dataclass(_resolve_field_type(f)) and isinstance(value, dict):
+            kwargs[key] = _build_section(_resolve_field_type(f), value)
+        else:
+            kwargs[key] = value
+    return section_type(**kwargs)
+
+
+def _resolve_field_type(f: dataclasses.Field) -> Any:
+    t = f.type
+    if isinstance(t, str):
+        return _SECTION_TYPES.get(_last_name(t))
+    return t
+
+
+def _last_name(type_str: str) -> str:
+    return type_str.split(".")[-1].strip().lower().replace("config", "") or type_str
+
+
+# Keys match _last_name() output for each section dataclass name.
+_SECTION_TYPES = {
+    "dataset": DatasetConfig,
+    "preprocessing": PreprocessingConfig,
+    "model": ModelConfig,
+    "training": TrainingConfig,
+    "retrieval": RetrievalConfig,
+    "mesh": MeshConfig,
+    "serving": ServingConfig,
+    "filtering": FilteringConfig,
+}
+
+
+def load_config(
+    path: str | Path | None = None, overrides: dict[str, Any] | None = None
+) -> Config:
+    """Load config from YAML (or defaults) and apply dotted overrides."""
+    cfg = Config.from_yaml(path) if path else Config()
+    if overrides:
+        cfg = cfg.with_overrides(overrides)
+    return cfg
+
+
+def parse_cli_overrides(pairs: list[str]) -> dict[str, Any]:
+    """Parse ``key=value`` CLI override strings with YAML-typed values."""
+    out: dict[str, Any] = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(f"override must be key=value, got {pair!r}")
+        key, _, value = pair.partition("=")
+        out[key.strip()] = yaml.safe_load(value)
+    return out
