@@ -1,0 +1,306 @@
+"""Data engine tests (reference analog: tests/unit/test_preprocessor.py)."""
+
+import numpy as np
+import pytest
+
+from twotower_tpu.config import PreprocessingConfig
+from twotower_tpu.data.preprocess import InteractionFilter, Preprocessor
+from twotower_tpu.data.schema import Interactions, SchemaError, from_columns
+from twotower_tpu.data.synthetic import generate_interactions
+from twotower_tpu.data.text import TextProcessor
+from twotower_tpu.data.vocab import Vocabulary, VocabPair
+
+
+def make_interactions(users, items, ratings=None, timestamps=None, **kw):
+    n = len(users)
+    return Interactions(
+        user_id=np.array(users, dtype=object),
+        item_id=np.array(items, dtype=object),
+        rating=np.array(ratings if ratings is not None else [5.0] * n, dtype=np.float32),
+        timestamp=np.array(timestamps if timestamps is not None else range(n), dtype=np.int64),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+
+class TestSchema:
+    def test_from_columns_required(self):
+        with pytest.raises(SchemaError):
+            from_columns({"user_id": ["a"], "rating": [5.0]})
+
+    def test_from_columns_normalizes(self):
+        data = from_columns(
+            {
+                "user_id": ["u1", "u2", "u3"],
+                "parent_asin": ["i1", "i2", "i3"],
+                "rating": ["5", "bad", "3"],
+                "timestamp": [1600000000000, 1600000001000, 1600000002000],  # ms
+            }
+        )
+        # 'bad' rating row dropped; ms -> s
+        assert len(data) == 2
+        assert data.timestamp[0] == 1600000000
+        assert data.rating.dtype == np.float32
+
+    def test_select_and_concat(self):
+        d = make_interactions(["a", "b", "c"], ["x", "y", "z"])
+        sub = d.select(np.array([True, False, True]))
+        assert list(sub.user_id) == ["a", "c"]
+        both = sub.concat(sub)
+        assert len(both) == 4
+
+    def test_sparsity(self):
+        d = make_interactions(["a", "a", "b"], ["x", "y", "x"])
+        assert d.num_users == 2 and d.num_items == 2
+        assert d.sparsity == pytest.approx(1 - 3 / 4)
+
+
+# ---------------------------------------------------------------------------
+# Text processing (reference: test_preprocessor.py TextProcessor tests)
+# ---------------------------------------------------------------------------
+
+
+class TestTextProcessor:
+    def test_clean_basic(self):
+        tp = TextProcessor()
+        assert tp.clean_text("Hello <b>World</b>!") == "hello world!"
+        assert tp.clean_text("Visit https://example.com now") == "visit now"
+        assert tp.clean_text("  lots   of\tspace ") == "lots of space"
+        assert tp.clean_text("") == ""
+
+    def test_html_entities(self):
+        tp = TextProcessor()
+        assert tp.clean_text("a &amp; b") == "a b" or "&" not in tp.clean_text("a &amp; b")
+
+    def test_keeps_basic_punctuation(self):
+        tp = TextProcessor()
+        out = tp.clean_text("Great, really great! 10/10?")
+        assert "," in out and "!" in out and "?" in out
+
+    def test_length_gate(self):
+        cfg = PreprocessingConfig()
+        tp = TextProcessor(cfg)
+        assert not tp.validate_text_length("short")
+        assert tp.validate_text_length("x" * 100)
+        assert not tp.validate_text_length("x" * 3000)
+
+    def test_clean_array(self):
+        tp = TextProcessor()
+        out = tp.clean_array(np.array(["A B", None, "C"], dtype=object))
+        assert list(out) == ["a b", "", "c"]
+
+
+# ---------------------------------------------------------------------------
+# k-core filtering (reference: preprocessor.py:192-211 semantics)
+# ---------------------------------------------------------------------------
+
+
+class TestInteractionFilter:
+    def cfg(self, k=2):
+        return PreprocessingConfig(
+            min_interactions_per_user=k, min_interactions_per_item=k
+        )
+
+    def test_rating_filter(self):
+        f = InteractionFilter(self.cfg(1))
+        d = make_interactions(["a", "b"], ["x", "y"], ratings=[0.5, 3.0])
+        out = f.filter_by_rating(d)
+        assert len(out) == 1 and out.rating[0] == 3.0
+
+    def test_kcore_iterative_cascade(self):
+        # u1 has 2 items but one of them (i2) is only hers -> removing i2
+        # drops u1 below threshold -> cascade removes u1 entirely.
+        users = ["u1", "u1", "u2", "u3", "u2", "u3"]
+        items = ["i1", "i2", "i1", "i1", "i3", "i3"]
+        f = InteractionFilter(self.cfg(2))
+        out = f.filter_by_frequency(make_interactions(users, items))
+        assert set(out.user_id) == {"u2", "u3"}
+        assert set(out.item_id) == {"i1", "i3"}
+
+    def test_kcore_matches_pandas_reference(self, rng):
+        """Golden test: bincount k-core == the reference's pandas fixpoint."""
+        import pandas as pd
+
+        n = 2000
+        users = rng.integers(0, 120, n).astype(str)
+        items = rng.integers(0, 80, n).astype(str)
+        d = make_interactions(users, items)
+        out = InteractionFilter(self.cfg(3)).filter_by_frequency(d)
+
+        # Reference algorithm (preprocessor.py:192-211), straight pandas.
+        df = pd.DataFrame({"u": users, "i": items})
+        for _ in range(10):
+            before = len(df)
+            uc = df["u"].value_counts()
+            df = df[df["u"].isin(uc[uc >= 3].index)]
+            ic = df["i"].value_counts()
+            df = df[df["i"].isin(ic[ic >= 3].index)]
+            if len(df) == before:
+                break
+        assert len(out) == len(df)
+        assert sorted(zip(out.user_id, out.item_id)) == sorted(zip(df["u"], df["i"]))
+
+    def test_empty_result(self):
+        f = InteractionFilter(self.cfg(5))
+        out = f.filter(make_interactions(["a", "b"], ["x", "y"]))
+        assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+
+class TestVocabulary:
+    def test_build_deterministic_sorted(self):
+        v = Vocabulary.build(np.array(["b", "a", "b", "c"], dtype=object))
+        assert list(v.ids) == ["a", "b", "c"]
+        assert list(v.counts) == [1, 2, 1]
+
+    def test_encode_decode_roundtrip(self):
+        v = Vocabulary.build(np.array(["b", "a", "c"], dtype=object))
+        idx = v.encode(np.array(["c", "a", "zzz"], dtype=object))
+        assert list(idx) == [2, 0, -1]
+        assert list(v.decode([0, 1])) == ["a", "b"]
+
+    def test_frequencies_sum_to_one(self):
+        v = Vocabulary.build(np.array(["a"] * 3 + ["b"], dtype=object))
+        assert v.frequencies.sum() == pytest.approx(1.0)
+        assert v.frequencies[0] == pytest.approx(0.75)
+
+    def test_shard_bounds_aligned(self):
+        v = Vocabulary.build(np.array([f"i{j}" for j in range(1000)], dtype=object))
+        bounds = v.shard_bounds(num_shards=4, pad_multiple=128)
+        assert len(bounds) == 4
+        sizes = [e - s for s, e in bounds]
+        assert len(set(sizes)) == 1 and sizes[0] % 128 == 0
+        assert bounds[-1][1] >= 1000
+
+    def test_save_load(self, tmp_path):
+        pair = VocabPair(
+            users=Vocabulary.build(np.array(["u1", "u2"], dtype=object)),
+            items=Vocabulary.build(np.array(["i1"], dtype=object)),
+        )
+        pair.save(tmp_path / "vocab")
+        loaded = VocabPair.load(tmp_path / "vocab")
+        assert list(loaded.users.ids) == ["u1", "u2"]
+        assert list(loaded.items.counts) == [1]
+
+
+# ---------------------------------------------------------------------------
+# Preprocessor end-to-end + splits
+# ---------------------------------------------------------------------------
+
+
+class TestPreprocessor:
+    def test_dedupe_keeps_latest(self):
+        p = Preprocessor(PreprocessingConfig(min_interactions_per_user=1, min_interactions_per_item=1))
+        d = make_interactions(
+            ["u", "u"], ["i", "i"], ratings=[1.0, 5.0], timestamps=[10, 20]
+        )
+        out = p.basic_cleaning(d)
+        assert len(out) == 1 and out.rating[0] == 5.0
+
+    def test_full_pipeline(self):
+        cfg = PreprocessingConfig(min_interactions_per_user=2, min_interactions_per_item=2)
+        p = Preprocessor(cfg)
+        data = generate_interactions(num_users=50, num_items=30, num_interactions=1500)
+        out = p.process(data)
+        assert out.user_idx is not None and out.item_idx is not None
+        assert out.user_idx.min() >= 0
+        assert p.vocab is not None
+        assert out.user_idx.max() + 1 == len(p.vocab.users)
+
+    def test_temporal_split_ordering(self):
+        cfg = PreprocessingConfig(min_interactions_per_user=1, min_interactions_per_item=1)
+        p = Preprocessor(cfg)
+        data = generate_interactions(num_users=20, num_items=10, num_interactions=500)
+        splits = p.split_data(data, method="temporal")
+        assert len(splits.train) == 400 and len(splits.val) == 50
+        assert splits.train.timestamp.max() <= splits.val.timestamp.min()
+        assert splits.val.timestamp.max() <= splits.test.timestamp.min()
+
+    def test_random_split_sizes_and_disjoint(self):
+        cfg = PreprocessingConfig(min_interactions_per_user=1, min_interactions_per_item=1)
+        p = Preprocessor(cfg)
+        data = generate_interactions(num_users=20, num_items=10, num_interactions=1000)
+        splits = p.split_data(data, method="random", seed=7)
+        total = len(splits.train) + len(splits.val) + len(splits.test)
+        assert total == 1000
+        assert abs(len(splits.train) - 800) <= 5
+
+    def test_unknown_split_method(self):
+        p = Preprocessor()
+        with pytest.raises(ValueError):
+            p.split_data(generate_interactions(10, 5, 20), method="bogus")
+
+
+# ---------------------------------------------------------------------------
+# Batch pipeline
+# ---------------------------------------------------------------------------
+
+
+class TestBatchPipeline:
+    def make_encoded(self, n=100):
+        data = generate_interactions(num_users=20, num_items=10, num_interactions=n)
+        p = Preprocessor(PreprocessingConfig(min_interactions_per_user=1, min_interactions_per_item=1))
+        return p.encode_ids(data)
+
+    def test_fixed_shapes_drop_remainder(self):
+        from twotower_tpu.data.pipeline import BatchPipeline
+
+        pipe = BatchPipeline(self.make_encoded(105), batch_size=32)
+        batches = list(pipe.epoch(0))
+        assert len(batches) == 3
+        for b in batches:
+            assert b["user_idx"].shape == (32,)
+            assert b["weight"].sum() == 32
+
+    def test_padding_when_not_dropping(self):
+        from twotower_tpu.data.pipeline import BatchPipeline
+
+        pipe = BatchPipeline(self.make_encoded(40), batch_size=32, drop_remainder=False)
+        batches = list(pipe.epoch(0))
+        assert len(batches) == 2
+        assert batches[1]["user_idx"].shape == (32,)
+        assert batches[1]["weight"].sum() == 8
+
+    def test_shuffle_deterministic_per_epoch(self):
+        from twotower_tpu.data.pipeline import BatchPipeline
+
+        pipe = BatchPipeline(self.make_encoded(64), batch_size=32, seed=3)
+        a = list(pipe.epoch(1))
+        b = list(pipe.epoch(1))
+        c = list(pipe.epoch(2))
+        assert np.array_equal(a[0]["user_idx"], b[0]["user_idx"])
+        assert not np.array_equal(a[0]["user_idx"], c[0]["user_idx"])
+
+    def test_prefetcher(self):
+        from twotower_tpu.data.pipeline import BatchPipeline, DevicePrefetcher
+
+        pipe = BatchPipeline(self.make_encoded(96), batch_size=32)
+        seen = list(DevicePrefetcher(pipe.epoch(0), put=lambda b: b, depth=2))
+        assert len(seen) == 3
+
+    def test_prefetcher_propagates_errors(self):
+        from twotower_tpu.data.pipeline import DevicePrefetcher
+
+        def bad_iter():
+            yield {"user_idx": np.zeros(1)}
+            raise RuntimeError("boom")
+
+        pf = DevicePrefetcher(bad_iter(), put=lambda b: b)
+        next(pf)
+        with pytest.raises(RuntimeError):
+            next(pf)
+
+    def test_requires_encoding(self):
+        from twotower_tpu.data.pipeline import BatchPipeline
+
+        raw = generate_interactions(10, 5, 20)
+        with pytest.raises(ValueError):
+            BatchPipeline(raw, batch_size=4)
