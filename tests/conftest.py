@@ -7,8 +7,10 @@ exercised in-process without TPU hardware.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force (not setdefault): the
+# session environment pins JAX_PLATFORMS=axon (the real TPU tunnel), and unit
+# tests must never burn the single TPU chip on tiny remote-compiled shapes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,8 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon PJRT plugin (sitecustomize) re-selects "axon,cpu" programmatically,
+# overriding JAX_PLATFORMS from the environment — force CPU via jax.config so
+# unit tests never run on (or wait for) the tunneled TPU chip.
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

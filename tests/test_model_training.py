@@ -1,0 +1,111 @@
+"""Model + training-loop tests: shapes, determinism, learning, early stopping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+from twotower_tpu.evaluation import Evaluator, metrics_at_k, rank_of_true_item
+from twotower_tpu.models import two_tower
+from twotower_tpu.training import EarlyStopping, Trainer
+
+
+class TestModel:
+    def test_shapes_and_padding(self, tiny_config):
+        cfg = tiny_config.model
+        params = two_tower.init_params(jax.random.PRNGKey(0), cfg, 100, 50)
+        assert params["user_embedding"].shape == (128, cfg.embedding_dim)
+        assert params["item_embedding"].shape == (128, cfg.embedding_dim)
+        u = two_tower.embed_users(params, jnp.arange(10), cfg)
+        v = two_tower.embed_items(params, jnp.arange(10), cfg)
+        assert u.shape == (10, cfg.output_dim)
+        assert v.shape == (10, cfg.output_dim)
+
+    def test_normalized_outputs(self, tiny_config):
+        cfg = tiny_config.model
+        params = two_tower.init_params(jax.random.PRNGKey(0), cfg, 100, 50)
+        u = two_tower.embed_users(params, jnp.arange(32), cfg)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(u), axis=1), 1.0, rtol=1e-4
+        )
+
+    def test_eval_mode_deterministic(self, tiny_config):
+        cfg = tiny_config.model
+        params = two_tower.init_params(jax.random.PRNGKey(0), cfg, 100, 50)
+        a = two_tower.embed_users(params, jnp.arange(8), cfg, train=False)
+        b = two_tower.embed_users(params, jnp.arange(8), cfg, train=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_dropout_active_in_train(self, tiny_config):
+        cfg = tiny_config.model
+        params = two_tower.init_params(jax.random.PRNGKey(0), cfg, 100, 50)
+        r1, r2 = jax.random.split(jax.random.PRNGKey(1))
+        a = two_tower.embed_users(params, jnp.arange(8), cfg, train=True, dropout_rng=r1)
+        b = two_tower.embed_users(params, jnp.arange(8), cfg, train=True, dropout_rng=r2)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_embed_item_table_matches_batched(self, tiny_config):
+        cfg = tiny_config.model
+        params = two_tower.init_params(jax.random.PRNGKey(0), cfg, 100, 50)
+        table = two_tower.embed_item_table(params, cfg, 50, chunk_size=16)
+        direct = two_tower.embed_items(params, jnp.arange(50), cfg)
+        assert table.shape == (50, cfg.output_dim)
+        np.testing.assert_allclose(np.asarray(table), np.asarray(direct), rtol=2e-2, atol=2e-2)
+
+
+class TestMetrics:
+    def test_rank_of_true_item(self):
+        topk = jnp.asarray([[3, 1, 2], [9, 9, 9], [5, 6, 0]])
+        true = jnp.asarray([1, 4, 0])
+        np.testing.assert_array_equal(np.asarray(rank_of_true_item(topk, true)), [1, 3, 2])
+
+    def test_metrics_at_k_golden(self):
+        # ranks: 0, 1, miss
+        topk = jnp.asarray([[0, 1], [2, 3], [4, 5]])
+        true = jnp.asarray([0, 3, 9])
+        m = metrics_at_k(topk, true, (1, 2))
+        np.testing.assert_allclose(float(m["recall@1"]), 1 / 3, rtol=1e-6)
+        np.testing.assert_allclose(float(m["recall@2"]), 2 / 3, rtol=1e-6)
+        expected_ndcg2 = (1.0 + 1.0 / np.log2(3)) / 3
+        np.testing.assert_allclose(float(m["ndcg@2"]), expected_ndcg2, rtol=1e-4)
+        np.testing.assert_allclose(float(m["mrr"]), (1.0 + 0.5) / 3, rtol=1e-4)
+
+
+class TestTraining:
+    def _setup(self, tiny_config):
+        cfg = tiny_config.with_overrides(
+            {"training.epochs": 3, "training.log_every_steps": 1000}
+        )
+        data = generate_interactions(
+            num_users=300, num_items=120, num_interactions=8000, noise=0.2
+        )
+        pp = Preprocessor(cfg.preprocessing)
+        data = pp.process(data)
+        splits = pp.split_data(data)
+        return cfg, pp, splits
+
+    def test_loss_decreases_and_learns(self, tiny_config):
+        cfg, pp, splits = self._setup(tiny_config)
+        log_q = np.log(pp.vocab.items.frequencies + 1e-12)
+        ev = Evaluator(cfg, len(pp.vocab.items), batch_size=256)
+        trainer = Trainer(
+            cfg,
+            log_q=log_q,
+            evaluate_fn=ev.make_evaluate_fn(splits.val.user_idx, splits.val.item_idx),
+        )
+        state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+        pipe = BatchPipeline(splits.train, cfg.training.batch_size)
+        res = trainer.fit(state, pipe)
+        losses = [h["loss"] for h in res.history if "loss" in h]
+        assert losses[-1] < losses[0]
+        # latent-structure synthetic data: model must beat random by far
+        random_recall = 10 / len(pp.vocab.items)
+        assert res.best_metric > 3 * random_recall
+
+    def test_early_stopping(self):
+        es = EarlyStopping(patience=2)
+        assert es.update(0.5, 1) is False
+        assert es.update(0.4, 2) is False
+        assert es.update(0.4, 3) is False
+        assert es.update(0.3, 4) is True
+        assert es.best == 0.5 and es.best_step == 1

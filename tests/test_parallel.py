@@ -1,0 +1,105 @@
+"""Sharded-path tests on the 8-device virtual CPU mesh.
+
+Checks that (a) the sharded train step compiles+runs over a (data x model)
+mesh with row-sharded tables, and (b) it computes the SAME numbers as the
+single-device step — sharding must be a pure layout change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from twotower_tpu.models import two_tower
+from twotower_tpu.parallel import (
+    build_mesh,
+    make_sharded_train_step,
+    shard_state,
+    state_shardings,
+)
+from twotower_tpu.parallel.sharding import batch_shardings, replicated
+from twotower_tpu.training import TrainState, make_optimizer, make_train_step
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return d[:8]
+
+
+def _setup(tiny_config, n_model):
+    cfg = tiny_config.with_overrides(
+        {"mesh.num_model": n_model, "model.dropout_rate": 0.0}
+    )
+    num_users, num_items = 300, 200
+    optimizer = make_optimizer(cfg.training)
+    params = two_tower.init_params(jax.random.PRNGKey(0), cfg.model, num_users, num_items)
+    state = TrainState.create(params, optimizer)
+    rng = np.random.default_rng(1)
+    bs = cfg.training.batch_size
+    batch = {
+        "user_idx": jnp.asarray(rng.integers(0, num_users, bs), jnp.int32),
+        "item_idx": jnp.asarray(rng.integers(0, num_items, bs), jnp.int32),
+        "weight": jnp.ones((bs,), jnp.float32),
+    }
+    return cfg, optimizer, state, batch
+
+
+class TestSharding:
+    def test_table_leaves_row_sharded(self, tiny_config, devices):
+        cfg, optimizer, state, _ = _setup(tiny_config, 4)
+        mesh = build_mesh(cfg.mesh, devices)
+        sh = state_shardings(mesh, state, cfg.mesh)
+        from jax.sharding import PartitionSpec as P
+
+        assert sh.params["user_embedding"].spec == P("model", None)
+        assert sh.params["item_embedding"].spec == P("model", None)
+        assert sh.params["user_tower"][0]["kernel"].spec == P()
+        # Adam moments mirror the param tree -> tables sharded there too.
+        mu = sh.opt_state[0].mu
+        assert mu["item_embedding"].spec == P("model", None)
+
+    @pytest.mark.parametrize("n_model", [1, 2, 4])
+    def test_sharded_step_matches_single_device(self, tiny_config, devices, n_model):
+        cfg, optimizer, state, batch = _setup(tiny_config, n_model)
+        rng = jax.random.PRNGKey(7)
+
+        ref_step = make_train_step(cfg, optimizer, donate=False)
+        ref_state, ref_metrics = ref_step(state, batch, rng)
+
+        mesh = build_mesh(cfg.mesh, devices)
+        sharded = shard_state(mesh, state, cfg.mesh)
+        step = make_sharded_train_step(cfg, optimizer, mesh, sharded, donate=False)
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+        new_state, metrics = step(sharded, dev_batch, jax.device_put(rng, replicated(mesh)))
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["user_tower"][0]["kernel"]),
+            np.asarray(ref_state.params["user_tower"][0]["kernel"]),
+            rtol=1e-4,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["item_embedding"]),
+            np.asarray(ref_state.params["item_embedding"]),
+            rtol=1e-4,
+            atol=1e-6,
+        )
+
+    def test_graft_entry_dryrun(self, devices):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+
+    def test_graft_entry_single(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        loss, metrics = jax.jit(fn)(*args)
+        assert np.isfinite(float(loss))

@@ -1,0 +1,221 @@
+"""Two-tower retrieval model: embedding tables + dual MLP towers.
+
+Capability parity with the reference's declared-but-absent model layer
+(reference: README.md:16,52; configs/data_config.yaml:54-60 — embedding_dim
+128, towers [512,256,128], dropout 0.1, L2 1e-6; the reference planned a TFRS
+``tfrs.Model``). TPU-native design decisions:
+
+- **Plain pytree params, pure functions.** Params are nested dicts of
+  ``jax.Array`` — trivially annotated with ``NamedSharding`` per leaf for
+  GSPMD (``parallel/sharding.py``), trivially swapped under ``jax.grad`` /
+  ``optax``, and friendly to Pallas kernels that want raw table refs.
+- **bf16 compute, f32 params.** Dense matmuls and the score matmul run in
+  ``model.compute_dtype`` (default bfloat16) with float32 MXU accumulation
+  via ``preferred_element_type``; the master params stay float32.
+- **Static shapes everywhere**: table sizes are padded to lane multiples so
+  every shard is equal-sized (see ``data/vocab.py``'s sharding manifest).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from twotower_tpu.config import ModelConfig
+
+Array = jax.Array
+Params = dict[str, Any]
+
+LANE = 128  # TPU lane width: pad table rows so shards tile cleanly.
+
+
+def padded_rows(n: int, multiple: int = LANE) -> int:
+    return -(-max(n, 1) // multiple) * multiple
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_tower(rng: Array, in_dim: int, dims: list[int]) -> list[Params]:
+    """He-initialized MLP stack (relu hidden activations)."""
+    layers = []
+    for out_dim in dims:
+        rng, k = jax.random.split(rng)
+        scale = jnp.sqrt(2.0 / in_dim)
+        layers.append(
+            {
+                "kernel": jax.random.normal(k, (in_dim, out_dim), jnp.float32) * scale,
+                "bias": jnp.zeros((out_dim,), jnp.float32),
+            }
+        )
+        in_dim = out_dim
+    return layers
+
+
+def init_params(
+    rng: Array,
+    config: ModelConfig,
+    num_users: int,
+    num_items: int,
+    *,
+    pad_multiple: int = LANE,
+) -> Params:
+    """Build the parameter pytree.
+
+    Table row counts are padded up to ``pad_multiple`` so a model-parallel
+    mesh axis divides them evenly; padding rows are inert (never gathered —
+    ids are dense in ``[0, num_users/items)`` by vocab construction).
+    """
+    k_ue, k_ie, k_ut, k_it = jax.random.split(rng, 4)
+    e = config.embedding_dim
+    scale = 1.0 / jnp.sqrt(e)
+    return {
+        "user_embedding": jax.random.normal(
+            k_ue, (padded_rows(num_users, pad_multiple), e), jnp.float32
+        )
+        * scale,
+        "item_embedding": jax.random.normal(
+            k_ie, (padded_rows(num_items, pad_multiple), e), jnp.float32
+        )
+        * scale,
+        "user_tower": _init_tower(k_ut, e, list(config.user_tower_dims)),
+        "item_tower": _init_tower(k_it, e, list(config.item_tower_dims)),
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _apply_tower(
+    layers: list[Params],
+    x: Array,
+    *,
+    compute_dtype: Any,
+    dropout_rate: float,
+    dropout_rng: Array | None,
+) -> Array:
+    """MLP tower: relu between layers, linear output, inverted dropout."""
+    x = x.astype(compute_dtype)
+    n = len(layers)
+    for i, layer in enumerate(layers):
+        x = (
+            jax.lax.dot_general(
+                x,
+                layer["kernel"].astype(compute_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + layer["bias"]
+        )
+        if i < n - 1:
+            x = jax.nn.relu(x)
+            if dropout_rate > 0.0 and dropout_rng is not None:
+                dropout_rng = jax.random.fold_in(dropout_rng, i)
+                keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, x.shape)
+                x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+            x = x.astype(compute_dtype)
+    return x  # f32 out of the last matmul accumulation
+
+
+def _maybe_normalize(x: Array, normalize: bool) -> Array:
+    if not normalize:
+        return x
+    return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-12)
+
+
+def embed_users(
+    params: Params,
+    user_idx: Array,
+    config: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Array | None = None,
+) -> Array:
+    """Query tower: table gather -> MLP -> optional L2 normalize."""
+    emb = params["user_embedding"][user_idx]
+    out = _apply_tower(
+        params["user_tower"],
+        emb,
+        compute_dtype=jnp.dtype(config.compute_dtype),
+        dropout_rate=config.dropout_rate if train else 0.0,
+        dropout_rng=dropout_rng,
+    )
+    return _maybe_normalize(out, config.normalize_embeddings)
+
+
+def embed_items(
+    params: Params,
+    item_idx: Array,
+    config: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Array | None = None,
+) -> Array:
+    """Candidate tower: table gather -> MLP -> optional L2 normalize."""
+    emb = params["item_embedding"][item_idx]
+    out = _apply_tower(
+        params["item_tower"],
+        emb,
+        compute_dtype=jnp.dtype(config.compute_dtype),
+        dropout_rate=config.dropout_rate if train else 0.0,
+        dropout_rng=dropout_rng,
+    )
+    return _maybe_normalize(out, config.normalize_embeddings)
+
+
+def embed_item_table(
+    params: Params,
+    config: ModelConfig,
+    num_items: int,
+    *,
+    chunk_size: int = 65536,
+) -> Array:
+    """Materialize the full item-corpus embedding matrix ``[num_items, D]``
+    by streaming the (padded) table through the candidate tower in chunks —
+    the corpus encode pass used by evaluation and index building."""
+    padded = params["item_embedding"].shape[0]
+    chunk_size = min(chunk_size, padded)
+
+    def encode(idx_chunk: Array) -> Array:
+        return embed_items(params, idx_chunk, config, train=False)
+
+    num_chunks = -(-padded // chunk_size)
+    total = num_chunks * chunk_size
+    idx = jnp.arange(total, dtype=jnp.int32) % padded
+    out = jax.lax.map(encode, idx.reshape(num_chunks, chunk_size))
+    return out.reshape(total, -1)[:num_items]
+
+
+def forward(
+    params: Params,
+    user_idx: Array,
+    item_idx: Array,
+    config: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Array | None = None,
+) -> tuple[Array, Array]:
+    """Both towers for one batch -> (user_emb ``[B, D]``, item_emb ``[B, D]``)."""
+    if dropout_rng is not None:
+        u_rng, i_rng = jax.random.split(dropout_rng)
+    else:
+        u_rng = i_rng = None
+    return (
+        embed_users(params, user_idx, config, train=train, dropout_rng=u_rng),
+        embed_items(params, item_idx, config, train=train, dropout_rng=i_rng),
+    )
+
+
+def gathered_embeddings(params: Params, user_idx: Array, item_idx: Array) -> list[Array]:
+    """Embedding rows touched by a batch — the sparse L2 set (ops/losses.py)."""
+    return [params["user_embedding"][user_idx], params["item_embedding"][item_idx]]

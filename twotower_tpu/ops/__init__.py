@@ -1,1 +1,20 @@
-"""ops subpackage."""
+"""Compute ops: retrieval losses and on-device top-k MIPS.
+
+XLA reference implementations live here; Pallas TPU kernels for the same ops
+live in ``ops.pallas_kernels`` and are golden-tested against these.
+"""
+
+from twotower_tpu.ops.losses import (
+    in_batch_softmax_loss,
+    l2_penalty,
+    uniform_sampled_softmax_loss,
+)
+from twotower_tpu.ops.topk import topk_mips, topk_mips_sharded
+
+__all__ = [
+    "in_batch_softmax_loss",
+    "l2_penalty",
+    "uniform_sampled_softmax_loss",
+    "topk_mips",
+    "topk_mips_sharded",
+]

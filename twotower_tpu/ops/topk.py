@@ -1,0 +1,124 @@
+"""On-device MIPS top-k over a (possibly huge) item corpus.
+
+This replaces the reference's declared FAISS/Annoy ANN dependency
+(reference: pyproject.toml:38-39, README.md:54) with an exact on-TPU
+maximum-inner-product search: the corpus is streamed through the MXU in
+static-shape chunks under ``lax.scan``, carrying a running per-query top-k
+that is merged chunk-by-chunk. Exact (not approximate) so evaluation metrics
+are bit-reproducible; at TPU matmul speeds brute force beats CPU ANN well
+past 10M items. A Pallas blockwise variant lives in ``ops/pallas_kernels.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _pad_items(item_emb: Array, chunk_size: int) -> tuple[Array, int]:
+    n = item_emb.shape[0]
+    padded = -(-n // chunk_size) * chunk_size
+    if padded != n:
+        item_emb = jnp.pad(item_emb, ((0, padded - n), (0, 0)))
+    return item_emb, n
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def topk_mips(
+    query_emb: Array,
+    item_emb: Array,
+    k: int,
+    *,
+    chunk_size: int = 8192,
+) -> tuple[Array, Array]:
+    """Exact top-k inner-product search.
+
+    Args:
+      query_emb: ``[B, D]`` queries.
+      item_emb: ``[N, D]`` corpus (padded internally to a chunk multiple;
+        padding rows score ``-inf`` and never surface).
+      k: number of neighbours.
+      chunk_size: items per scan step — bounds peak memory at
+        ``B * chunk_size`` scores; keep it a multiple of 128 for MXU tiling.
+
+    Returns:
+      (scores ``[B, k]`` float32 descending, indices ``[B, k]`` int32).
+    """
+    n = item_emb.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds corpus size {n}")
+    chunk_size = min(chunk_size, -(-n // 128) * 128)
+    item_emb, n_real = _pad_items(item_emb, chunk_size)
+    num_chunks = item_emb.shape[0] // chunk_size
+    chunks = item_emb.reshape(num_chunks, chunk_size, item_emb.shape[1])
+
+    batch = query_emb.shape[0]
+    init = (
+        jnp.full((batch, k), -jnp.inf, jnp.float32),
+        jnp.full((batch, k), -1, jnp.int32),
+    )
+
+    def step(carry, inp):
+        top_vals, top_idx = carry
+        chunk, chunk_id = inp
+        # [B, C] scores on the MXU, f32 accumulation.
+        scores = jax.lax.dot_general(
+            query_emb,
+            chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        base = chunk_id * chunk_size
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1) + base
+        scores = jnp.where(col < n_real, scores, -jnp.inf)
+        # Merge running top-k with this chunk's top-k (cheaper than sorting
+        # the full concatenation when chunk_size >> k).
+        c_vals, c_pos = jax.lax.top_k(scores, k)
+        c_idx = c_pos.astype(jnp.int32) + base
+        all_vals = jnp.concatenate([top_vals, c_vals], axis=1)
+        all_idx = jnp.concatenate([top_idx, c_idx], axis=1)
+        new_vals, sel = jax.lax.top_k(all_vals, k)
+        new_idx = jnp.take_along_axis(all_idx, sel, axis=1)
+        return (new_vals, new_idx), None
+
+    (vals, idx), _ = jax.lax.scan(
+        step, init, (chunks, jnp.arange(num_chunks, dtype=jnp.int32))
+    )
+    return vals, idx
+
+
+def topk_mips_sharded(
+    query_emb: Array,
+    item_emb_shard: Array,
+    k: int,
+    *,
+    axis_name: str,
+    chunk_size: int = 8192,
+) -> tuple[Array, Array]:
+    """Cross-shard exact top-k for a corpus row-sharded over ``axis_name``.
+
+    Runs inside ``shard_map``: each device computes local top-k over its
+    corpus shard (local indices offset to global ids), then the per-shard
+    candidates are all-gathered along the model axis and merged — exact
+    because the global top-k is contained in the union of per-shard top-ks.
+    """
+    shard_id = jax.lax.axis_index(axis_name)
+    num_shards = jax.lax.axis_size(axis_name)
+    local_vals, local_idx = topk_mips(
+        query_emb, item_emb_shard, k, chunk_size=chunk_size
+    )
+    offset = shard_id * item_emb_shard.shape[0]
+    local_idx = local_idx + offset
+    # [S, B, k] along the model axis — rides ICI.
+    all_vals = jax.lax.all_gather(local_vals, axis_name)
+    all_idx = jax.lax.all_gather(local_idx, axis_name)
+    b = query_emb.shape[0]
+    all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, num_shards * k)
+    all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, num_shards * k)
+    vals, sel = jax.lax.top_k(all_vals, k)
+    idx = jnp.take_along_axis(all_idx, sel, axis=1)
+    return vals, idx

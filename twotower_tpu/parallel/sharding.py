@@ -1,0 +1,68 @@
+"""Sharding rules: which pytree leaves live where on the mesh.
+
+Layout (BASELINE.json north star; no reference analog — SURVEY.md §2.2
+rows 19/22):
+
+- Embedding tables (``user_embedding`` / ``item_embedding`` and their Adam
+  moment mirrors): **row-sharded over the ``model`` axis** — the tables are
+  the memory giants (10M+ items x 128+ dims), everything else is KBs.
+- Dense tower params + scalars: replicated.
+- Batches: sharded over the ``data`` axis.
+
+Leaves are matched *by tree path* (any path segment naming an embedding
+table), which transparently covers optimizer states that mirror the param
+tree structure (optax Adam's ``mu``/``nu``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from twotower_tpu.config import MeshConfig
+
+_TABLE_NAMES = ("user_embedding", "item_embedding")
+
+
+def _path_names(path: tuple) -> list[str]:
+    out = []
+    for entry in path:
+        key = getattr(entry, "key", None)
+        if key is None:
+            key = getattr(entry, "name", None)
+        if key is not None:
+            out.append(str(key))
+    return out
+
+
+def _is_table_leaf(path: tuple, leaf: Any) -> bool:
+    names = _path_names(path)
+    return any(t in names for t in _TABLE_NAMES) and getattr(leaf, "ndim", 0) == 2
+
+
+def state_shardings(mesh: Mesh, state: Any, config: MeshConfig) -> Any:
+    """NamedSharding tree for a TrainState (or bare params) pytree."""
+    model = config.model_axis if config.shard_embeddings else None
+    table = NamedSharding(mesh, P(model, None))
+    replicated = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        return table if _is_table_leaf(path, leaf) else replicated
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def batch_shardings(mesh: Mesh, config: MeshConfig) -> Any:
+    """Batch dict sharding: every array splits along the data axis."""
+    return NamedSharding(mesh, P(config.data_axis))
+
+
+def shard_state(mesh: Mesh, state: Any, config: MeshConfig) -> Any:
+    """Place a host-resident state pytree onto the mesh per the rules."""
+    return jax.device_put(state, state_shardings(mesh, state, config))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

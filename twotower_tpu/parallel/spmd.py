@@ -1,0 +1,92 @@
+"""Sharded (mesh-wide) train and eval steps.
+
+One jitted SPMD program per step: GSPMD partitions the tower matmuls over the
+``data`` axis and the embedding gathers/scatters over the row-sharded tables
+on the ``model`` axis, inserting the collectives (all-to-all for table
+lookups, psum for dense grads, all-gather for the in-batch score matrix) that
+the reference never had a backend for (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh
+
+from twotower_tpu.config import Config
+from twotower_tpu.parallel.sharding import batch_shardings, replicated, state_shardings
+from twotower_tpu.training.loop import make_step_fn
+from twotower_tpu.training.state import TrainState
+
+
+def make_sharded_train_step(
+    config: Config,
+    optimizer,
+    mesh: Mesh,
+    state_template: TrainState,
+    log_q: Any = None,
+    *,
+    donate: bool = True,
+):
+    """Jit the shared step function with explicit mesh shardings.
+
+    ``state_template`` supplies the pytree structure for sharding inference
+    (abstract shapes suffice — pass the real state or ``jax.eval_shape``
+    output). Returns a step callable with state donated, batch split on
+    ``data``, and replicated metrics out.
+    """
+    step = make_step_fn(config, optimizer, log_q)
+    st_sh = state_shardings(mesh, state_template, config.mesh)
+    b_sh = batch_shardings(mesh, config.mesh)
+    rep = replicated(mesh)
+    metrics_sh = {
+        "accuracy": rep,
+        "logits_mean": rep,
+        "loss": rep,
+        "grad_norm": rep,
+    }
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, {"user_idx": b_sh, "item_idx": b_sh, "weight": b_sh}, rep),
+        out_shardings=(st_sh, metrics_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_eval_step(config: Config, mesh: Mesh, num_items: int, max_k: int):
+    """Mesh-wide corpus encode + top-k + metrics.
+
+    The corpus stays row-sharded over ``model``; queries split over ``data``;
+    top-k runs against the (XLA-gathered) corpus with metric scalars psummed
+    to replicated outputs.
+    """
+    import jax.numpy as jnp
+
+    from twotower_tpu.evaluation.metrics import metrics_at_k
+    from twotower_tpu.models import two_tower
+    from twotower_tpu.ops.topk import topk_mips
+
+    mcfg = config.model
+    mesh_cfg = config.mesh
+    ks = tuple(k for k in sorted(config.retrieval.top_k_eval) if k <= max_k)
+    rep = replicated(mesh)
+    b_sh = batch_shardings(mesh, mesh_cfg)
+
+    def encode_corpus(params):
+        return two_tower.embed_item_table(params, mcfg, num_items)
+
+    def eval_batch(params, corpus, user_idx, true_item, weight):
+        user_emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
+        _, topk_idx = topk_mips(user_emb, corpus, max_k)
+        return metrics_at_k(topk_idx, true_item, ks, weights=weight)
+
+    encode = jax.jit(encode_corpus, out_shardings=rep)
+    evalb = jax.jit(
+        eval_batch,
+        in_shardings=(None, rep, b_sh, b_sh, b_sh),
+        out_shardings={f"recall@{k}": rep for k in ks}
+        | {f"ndcg@{k}": rep for k in ks}
+        | {"mrr": rep},
+    )
+    return encode, evalb

@@ -1,0 +1,247 @@
+"""Jitted train step + epoch loop with early stopping.
+
+Realizes the reference's declared training capability (reference:
+README.md:17,39; pyproject.toml:67; configs/data_config.yaml:61-66 — batch
+1024, lr 1e-3, 50 epochs, patience 5, validation_freq 1) as a TPU-native
+loop: one compiled SPMD step function (traced once — static shapes from the
+fixed-shape batch pipeline), async dispatch with metrics fetched off-step,
+and host-side early stopping on a validation retrieval metric.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from twotower_tpu.config import Config
+from twotower_tpu.logging_utils import get_logger
+from twotower_tpu.models import two_tower
+from twotower_tpu.ops.losses import in_batch_softmax_loss, l2_penalty
+from twotower_tpu.training.state import TrainState, make_optimizer
+
+logger = get_logger(__name__)
+
+Array = jax.Array
+Batch = dict[str, Array]
+TrainStepFn = Callable[[TrainState, Batch, Array], tuple[TrainState, dict[str, Array]]]
+
+
+def make_loss_fn(config: Config, log_q: Array | None):
+    """Loss closure: forward both towers, in-batch softmax, sparse L2."""
+    mcfg = config.model
+    rcfg = config.retrieval
+
+    def loss_fn(params, batch: Batch, dropout_rng: Array):
+        user_emb, item_emb = two_tower.forward(
+            params,
+            batch["user_idx"],
+            batch["item_idx"],
+            mcfg,
+            train=True,
+            dropout_rng=dropout_rng,
+        )
+        loss, metrics = in_batch_softmax_loss(
+            user_emb,
+            item_emb,
+            batch["item_idx"],
+            temperature=rcfg.temperature,
+            log_q=log_q if rcfg.logq_correction else None,
+            weights=batch.get("weight"),
+        )
+        if mcfg.l2_regularization > 0:
+            reg = l2_penalty(
+                {"user_tower": params["user_tower"], "item_tower": params["item_tower"]},
+                two_tower.gathered_embeddings(
+                    params, batch["user_idx"], batch["item_idx"]
+                ),
+            )
+            loss = loss + mcfg.l2_regularization * reg
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_step_fn(
+    config: Config,
+    optimizer: optax.GradientTransformation,
+    log_q: Array | None = None,
+) -> TrainStepFn:
+    """The un-jitted step: grad -> optimizer update -> new state. Shared by
+    the single-chip path (``make_train_step``) and the mesh path
+    (``parallel.spmd.make_sharded_train_step``)."""
+    loss_fn = make_loss_fn(config, log_q)
+
+    def step(state: TrainState, batch: Batch, rng: Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_train_step(
+    config: Config,
+    optimizer: optax.GradientTransformation,
+    log_q: Array | None = None,
+    *,
+    donate: bool = True,
+) -> TrainStepFn:
+    """Build the jitted train step. ``state`` is donated so XLA updates
+    params/opt-state in place (no HBM copy per step)."""
+    step = make_step_fn(config, optimizer, log_q)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+@dataclass
+class EarlyStopping:
+    """Patience-based early stopping on a maximized metric
+    (reference schema: ``early_stopping_patience: 5``,
+    configs/data_config.yaml:65)."""
+
+    patience: int
+    best: float = -np.inf
+    best_step: int = 0
+    bad_rounds: int = 0
+
+    def update(self, value: float, step: int) -> bool:
+        """Record a validation metric; returns True if training should stop."""
+        if value > self.best:
+            self.best = value
+            self.best_step = step
+            self.bad_rounds = 0
+            return False
+        self.bad_rounds += 1
+        return self.bad_rounds > self.patience
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    history: list[dict[str, float]] = field(default_factory=list)
+    best_metric: float = -np.inf
+    best_step: int = 0
+    examples_per_sec: float = 0.0
+
+
+class Trainer:
+    """Epoch-driving host loop around the compiled step.
+
+    ``evaluate_fn(params) -> dict`` supplies validation metrics (typically
+    from ``evaluation.Evaluator``); ``writers`` receive per-step and
+    per-epoch metric dicts (see ``utils/tracking.py``).
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        *,
+        log_q: np.ndarray | None = None,
+        evaluate_fn: Callable[[Any], dict[str, float]] | None = None,
+        writers: list[Any] | None = None,
+        checkpoint_manager: Any | None = None,
+    ):
+        self.config = config
+        self.optimizer = make_optimizer(config.training)
+        self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
+        self.train_step = make_train_step(config, self.optimizer, self.log_q)
+        self.evaluate_fn = evaluate_fn
+        self.writers = writers or []
+        self.checkpoint_manager = checkpoint_manager
+
+    def init_state(self, num_users: int, num_items: int) -> TrainState:
+        rng = jax.random.PRNGKey(self.config.training.seed)
+        params = two_tower.init_params(rng, self.config.model, num_users, num_items)
+        return TrainState.create(params, self.optimizer)
+
+    def _write(self, payload: dict[str, float], step: int) -> None:
+        for w in self.writers:
+            w.write(payload, step=step)
+
+    def fit(self, state: TrainState, pipeline, *, start_epoch: int = 0) -> TrainResult:
+        cfg = self.config.training
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        stopper = EarlyStopping(patience=cfg.patience)
+        result = TrainResult(state=state)
+        examples_seen = 0
+        t_start = time.perf_counter()
+        pending: dict[str, Array] | None = None
+
+        for epoch in range(start_epoch, cfg.epochs):
+            t_epoch = time.perf_counter()
+            steps = 0
+            for batch in pipeline.epoch(epoch):
+                device_batch = {
+                    k: jnp.asarray(v) for k, v in batch.items()
+                }
+                state, metrics = self.train_step(state, device_batch, rng)
+                steps += 1
+                examples_seen += int(device_batch["user_idx"].shape[0])
+                # Fetch the *previous* step's metrics — keeps dispatch async.
+                if pending is not None and steps % cfg.log_every_steps == 0:
+                    host = {k: float(v) for k, v in jax.device_get(pending).items()}
+                    self._write({f"train/{k}": v for k, v in host.items()}, int(state.step))
+                    logger.info(
+                        "epoch %d step %d loss %.4f acc %.4f",
+                        epoch, int(state.step), host.get("loss", np.nan),
+                        host.get("accuracy", np.nan),
+                    )
+                pending = metrics
+            epoch_time = time.perf_counter() - t_epoch
+            eps = steps * cfg.batch_size / max(epoch_time, 1e-9)
+            record: dict[str, float] = {"epoch": float(epoch), "examples_per_sec": eps}
+            if pending is not None:
+                record.update({k: float(v) for k, v in jax.device_get(pending).items()})
+
+            if self.evaluate_fn is not None and (epoch + 1) % cfg.validation_freq == 0:
+                val = self.evaluate_fn(state.params)
+                record.update({f"val/{k}": v for k, v in val.items()})
+                metric = val.get(cfg.early_stopping_metric)
+                if metric is None:
+                    raise KeyError(
+                        f"early_stopping_metric {cfg.early_stopping_metric!r} "
+                        f"not in validation metrics {sorted(val)}"
+                    )
+                logger.info(
+                    "epoch %d done in %.1fs (%.0f ex/s) %s=%.4f",
+                    epoch, epoch_time, eps, cfg.early_stopping_metric, metric,
+                )
+                improved = metric > stopper.best
+                should_stop = stopper.update(metric, int(state.step))
+                if improved and self.checkpoint_manager is not None:
+                    self.checkpoint_manager.save(
+                        int(state.step), state, metrics={cfg.early_stopping_metric: metric}
+                    )
+                result.history.append(record)
+                self._write(record, int(state.step))
+                if should_stop:
+                    logger.info(
+                        "early stopping at epoch %d (best %s=%.4f @ step %d)",
+                        epoch, cfg.early_stopping_metric, stopper.best, stopper.best_step,
+                    )
+                    break
+            else:
+                logger.info("epoch %d done in %.1fs (%.0f ex/s)", epoch, epoch_time, eps)
+                result.history.append(record)
+                self._write(record, int(state.step))
+
+        total_time = time.perf_counter() - t_start
+        result.state = state
+        result.best_metric = stopper.best
+        result.best_step = stopper.best_step
+        result.examples_per_sec = examples_seen / max(total_time, 1e-9)
+        return result

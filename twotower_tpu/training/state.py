@@ -1,0 +1,61 @@
+"""Train state + optimizer factory.
+
+The reference's training module is an empty placeholder (reference:
+src/training/__init__.py:1; entry point declared at pyproject.toml:67 with
+hyperparameters at configs/data_config.yaml:61-66). This realizes it:
+an optax optimizer built from ``TrainingConfig`` and an immutable pytree
+train state that jit/pjit can thread through compiled steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+
+from twotower_tpu.config import TrainingConfig
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    """Immutable training state (a pytree: donate-able, shardable)."""
+
+    step: Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params: Any, optimizer: optax.GradientTransformation) -> "TrainState":
+        import jax.numpy as jnp
+
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+        )
+
+
+def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
+    """Build the optimizer chain from config (reference schema:
+    optimizer adam, lr 0.001 — configs/data_config.yaml:62-63)."""
+    lr: Any = config.learning_rate
+    if config.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, config.learning_rate, config.warmup_steps)
+    name = config.optimizer.lower()
+    if name == "adam":
+        tx = optax.adam(lr)
+    elif name == "adamw":
+        tx = optax.adamw(lr, weight_decay=config.weight_decay)
+    elif name == "adagrad":
+        tx = optax.adagrad(lr)
+    elif name == "sgd":
+        tx = optax.sgd(lr)
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer!r}")
+    if config.weight_decay > 0 and name != "adamw":
+        tx = optax.chain(optax.add_decayed_weights(config.weight_decay), tx)
+    return tx
