@@ -1,0 +1,309 @@
+"""Pallas TPU kernels for the retrieval hot path.
+
+The BASELINE.json north star names two fused kernels: scoring+softmax for the
+in-batch loss, and lookup/top-k for retrieval. This module implements the
+fused in-batch sampled-softmax loss: forward computes the ``B x B`` score
+matrix block-by-block in VMEM (never materializing it in HBM) fused with
+temperature scaling, log-Q correction, accidental-hit masking, and a
+numerically-stable log-sum-exp; backward recomputes scores per block and
+accumulates both tower gradients via the sequential TPU grid.
+
+Every kernel has an XLA reference twin in ``ops/losses.py`` and is
+golden-tested against it (tests/test_pallas.py). Dispatch: ``fused_*``
+functions fall back to the XLA path off-TPU or on shapes the kernel does not
+cover (``ops/dispatch.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e9
+
+
+def _interpret() -> bool:
+    """Interpreter mode off-TPU so the same kernels run (and are golden-
+    tested) on the CPU mesh used by the unit suite."""
+    return jax.default_backend() != "tpu"
+
+# Row-block size: 256 rows x B cols of f32 scores stay well under VMEM
+# (256*8192*4 = 8 MB at the largest supported batch).
+_BLOCK_ROWS = 256
+_MAX_BATCH = 8192
+
+
+def _supported(batch: int, dim: int) -> bool:
+    return (
+        batch % _BLOCK_ROWS == 0
+        and batch <= _MAX_BATCH
+        and dim % 128 == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    u_ref,  # [BR, D]      row block of user embeddings
+    v_ref,  # [B, D]       all item embeddings
+    idx_ref,  # [1, B]     int32 item ids (for accidental-hit masking)
+    logq_ref,  # [1, B]    log q per column (zeros when disabled)
+    loss_ref,  # [BR, 1]   out: per-row CE loss
+    lse_ref,  # [BR, 1]    out: per-row logsumexp (saved for backward)
+    correct_ref,  # [BR, 1] out: 1.0 where the positive is the row argmax
+    pos_ref,  # [BR, 1]    out: the positive's (corrected) logit
+    *,
+    inv_temp: float,
+    block_rows: int,
+):
+    i = pl.program_id(0)
+    row0 = i * block_rows
+    # Scores on the MXU, f32 accumulation: [BR, B].
+    s = jax.lax.dot_general(
+        u_ref[:],
+        v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * inv_temp - logq_ref[0, :][None, :]
+
+    batch = v_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, batch), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, batch), 0) + row0
+    row_item = idx_ref[0, pl.ds(row0, block_rows)][:, None]
+    same_item = idx_ref[0, :][None, :] == row_item
+    diag = col_ids == row_ids
+    s = jnp.where(same_item & (~diag), _NEG_INF, s)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(s - m), axis=1, keepdims=True))
+    pos = jnp.sum(jnp.where(diag, s, 0.0), axis=1, keepdims=True)
+    loss_ref[:] = lse - pos
+    lse_ref[:] = lse
+    correct_ref[:] = (pos >= m).astype(jnp.float32)
+    pos_ref[:] = pos
+
+
+def _fwd_call(u, v, item_idx, log_q_cols, *, temperature: float):
+    batch, dim = u.shape
+    grid = (batch // _BLOCK_ROWS,)
+    kernel = functools.partial(
+        _fwd_kernel, inv_temp=1.0 / temperature, block_rows=_BLOCK_ROWS
+    )
+    row_out = pl.BlockSpec((_BLOCK_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    loss, lse, correct, pos = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_out, row_out, row_out, row_out],
+        out_shape=[jax.ShapeDtypeStruct((batch, 1), jnp.float32)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * batch * dim,
+            bytes_accessed=(batch * dim * 4) * 2 + batch * 8,
+            transcendentals=batch * batch,
+        ),
+        interpret=_interpret(),
+    )(u, v, item_idx.reshape(1, batch), log_q_cols.reshape(1, batch))
+    return loss[:, 0], lse[:, 0], correct[:, 0], pos[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: recompute scores per row block, emit dU block and
+# accumulate dV (sequential grid => safe read-modify-write on the full-V
+# output block).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    u_ref,  # [BR, D]
+    v_ref,  # [B, D]
+    idx_ref,  # [1, B]
+    logq_ref,  # [1, B]
+    lse_ref,  # [BR, 1]
+    g_ref,  # [BR, 1]   upstream grad per row (includes weights/denom)
+    du_ref,  # [BR, D]  out
+    dv_ref,  # [B, D]   out (accumulated across grid steps)
+    *,
+    inv_temp: float,
+    block_rows: int,
+):
+    i = pl.program_id(0)
+    row0 = i * block_rows
+
+    @pl.when(i == 0)
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    s = jax.lax.dot_general(
+        u_ref[:],
+        v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * inv_temp - logq_ref[0, :][None, :]
+
+    batch = v_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, batch), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, batch), 0) + row0
+    row_item = idx_ref[0, pl.ds(row0, block_rows)][:, None]
+    same_item = idx_ref[0, :][None, :] == row_item
+    diag = col_ids == row_ids
+    masked = same_item & (~diag)
+
+    p = jnp.exp(s - lse_ref[:])  # [BR, B] softmax row probs
+    p = jnp.where(masked, 0.0, p)
+    # dL/ds = (p - onehot(diag)); scale by upstream g and 1/temp.
+    ds = (p - jnp.where(diag, 1.0, 0.0)) * g_ref[:] * inv_temp
+
+    du_ref[:] = jax.lax.dot_general(
+        ds,
+        v_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[:] += jax.lax.dot_general(
+        ds,
+        u_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_call(u, v, item_idx, log_q_cols, lse, g_rows, *, temperature: float):
+    batch, dim = u.shape
+    grid = (batch // _BLOCK_ROWS,)
+    kernel = functools.partial(
+        _bwd_kernel, inv_temp=1.0 / temperature, block_rows=_BLOCK_ROWS
+    )
+    du, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * batch * batch * dim,
+            bytes_accessed=(batch * dim * 4) * 4,
+            transcendentals=batch * batch,
+        ),
+        interpret=_interpret(),
+    )(
+        u,
+        v,
+        item_idx.reshape(1, batch),
+        log_q_cols.reshape(1, batch),
+        lse.reshape(batch, 1),
+        g_rows.reshape(batch, 1),
+    )
+    return du, dv
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_per_example_loss(u, v, item_idx, log_q_cols, temperature):
+    loss, _, correct, pos = _fwd_call(u, v, item_idx, log_q_cols, temperature=temperature)
+    return loss, correct, pos
+
+
+def _fused_fwd(u, v, item_idx, log_q_cols, temperature):
+    loss, lse, correct, pos = _fwd_call(
+        u, v, item_idx, log_q_cols, temperature=temperature
+    )
+    return (loss, correct, pos), (u, v, item_idx, log_q_cols, lse)
+
+
+def _fused_bwd(temperature, residuals, gs):
+    u, v, item_idx, log_q_cols, lse = residuals
+    g, _, _ = gs  # correct/pos are metric outputs; their cotangents are zero
+    du, dv = _bwd_call(
+        u, v, item_idx, log_q_cols, lse, g.astype(jnp.float32),
+        temperature=temperature,
+    )
+    return du.astype(u.dtype), dv.astype(v.dtype), None, None
+
+
+_fused_per_example_loss.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_in_batch_softmax_loss(
+    user_emb: Array,
+    item_emb: Array,
+    item_idx: Array,
+    *,
+    temperature: float = 0.1,
+    log_q: Array | None = None,
+    weights: Array | None = None,
+) -> tuple[Array, dict[str, Array]]:
+    """Pallas-fused drop-in for ``ops.losses.in_batch_softmax_loss``.
+
+    Same contract and metrics; requires ``batch % 256 == 0``, ``batch <=
+    8192``, ``dim % 128 == 0`` (checked by ``supported_for``; use the
+    dispatcher in ``ops/dispatch.py`` rather than calling this directly).
+    """
+    batch, dim = user_emb.shape
+    if not _supported(batch, dim):
+        raise ValueError(
+            f"fused loss kernel does not support batch={batch}, dim={dim}"
+        )
+    u = user_emb.astype(jnp.float32)
+    v = item_emb.astype(jnp.float32)
+    log_q_cols = (
+        log_q[item_idx].astype(jnp.float32)
+        if log_q is not None
+        else jnp.zeros((batch,), jnp.float32)
+    )
+    per_example, correct, pos = _fused_per_example_loss(
+        u, v, item_idx, log_q_cols, temperature
+    )
+    correct = jax.lax.stop_gradient(correct)
+    pos = jax.lax.stop_gradient(pos)
+
+    if weights is None:
+        weights = jnp.ones((batch,), jnp.float32)
+    weights = weights.astype(jnp.float32)
+    denom = jnp.maximum(weights.sum(), 1.0)
+    loss = (per_example * weights).sum() / denom
+    # Raw diagonal score from the kernel's corrected positive logit:
+    # pos = raw/temp - log_q  =>  raw = (pos + log_q) * temp.
+    raw_diag = (pos + log_q_cols) * temperature
+    metrics = {
+        "accuracy": (correct * weights).sum() / denom,
+        "logits_mean": (raw_diag * weights).sum() / denom,
+    }
+    return loss, metrics
+
+
+def supported_for(batch: int, dim: int) -> bool:
+    """Whether the fused loss kernel covers these shapes."""
+    return _supported(batch, dim)

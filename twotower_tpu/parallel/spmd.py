@@ -36,7 +36,11 @@ def make_sharded_train_step(
     output). Returns a step callable with state donated, batch split on
     ``data``, and replicated metrics out.
     """
-    step = make_step_fn(config, optimizer, log_q)
+    # Pallas kernels only when the mesh is a single device: GSPMD cannot
+    # auto-partition pallas_call, and the in-batch loss needs the full batch.
+    step = make_step_fn(
+        config, optimizer, log_q, allow_pallas=mesh.devices.size == 1
+    )
     st_sh = state_shardings(mesh, state_template, config.mesh)
     b_sh = batch_shardings(mesh, config.mesh)
     rep = replicated(mesh)

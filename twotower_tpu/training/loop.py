@@ -22,6 +22,7 @@ import optax
 from twotower_tpu.config import Config
 from twotower_tpu.logging_utils import get_logger
 from twotower_tpu.models import two_tower
+from twotower_tpu.ops.dispatch import in_batch_softmax_loss_auto
 from twotower_tpu.ops.losses import in_batch_softmax_loss, l2_penalty
 from twotower_tpu.training.state import TrainState, make_optimizer
 
@@ -32,8 +33,13 @@ Batch = dict[str, Array]
 TrainStepFn = Callable[[TrainState, Batch, Array], tuple[TrainState, dict[str, Array]]]
 
 
-def make_loss_fn(config: Config, log_q: Array | None):
-    """Loss closure: forward both towers, in-batch softmax, sparse L2."""
+def make_loss_fn(config: Config, log_q: Array | None, *, allow_pallas: bool = True):
+    """Loss closure: forward both towers, in-batch softmax, sparse L2.
+
+    ``allow_pallas=False`` forces the XLA loss — required under a multi-device
+    mesh, where GSPMD cannot auto-partition a ``pallas_call`` (the sharded
+    path sets this; see parallel/spmd.py).
+    """
     mcfg = config.model
     rcfg = config.retrieval
 
@@ -46,7 +52,8 @@ def make_loss_fn(config: Config, log_q: Array | None):
             train=True,
             dropout_rng=dropout_rng,
         )
-        loss, metrics = in_batch_softmax_loss(
+        loss_impl = in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
+        loss, metrics = loss_impl(
             user_emb,
             item_emb,
             batch["item_idx"],
@@ -72,11 +79,13 @@ def make_step_fn(
     config: Config,
     optimizer: optax.GradientTransformation,
     log_q: Array | None = None,
+    *,
+    allow_pallas: bool = True,
 ) -> TrainStepFn:
     """The un-jitted step: grad -> optimizer update -> new state. Shared by
     the single-chip path (``make_train_step``) and the mesh path
     (``parallel.spmd.make_sharded_train_step``)."""
-    loss_fn = make_loss_fn(config, log_q)
+    loss_fn = make_loss_fn(config, log_q, allow_pallas=allow_pallas)
 
     def step(state: TrainState, batch: Batch, rng: Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
