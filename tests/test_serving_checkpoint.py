@@ -1,0 +1,235 @@
+"""Serving + checkpoint tests: index correctness, native CPU index,
+HTTP handlers, checkpoint save/restore/prune, CLI e2e."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from twotower_tpu.models import two_tower
+from twotower_tpu.serving.api import RecommendService, ServingError, create_app
+from twotower_tpu.serving.cpu_index import CpuFlatIndex
+from twotower_tpu.serving.index import RetrievalIndex
+from twotower_tpu.training import TrainState, make_optimizer
+from twotower_tpu.utils.checkpoint import CheckpointManager
+
+
+@pytest.fixture(scope="module")
+def small_index(tiny_config_module):
+    cfg = tiny_config_module
+    params = two_tower.init_params(jax.random.PRNGKey(0), cfg.model, 100, 60)
+    return RetrievalIndex(cfg, params, 100, 60)
+
+
+@pytest.fixture(scope="module")
+def tiny_config_module():
+    from twotower_tpu.config import Config
+
+    return Config().with_overrides(
+        {
+            "model.embedding_dim": 16,
+            "model.user_tower_dims": [32, 16],
+            "model.item_tower_dims": [32, 16],
+        }
+    )
+
+
+class TestRetrievalIndex:
+    def test_recommend_matches_bruteforce(self, small_index, tiny_config_module):
+        users = np.arange(5, dtype=np.int32)
+        scores, idx = small_index.recommend(users, k=10)
+        u_emb = np.asarray(
+            two_tower.embed_users(small_index.params, users, tiny_config_module.model)
+        )
+        full = u_emb @ np.asarray(small_index.corpus).T
+        ref = np.argsort(-full, axis=1)[:, :10]
+        got = np.take_along_axis(full, idx, axis=1)
+        want = np.take_along_axis(full, ref, axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_similar_items_excludes_self(self, small_index):
+        scores, idx = small_index.similar_items(np.array([3, 7]), k=5)
+        assert idx.shape == (2, 5)
+        assert 3 not in idx[0]
+        assert 7 not in idx[1]
+
+    def test_out_of_range_raises(self, small_index):
+        with pytest.raises(ValueError):
+            small_index.recommend(np.array([1000]), k=5)
+
+
+class TestCpuFlatIndex:
+    def test_native_matches_numpy(self, rng):
+        corpus = rng.normal(size=(2000, 64)).astype(np.float32)
+        q = rng.normal(size=(16, 64)).astype(np.float32)
+        native = CpuFlatIndex(corpus)
+        ref = CpuFlatIndex(corpus, force_numpy=True)
+        s1, i1 = native.search(q, 20)
+        s2, i2 = ref.search(q, 20)
+        np.testing.assert_allclose(s1, s2, rtol=1e-3)
+        assert (i1 == i2).mean() > 0.99
+
+    def test_scores_descending(self, rng):
+        corpus = rng.normal(size=(500, 32)).astype(np.float32)
+        q = rng.normal(size=(4, 32)).astype(np.float32)
+        s, _ = CpuFlatIndex(corpus).search(q, 50)
+        assert (np.diff(s, axis=1) <= 1e-6).all()
+
+    def test_k_too_large(self, rng):
+        idx = CpuFlatIndex(rng.normal(size=(10, 8)).astype(np.float32))
+        with pytest.raises(ValueError):
+            idx.search(rng.normal(size=(1, 8)).astype(np.float32), 11)
+
+
+class _FakeVocab:
+    """Minimal vocab pair for service tests."""
+
+    class _One:
+        def __init__(self, prefix, n):
+            self.ids = np.array([f"{prefix}{i}" for i in range(n)], object)
+
+        def encode(self, raw, missing=-1):
+            index = {v: i for i, v in enumerate(self.ids)}
+            return np.array([index.get(str(r), missing) for r in raw], np.int32)
+
+        def decode(self, idx):
+            return self.ids[np.asarray(idx)]
+
+    def __init__(self, nu, ni):
+        self.users = self._One("U", nu)
+        self.items = self._One("I", ni)
+
+
+@pytest.fixture(scope="module")
+def service(small_index):
+    return RecommendService(small_index, _FakeVocab(100, 60), default_k=10)
+
+
+class TestRecommendService:
+    def test_recommend_by_user_id(self, service):
+        out = service.recommend({"user_id": "U3", "k": 5})
+        assert len(out["results"]) == 1
+        assert len(out["results"][0]["items"]) == 5
+        assert out["results"][0]["items"][0].startswith("I")
+        assert out["latency_ms"] >= 0
+
+    def test_recommend_batch_by_idx(self, service):
+        out = service.recommend({"user_idx": [0, 1, 2], "k": 3})
+        assert len(out["results"]) == 3
+
+    def test_unknown_user_404(self, service):
+        with pytest.raises(ServingError) as e:
+            service.recommend({"user_id": "NOPE"})
+        assert e.value.status == 404
+
+    def test_missing_field_400(self, service):
+        with pytest.raises(ServingError):
+            service.recommend({"k": 5})
+
+    def test_similar_items(self, service):
+        out = service.similar_items({"item_id": "I5", "k": 4})
+        assert len(out["results"][0]["items"]) == 4
+        assert "I5" not in out["results"][0]["items"]
+
+    def test_health(self, service):
+        h = service.health()
+        assert h["status"] == "ok" and h["num_items"] == 60
+
+
+class TestAiohttpApp:
+    def test_routes(self, service):
+        from aiohttp.test_utils import TestClient, TestServer
+        import asyncio
+
+        async def go():
+            app = create_app(service)
+            async with TestClient(TestServer(app)) as client:
+                r = await client.get("/health")
+                assert r.status == 200
+                r = await client.post("/recommend", json={"user_idx": [1], "k": 3})
+                assert r.status == 200
+                body = await r.json()
+                assert len(body["results"][0]["items"]) == 3
+                r = await client.post("/recommend", json={"user_id": "NOPE"})
+                assert r.status == 404
+                r = await client.post("/recommend", data=b"not json")
+                assert r.status == 400
+
+        asyncio.run(go())
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tiny_config_module, tmp_path):
+        cfg = tiny_config_module
+        optimizer = make_optimizer(cfg.training)
+        params = two_tower.init_params(jax.random.PRNGKey(1), cfg.model, 50, 30)
+        state = TrainState.create(params, optimizer)
+        mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+        mgr.save(10, state, metrics={"recall@10": 0.5}, extra={"epoch": 3})
+
+        template = TrainState.create(
+            two_tower.init_params(jax.random.PRNGKey(2), cfg.model, 50, 30), optimizer
+        )
+        restored, meta = mgr.restore(template)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["user_embedding"]),
+            np.asarray(state.params["user_embedding"]),
+        )
+        assert meta["metrics"]["recall@10"] == 0.5
+        assert meta["epoch"] == 3
+
+    def test_prune_keeps_latest(self, tiny_config_module, tmp_path):
+        cfg = tiny_config_module
+        optimizer = make_optimizer(cfg.training)
+        state = TrainState.create(
+            two_tower.init_params(jax.random.PRNGKey(0), cfg.model, 20, 20), optimizer
+        )
+        mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+        for s in (1, 2, 3, 4):
+            mgr.save(s, state)
+        assert mgr.all_steps() == [3, 4]
+        assert mgr.latest_step() == 4
+
+    def test_restore_empty_raises(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "none")
+        with pytest.raises(FileNotFoundError):
+            mgr.restore(None)
+
+
+class TestCliE2E:
+    def test_train_then_evaluate_then_serve(self, tmp_path):
+        from twotower_tpu.evaluation.evaluate import main as eval_main
+        from twotower_tpu.training.train import main as train_main
+
+        ckpt = tmp_path / "run"
+        overrides = [
+            "training.epochs=1", "training.batch_size=64",
+            "model.embedding_dim=16", "model.user_tower_dims=[32,16]",
+            "model.item_tower_dims=[32,16]",
+            "preprocessing.min_interactions_per_user=2",
+            "preprocessing.min_interactions_per_item=2",
+        ]
+        common = [
+            "--synthetic", "--synthetic-users", "200", "--synthetic-items", "100",
+            "--synthetic-interactions", "5000", "--checkpoint-dir", str(ckpt),
+            "--override", *overrides,
+        ]
+        assert train_main(common + ["--writers", "jsonl"]) == 0
+        assert (ckpt / "train_summary.json").exists()
+        assert (ckpt / "vocab" / "item_vocab.npz").exists()
+        assert (ckpt / "metrics.jsonl").exists()
+        summary = json.loads((ckpt / "train_summary.json").read_text())
+        assert summary["test"]["recall@10"] > 0
+
+        assert eval_main(common) == 0
+
+        # Serving from the same checkpoint.
+        from twotower_tpu.config import load_config
+        from twotower_tpu.config import parse_cli_overrides
+        from twotower_tpu.serving.api import build_service
+
+        cfg = load_config(None, parse_cli_overrides(overrides))
+        svc = build_service(cfg, str(ckpt))
+        out = svc.recommend({"user_idx": [0], "k": 5})
+        assert len(out["results"][0]["items"]) == 5

@@ -1,0 +1,239 @@
+"""``serve-model`` CLI + HTTP serving surface.
+
+Realizes the reference's declared serving layer (reference: pyproject.toml:68
+``serve-model = src.serving.api:main``; README.md:42,54 — "FastAPI-based
+..." with an 8-12 ms latency target) as a thin HTTP front over the
+``RetrievalIndex``: request ids are encoded via the vocab manifest, queries
+run the jitted query-tower -> exact top-k path in batches, responses carry
+raw item ids + scores.
+
+Engine: aiohttp (available in the base image) by default; a FastAPI app
+factory (``create_fastapi_app``) is provided for stacks that have it —
+both front the same handler core, which is framework-free and unit-testable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Any
+
+import numpy as np
+
+from twotower_tpu.config import Config, load_config, parse_cli_overrides
+from twotower_tpu.logging_utils import get_logger, setup_logging
+
+logger = get_logger(__name__)
+
+
+class ServingError(ValueError):
+    """Client error (HTTP 400/404)."""
+
+    def __init__(self, message: str, status: int = 400):
+        super().__init__(message)
+        self.status = status
+
+
+class RecommendService:
+    """Framework-free handler core shared by aiohttp and FastAPI fronts."""
+
+    def __init__(self, index, vocab, *, default_k: int = 100, max_batch: int = 256):
+        self.index = index
+        self.vocab = vocab
+        self.default_k = default_k
+        self.max_batch = max_batch
+        self.started = time.time()
+        self.requests = 0
+
+    # ------------------------------------------------------------------
+
+    def health(self) -> dict[str, Any]:
+        return {
+            "status": "ok",
+            "uptime_s": round(time.time() - self.started, 1),
+            "requests": self.requests,
+            "num_users": self.index.num_users,
+            "num_items": self.index.num_items,
+        }
+
+    def _resolve_users(self, payload: dict) -> np.ndarray:
+        if "user_idx" in payload:
+            idx = np.atleast_1d(np.asarray(payload["user_idx"], np.int64))
+        elif "user_id" in payload:
+            ids = payload["user_id"]
+            ids = [ids] if isinstance(ids, str) else list(ids)
+            idx = self.vocab.users.encode(np.asarray(ids, object))
+            unknown = [i for i, v in zip(ids, idx) if v < 0]
+            if unknown:
+                raise ServingError(f"unknown user ids: {unknown[:5]}", status=404)
+            idx = idx.astype(np.int64)
+        else:
+            raise ServingError("payload must contain user_id or user_idx")
+        if len(idx) > self.max_batch:
+            raise ServingError(f"batch too large: {len(idx)} > {self.max_batch}")
+        if (idx < 0).any() or (idx >= self.index.num_users).any():
+            raise ServingError("user_idx out of range", status=404)
+        return idx.astype(np.int32)
+
+    def recommend(self, payload: dict) -> dict[str, Any]:
+        """POST /recommend — {user_id|user_idx, k?} -> ranked items."""
+        self.requests += 1
+        k = int(payload.get("k", self.default_k))
+        if not 1 <= k <= self.index.num_items:
+            raise ServingError(f"k must be in [1, {self.index.num_items}]")
+        user_idx = self._resolve_users(payload)
+        t0 = time.perf_counter()
+        scores, items = self.index.recommend(user_idx, k)
+        latency_ms = (time.perf_counter() - t0) * 1000
+        return {
+            "results": [
+                {
+                    "user_idx": int(u),
+                    "items": self.vocab.items.decode(row_i).tolist(),
+                    "item_idx": row_i.tolist(),
+                    "scores": [round(float(s), 6) for s in row_s],
+                }
+                for u, row_i, row_s in zip(user_idx, items, scores)
+            ],
+            "k": k,
+            "latency_ms": round(latency_ms, 3),
+        }
+
+    def similar_items(self, payload: dict) -> dict[str, Any]:
+        """POST /similar_items — {item_id|item_idx, k?} -> neighbours."""
+        self.requests += 1
+        k = int(payload.get("k", self.default_k))
+        if "item_idx" in payload:
+            idx = np.atleast_1d(np.asarray(payload["item_idx"], np.int64))
+        elif "item_id" in payload:
+            ids = payload["item_id"]
+            ids = [ids] if isinstance(ids, str) else list(ids)
+            idx = self.vocab.items.encode(np.asarray(ids, object)).astype(np.int64)
+            if (idx < 0).any():
+                raise ServingError("unknown item ids", status=404)
+        else:
+            raise ServingError("payload must contain item_id or item_idx")
+        if (idx < 0).any() or (idx >= self.index.num_items).any():
+            raise ServingError("item_idx out of range", status=404)
+        scores, items = self.index.similar_items(idx.astype(np.int32), k)
+        return {
+            "results": [
+                {
+                    "item_idx": int(i),
+                    "items": self.vocab.items.decode(row_i).tolist(),
+                    "scores": [round(float(s), 6) for s in row_s],
+                }
+                for i, row_i, row_s in zip(idx, items, scores)
+            ],
+            "k": k,
+        }
+
+
+# ---------------------------------------------------------------------------
+# aiohttp front (default engine)
+# ---------------------------------------------------------------------------
+
+
+def create_app(service: RecommendService):
+    """Build the aiohttp application."""
+    from aiohttp import web
+
+    async def health(_request):
+        return web.json_response(service.health())
+
+    def wrap(handler):
+        async def route(request):
+            try:
+                payload = await request.json()
+            except json.JSONDecodeError:
+                return web.json_response({"error": "invalid JSON body"}, status=400)
+            try:
+                return web.json_response(handler(payload))
+            except ServingError as e:
+                return web.json_response({"error": str(e)}, status=e.status)
+
+        return route
+
+    app = web.Application()
+    app.router.add_get("/health", health)
+    app.router.add_post("/recommend", wrap(service.recommend))
+    app.router.add_post("/similar_items", wrap(service.similar_items))
+    return app
+
+
+def create_fastapi_app(service: RecommendService):
+    """FastAPI front for parity with the reference's declared stack
+    (reference: pyproject.toml:36, README.md:54). Import-gated."""
+    from fastapi import FastAPI, HTTPException
+
+    app = FastAPI(title="twotower-tpu serving")
+
+    @app.get("/health")
+    def health():
+        return service.health()
+
+    @app.post("/recommend")
+    def recommend(payload: dict):
+        try:
+            return service.recommend(payload)
+        except ServingError as e:
+            raise HTTPException(status_code=e.status, detail=str(e)) from e
+
+    @app.post("/similar_items")
+    def similar_items(payload: dict):
+        try:
+            return service.similar_items(payload)
+        except ServingError as e:
+            raise HTTPException(status_code=e.status, detail=str(e)) from e
+
+    return app
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="serve-model", description="Serve two-tower retrieval over HTTP"
+    )
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--override", nargs="*", default=[], metavar="KEY=VALUE")
+    p.add_argument("--checkpoint-dir", type=str, required=True)
+    p.add_argument("--host", type=str, default=None)
+    p.add_argument("--port", type=int, default=None)
+    return p
+
+
+def build_service(config: Config, checkpoint_dir: str) -> RecommendService:
+    from twotower_tpu.serving.index import RetrievalIndex
+
+    index = RetrievalIndex.from_checkpoint(config, checkpoint_dir)
+    return RecommendService(
+        index,
+        index.vocab,
+        default_k=config.serving.top_k,
+        max_batch=config.serving.max_batch_size,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    setup_logging()
+    args = build_argparser().parse_args(argv)
+    config = load_config(args.config, parse_cli_overrides(args.override))
+    service = build_service(config, args.checkpoint_dir)
+    app = create_app(service)
+    host = args.host or config.serving.host
+    port = args.port or config.serving.port
+    logger.info("serving on http://%s:%d", host, port)
+    from aiohttp import web
+
+    web.run_app(app, host=host, port=port, print=None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

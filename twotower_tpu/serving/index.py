@@ -1,0 +1,122 @@
+"""Retrieval index: the serving-side candidate-search engine.
+
+Replaces the reference's declared FAISS/Annoy ANN layer (reference:
+pyproject.toml:38-39, README.md:54 "FAISS/Annoy for approximate nearest
+neighbor search") with exact on-TPU MIPS over the precomputed item-corpus
+embeddings (``ops/topk.py``), plus a native C++ CPU fallback index
+(``serving/cpu_index.py``) for TPU-less deployments — both exact, so serving
+results match evaluation metrics bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotower_tpu.config import Config
+from twotower_tpu.logging_utils import get_logger
+from twotower_tpu.models import two_tower
+from twotower_tpu.ops.topk import topk_mips
+
+logger = get_logger(__name__)
+
+
+class RetrievalIndex:
+    """User/query -> top-k item retrieval over a frozen model.
+
+    The item corpus is encoded once at construction (chunked, on device) and
+    kept resident; queries run a jitted user-tower -> exact top-k pipeline.
+    Supports id-based queries (known users), embedding-based queries
+    (cold-start / external towers), and item-to-item similarity.
+    """
+
+    def __init__(self, config: Config, params, num_users: int, num_items: int):
+        self.config = config
+        self.params = params
+        self.num_users = num_users
+        self.num_items = num_items
+        mcfg = config.model
+        self.corpus = jax.jit(
+            lambda p: two_tower.embed_item_table(p, mcfg, num_items)
+        )(params)
+        jax.block_until_ready(self.corpus)
+        logger.info(
+            "retrieval index ready: %d items x %d dims on %s",
+            num_items, self.corpus.shape[1], jax.default_backend(),
+        )
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _query_users(params, corpus, user_idx, k: int):
+            emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
+            return topk_mips(emb, corpus, k)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _query_emb(corpus, emb, k: int):
+            return topk_mips(emb, corpus, k)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _query_items(corpus, item_idx, k: int):
+            emb = corpus[item_idx]
+            # k+1: the item itself always ranks first in its own neighborhood
+            return topk_mips(emb, corpus, k + 1)
+
+        self._query_users = _query_users
+        self._query_emb = _query_emb
+        self._query_items = _query_items
+
+    # ------------------------------------------------------------------
+
+    def recommend(self, user_idx: np.ndarray, k: int = 100) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k items for known users: (scores [B,k], item_idx [B,k])."""
+        user_idx = np.atleast_1d(np.asarray(user_idx, np.int32))
+        if (user_idx < 0).any() or (user_idx >= self.num_users).any():
+            raise ValueError("user_idx out of range")
+        vals, idx = self._query_users(self.params, self.corpus, jnp.asarray(user_idx), k)
+        return np.asarray(vals), np.asarray(idx)
+
+    def recommend_by_embedding(self, emb: np.ndarray, k: int = 100):
+        """Top-k for externally-computed query embeddings [B, D]."""
+        vals, idx = self._query_emb(self.corpus, jnp.asarray(emb, jnp.float32), k)
+        return np.asarray(vals), np.asarray(idx)
+
+    def similar_items(self, item_idx: np.ndarray, k: int = 100):
+        """Item-to-item neighbours (self-match removed)."""
+        item_idx = np.atleast_1d(np.asarray(item_idx, np.int32))
+        if (item_idx < 0).any() or (item_idx >= self.num_items).any():
+            raise ValueError("item_idx out of range")
+        vals, idx = self._query_items(self.corpus, jnp.asarray(item_idx), k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        out_v = np.empty((len(item_idx), k), np.float32)
+        out_i = np.empty((len(item_idx), k), np.int32)
+        for r in range(len(item_idx)):
+            mask = idx[r] != item_idx[r]
+            out_i[r] = idx[r][mask][:k]
+            out_v[r] = vals[r][mask][:k]
+        return out_v, out_i
+
+    # ------------------------------------------------------------------
+
+    def export_corpus(self, path: str | Path) -> None:
+        """Persist corpus embeddings (npz) for offline/CPU-index serving."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path, corpus=np.asarray(self.corpus, np.float32))
+        logger.info("exported corpus embeddings -> %s", path)
+
+    @classmethod
+    def from_checkpoint(cls, config: Config, checkpoint_dir: str | Path) -> "RetrievalIndex":
+        """Load params + vocab from a training checkpoint directory."""
+        from twotower_tpu.data.vocab import VocabPair
+        from twotower_tpu.evaluation.evaluate import restore_params
+
+        ckpt_dir = Path(checkpoint_dir)
+        vocab = VocabPair.load(ckpt_dir / "vocab")
+        num_users, num_items = len(vocab.users), len(vocab.items)
+        params, _ = restore_params(config, ckpt_dir, num_users, num_items)
+        index = cls(config, params, num_users, num_items)
+        index.vocab = vocab
+        return index

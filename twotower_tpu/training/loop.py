@@ -233,7 +233,10 @@ class Trainer:
                 should_stop = stopper.update(metric, int(state.step))
                 if improved and self.checkpoint_manager is not None:
                     self.checkpoint_manager.save(
-                        int(state.step), state, metrics={cfg.early_stopping_metric: metric}
+                        int(state.step),
+                        state,
+                        metrics={cfg.early_stopping_metric: metric},
+                        extra={"epoch": epoch + 1},
                     )
                 result.history.append(record)
                 self._write(record, int(state.step))
