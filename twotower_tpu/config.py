@@ -113,6 +113,10 @@ class ModelConfig:
     # TPU-first extensions: compute dtype for the MXU hot path; params stay f32.
     compute_dtype: str = "bfloat16"
     normalize_embeddings: bool = True
+    # Hashed n-gram text tower (0 disables; reference declares transformers +
+    # max_sequence_length 512 but never wires text in — SURVEY.md §2.2 row 29).
+    text_buckets: int = 0
+    text_tokens: int = 32
 
     def __post_init__(self) -> None:
         if self.embedding_dim <= 0:

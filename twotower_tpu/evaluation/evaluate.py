@@ -94,7 +94,14 @@ def run(args, config: Config) -> dict:
     num_users, num_items = len(pp.vocab.users), len(pp.vocab.items)
 
     params, meta = restore_params(config, ckpt_dir, num_users, num_items, step=args.step)
-    evaluator = Evaluator(config, num_items)
+    item_tokens = None
+    tokens_path = ckpt_dir / "item_tokens.npz"
+    if tokens_path.exists():
+        import numpy as np
+
+        with np.load(tokens_path) as tok:
+            item_tokens = tok["tokens"]
+    evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
     metrics = evaluator.evaluate(params, subset.user_idx, subset.item_idx)
     return {
         "subset": args.subset,

@@ -37,9 +37,11 @@ class Evaluator:
         *,
         batch_size: int = 4096,
         corpus_chunk_size: int = 8192,
+        item_tokens=None,
     ):
         self.config = config
         self.num_items = num_items
+        tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
         self.ks = tuple(sorted(config.retrieval.top_k_eval))
         self.max_k = min(max(self.ks), num_items)
         self.batch_size = batch_size
@@ -49,7 +51,9 @@ class Evaluator:
 
         @jax.jit
         def _encode_corpus(params) -> Array:
-            return two_tower.embed_item_table(params, mcfg, num_items)
+            return two_tower.embed_item_table(
+                params, mcfg, num_items, item_tokens=tokens
+            )
 
         @functools.partial(jax.jit, static_argnames=("max_k",))
         def _eval_batch(params, corpus, user_idx, true_item, weight, max_k: int):

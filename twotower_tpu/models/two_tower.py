@@ -70,10 +70,10 @@ def init_params(
     mesh axis divides them evenly; padding rows are inert (never gathered —
     ids are dense in ``[0, num_users/items)`` by vocab construction).
     """
-    k_ue, k_ie, k_ut, k_it = jax.random.split(rng, 4)
+    k_ue, k_ie, k_ut, k_it, k_tx = jax.random.split(rng, 5)
     e = config.embedding_dim
     scale = 1.0 / jnp.sqrt(e)
-    return {
+    params = {
         "user_embedding": jax.random.normal(
             k_ue, (padded_rows(num_users, pad_multiple), e), jnp.float32
         )
@@ -85,6 +85,15 @@ def init_params(
         "user_tower": _init_tower(k_ut, e, list(config.user_tower_dims)),
         "item_tower": _init_tower(k_it, e, list(config.item_tower_dims)),
     }
+    if config.text_buckets > 0:
+        # Hashed n-gram bucket table; row 0 is the PAD bucket (masked out).
+        params["text_embedding"] = (
+            jax.random.normal(
+                k_tx, (padded_rows(config.text_buckets, pad_multiple), e), jnp.float32
+            )
+            * scale
+        )
+    return params
 
 
 def param_count(params: Params) -> int:
@@ -153,6 +162,19 @@ def embed_users(
     return _maybe_normalize(out, config.normalize_embeddings)
 
 
+def pool_text(params: Params, tokens: Array) -> Array:
+    """Embedding-bag over hashed n-gram tokens: masked mean of bucket
+    embeddings (token 0 = PAD). ``tokens`` is ``[B, T]`` int32 -> ``[B, E]``.
+
+    This is the op the Pallas fused gather+pool kernel accelerates
+    (ops/pallas_gather.py); this XLA form is its reference twin."""
+    emb = params["text_embedding"][tokens]  # [B, T, E]
+    mask = (tokens != 0).astype(emb.dtype)[..., None]
+    total = jnp.sum(emb * mask, axis=1)
+    count = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    return total / count
+
+
 def embed_items(
     params: Params,
     item_idx: Array,
@@ -160,9 +182,16 @@ def embed_items(
     *,
     train: bool = False,
     dropout_rng: Array | None = None,
+    text_tokens: Array | None = None,
 ) -> Array:
-    """Candidate tower: table gather -> MLP -> optional L2 normalize."""
+    """Candidate tower: table gather (+ pooled text embedding) -> MLP ->
+    optional L2 normalize. ``text_tokens``: optional ``[B, T]`` hashed
+    n-gram ids aligned with ``item_idx`` (features/text_encoder.py)."""
     emb = params["item_embedding"][item_idx]
+    if text_tokens is not None:
+        if "text_embedding" not in params:
+            raise ValueError("model has no text tower (set model.text_buckets > 0)")
+        emb = emb + pool_text(params, text_tokens)
     out = _apply_tower(
         params["item_tower"],
         emb,
@@ -179,15 +208,21 @@ def embed_item_table(
     num_items: int,
     *,
     chunk_size: int = 65536,
+    item_tokens: Array | None = None,
 ) -> Array:
     """Materialize the full item-corpus embedding matrix ``[num_items, D]``
     by streaming the (padded) table through the candidate tower in chunks —
-    the corpus encode pass used by evaluation and index building."""
+    the corpus encode pass used by evaluation and index building.
+    ``item_tokens``: optional per-item hashed text ``[num_items, T]``."""
     padded = params["item_embedding"].shape[0]
     chunk_size = min(chunk_size, padded)
 
     def encode(idx_chunk: Array) -> Array:
-        return embed_items(params, idx_chunk, config, train=False)
+        tokens = None
+        if item_tokens is not None:
+            # Clamp: padding rows re-read item 0's tokens, then get sliced off.
+            tokens = item_tokens[jnp.minimum(idx_chunk, num_items - 1)]
+        return embed_items(params, idx_chunk, config, train=False, text_tokens=tokens)
 
     num_chunks = -(-padded // chunk_size)
     total = num_chunks * chunk_size

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from twotower_tpu.config import MeshConfig
 
-_TABLE_NAMES = ("user_embedding", "item_embedding")
+_TABLE_NAMES = ("user_embedding", "item_embedding", "text_embedding")
 
 
 def _path_names(path: tuple) -> list[str]:

@@ -34,14 +34,18 @@ class RetrievalIndex:
     (cold-start / external towers), and item-to-item similarity.
     """
 
-    def __init__(self, config: Config, params, num_users: int, num_items: int):
+    def __init__(
+        self, config: Config, params, num_users: int, num_items: int,
+        item_tokens=None,
+    ):
         self.config = config
         self.params = params
         self.num_users = num_users
         self.num_items = num_items
         mcfg = config.model
+        tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
         self.corpus = jax.jit(
-            lambda p: two_tower.embed_item_table(p, mcfg, num_items)
+            lambda p: two_tower.embed_item_table(p, mcfg, num_items, item_tokens=tokens)
         )(params)
         jax.block_until_ready(self.corpus)
         logger.info(
@@ -117,6 +121,11 @@ class RetrievalIndex:
         vocab = VocabPair.load(ckpt_dir / "vocab")
         num_users, num_items = len(vocab.users), len(vocab.items)
         params, _ = restore_params(config, ckpt_dir, num_users, num_items)
-        index = cls(config, params, num_users, num_items)
+        item_tokens = None
+        tokens_path = ckpt_dir / "item_tokens.npz"
+        if tokens_path.exists():
+            with np.load(tokens_path) as data:
+                item_tokens = data["tokens"]
+        index = cls(config, params, num_users, num_items, item_tokens=item_tokens)
         index.vocab = vocab
         return index

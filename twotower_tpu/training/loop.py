@@ -33,24 +33,34 @@ Batch = dict[str, Array]
 TrainStepFn = Callable[[TrainState, Batch, Array], tuple[TrainState, dict[str, Array]]]
 
 
-def make_loss_fn(config: Config, log_q: Array | None, *, allow_pallas: bool = True):
+def make_loss_fn(
+    config: Config,
+    log_q: Array | None,
+    *,
+    allow_pallas: bool = True,
+    item_tokens: Array | None = None,
+):
     """Loss closure: forward both towers, in-batch softmax, sparse L2.
 
     ``allow_pallas=False`` forces the XLA loss — required under a multi-device
     mesh, where GSPMD cannot auto-partition a ``pallas_call`` (the sharded
-    path sets this; see parallel/spmd.py).
+    path sets this; see parallel/spmd.py). ``item_tokens``: optional
+    ``[num_items, T]`` hashed text table enabling the item text tower.
     """
     mcfg = config.model
     rcfg = config.retrieval
 
     def loss_fn(params, batch: Batch, dropout_rng: Array):
-        user_emb, item_emb = two_tower.forward(
-            params,
-            batch["user_idx"],
-            batch["item_idx"],
-            mcfg,
-            train=True,
-            dropout_rng=dropout_rng,
+        u_rng, i_rng = jax.random.split(dropout_rng)
+        user_emb = two_tower.embed_users(
+            params, batch["user_idx"], mcfg, train=True, dropout_rng=u_rng
+        )
+        tokens = (
+            item_tokens[batch["item_idx"]] if item_tokens is not None else None
+        )
+        item_emb = two_tower.embed_items(
+            params, batch["item_idx"], mcfg, train=True, dropout_rng=i_rng,
+            text_tokens=tokens,
         )
         loss_impl = in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
         loss, metrics = loss_impl(
@@ -81,11 +91,14 @@ def make_step_fn(
     log_q: Array | None = None,
     *,
     allow_pallas: bool = True,
+    item_tokens: Array | None = None,
 ) -> TrainStepFn:
     """The un-jitted step: grad -> optimizer update -> new state. Shared by
     the single-chip path (``make_train_step``) and the mesh path
     (``parallel.spmd.make_sharded_train_step``)."""
-    loss_fn = make_loss_fn(config, log_q, allow_pallas=allow_pallas)
+    loss_fn = make_loss_fn(
+        config, log_q, allow_pallas=allow_pallas, item_tokens=item_tokens
+    )
 
     def step(state: TrainState, batch: Batch, rng: Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -109,10 +122,11 @@ def make_train_step(
     log_q: Array | None = None,
     *,
     donate: bool = True,
+    item_tokens: Array | None = None,
 ) -> TrainStepFn:
     """Build the jitted train step. ``state`` is donated so XLA updates
     params/opt-state in place (no HBM copy per step)."""
-    step = make_step_fn(config, optimizer, log_q)
+    step = make_step_fn(config, optimizer, log_q, item_tokens=item_tokens)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -163,14 +177,21 @@ class Trainer:
         evaluate_fn: Callable[[Any], dict[str, float]] | None = None,
         writers: list[Any] | None = None,
         checkpoint_manager: Any | None = None,
+        shutdown: Any | None = None,
+        item_tokens: np.ndarray | None = None,
     ):
         self.config = config
         self.optimizer = make_optimizer(config.training)
         self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
-        self.train_step = make_train_step(config, self.optimizer, self.log_q)
+        tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
+        self.train_step = make_train_step(
+            config, self.optimizer, self.log_q, item_tokens=tokens
+        )
         self.evaluate_fn = evaluate_fn
         self.writers = writers or []
         self.checkpoint_manager = checkpoint_manager
+        # Preemption-aware stop flag provider (utils.profiling.GracefulShutdown).
+        self.shutdown = shutdown
 
     def init_state(self, num_users: int, num_items: int) -> TrainState:
         rng = jax.random.PRNGKey(self.config.training.seed)
@@ -182,6 +203,8 @@ class Trainer:
             w.write(payload, step=step)
 
     def fit(self, state: TrainState, pipeline, *, start_epoch: int = 0) -> TrainResult:
+        from twotower_tpu.utils.profiling import StepTimer
+
         cfg = self.config.training
         rng = jax.random.PRNGKey(cfg.seed + 1)
         stopper = EarlyStopping(patience=cfg.patience)
@@ -189,6 +212,7 @@ class Trainer:
         examples_seen = 0
         t_start = time.perf_counter()
         pending: dict[str, Array] | None = None
+        timer = StepTimer()
 
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()
@@ -198,6 +222,7 @@ class Trainer:
                     k: jnp.asarray(v) for k, v in batch.items()
                 }
                 state, metrics = self.train_step(state, device_batch, rng)
+                timer.tick()
                 steps += 1
                 examples_seen += int(device_batch["user_idx"].shape[0])
                 # Fetch the *previous* step's metrics — keeps dispatch async.
@@ -213,6 +238,7 @@ class Trainer:
             epoch_time = time.perf_counter() - t_epoch
             eps = steps * cfg.batch_size / max(epoch_time, 1e-9)
             record: dict[str, float] = {"epoch": float(epoch), "examples_per_sec": eps}
+            record.update(timer.summary())
             if pending is not None:
                 record.update({k: float(v) for k, v in jax.device_get(pending).items()})
 
@@ -250,6 +276,15 @@ class Trainer:
                 logger.info("epoch %d done in %.1fs (%.0f ex/s)", epoch, epoch_time, eps)
                 result.history.append(record)
                 self._write(record, int(state.step))
+
+            if self.shutdown is not None and self.shutdown.should_stop:
+                # Preemption: persist progress before exiting the loop.
+                if self.checkpoint_manager is not None:
+                    self.checkpoint_manager.save(
+                        int(state.step), state, extra={"epoch": epoch + 1, "preempted": True}
+                    )
+                logger.warning("graceful shutdown after epoch %d", epoch)
+                break
 
         total_time = time.perf_counter() - t_start
         result.state = state

@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--split", choices=["temporal", "random"], default="temporal")
     p.add_argument("--no-eval", action="store_true", help="skip validation/early stop")
+    p.add_argument(
+        "--profile-dir", type=str, default=None,
+        help="write a jax.profiler device trace for the training run",
+    )
     return p
 
 
@@ -93,19 +97,44 @@ def run(args, config: Config) -> dict:
     manager = CheckpointManager(ckpt_dir, keep=config.training.keep_checkpoints)
     writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
 
+    # Optional hashed n-gram item text tower (model.text_buckets > 0).
+    item_tokens = None
+    if config.model.text_buckets > 0 and (
+        splits.train.text is not None or splits.train.title is not None
+    ):
+        from twotower_tpu.features.text_encoder import HashedNgramEncoder
+
+        encoder = HashedNgramEncoder(
+            num_buckets=config.model.text_buckets,
+            max_tokens=config.model.text_tokens,
+        )
+        item_tokens = encoder.encode_per_item(
+            data.item_idx, data.text, num_items, titles=data.title
+        )
+        np.savez_compressed(ckpt_dir / "item_tokens.npz", tokens=item_tokens)
+        logger.info(
+            "text tower on: %d buckets x %d tokens/item",
+            config.model.text_buckets, config.model.text_tokens,
+        )
+
     log_q = np.log(pp.vocab.items.frequencies + 1e-12)
-    evaluator = Evaluator(config, num_items)
+    evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
     evaluate_fn = (
         None
         if args.no_eval or len(splits.val) == 0
         else evaluator.make_evaluate_fn(splits.val.user_idx, splits.val.item_idx)
     )
+    from twotower_tpu.utils.profiling import GracefulShutdown, trace
+
+    shutdown = GracefulShutdown().install()
     trainer = Trainer(
         config,
         log_q=log_q,
         evaluate_fn=evaluate_fn,
         writers=writers,
         checkpoint_manager=manager,
+        shutdown=shutdown,
+        item_tokens=item_tokens,
     )
     state = trainer.init_state(num_users, num_items)
     start_epoch = 0
@@ -117,7 +146,9 @@ def run(args, config: Config) -> dict:
     pipeline = BatchPipeline(
         splits.train, config.training.batch_size, seed=config.training.seed
     )
-    result = trainer.fit(state, pipeline, start_epoch=start_epoch)
+    with trace(args.profile_dir):
+        result = trainer.fit(state, pipeline, start_epoch=start_epoch)
+    shutdown.uninstall()
 
     # Final artifacts: vocab manifest + final checkpoint + test metrics.
     pp.vocab.save(ckpt_dir / "vocab")
