@@ -45,7 +45,7 @@ def main() -> None:
     params = two_tower.init_params(
         jax.random.PRNGKey(0), cfg.model, NUM_USERS, NUM_ITEMS
     )
-    state = TrainState.create(params, optimizer)
+    state = TrainState.for_config(params, optimizer, cfg)
 
     num_items_padded = params["item_embedding"].shape[0]
     log_q = jnp.log(jnp.full((num_items_padded,), 1.0 / NUM_ITEMS, jnp.float32))

@@ -31,7 +31,9 @@ def devices():
 
 def _setup(tiny_config, n_model):
     cfg = tiny_config.with_overrides(
-        {"mesh.num_model": n_model, "model.dropout_rate": 0.0}
+        {"mesh.num_model": n_model, "model.dropout_rate": 0.0,
+         # the mesh path runs the dense step (see parallel/spmd.py)
+         "training.sparse_table_updates": False}
     )
     num_users, num_items = 300, 200
     optimizer = make_optimizer(cfg.training)

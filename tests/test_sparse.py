@@ -1,0 +1,163 @@
+"""Sparse-table update tests: dedup correctness and exact first-step (and
+same-support multi-step) equivalence with the dense optax Adam path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from twotower_tpu.models import two_tower
+from twotower_tpu.training import TrainState, make_optimizer
+from twotower_tpu.training.loop import make_step_fn
+from twotower_tpu.training.sparse import (
+    dedup_rows,
+    make_sparse_step_fn,
+    split_params,
+)
+
+
+class TestDedupRows:
+    def test_unique_ids(self):
+        ids = jnp.asarray([3, 1, 7], jnp.int32)
+        grads = jnp.asarray([[1.0], [2.0], [3.0]])
+        targets, summed, valid = dedup_rows(ids, grads, dead=99)
+        assert valid.sum() == 3
+        got = {int(t): float(s) for t, s, v in zip(targets, summed[:, 0], valid) if v}
+        assert got == {1: 2.0, 3: 1.0, 7: 3.0}
+
+    def test_duplicates_summed(self):
+        ids = jnp.asarray([5, 5, 5, 2], jnp.int32)
+        grads = jnp.asarray([[1.0], [10.0], [100.0], [7.0]])
+        targets, summed, valid = dedup_rows(ids, grads, dead=99)
+        assert int(valid.sum()) == 2
+        got = {int(t): float(s) for t, s, v in zip(targets, summed[:, 0], valid) if v}
+        assert got == {2: 7.0, 5: 111.0}
+        # invalid rows aim at the dead row
+        assert all(int(t) == 99 for t, v in zip(targets, valid) if not v)
+
+    def test_valid_targets_unique(self):
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, 20, 64), jnp.int32)
+        grads = jnp.asarray(rng.normal(size=(64, 4)), jnp.float32)
+        targets, _, valid = dedup_rows(ids, grads, dead=1000)
+        tv = np.asarray(targets)[np.asarray(valid)]
+        assert len(tv) == len(set(tv.tolist()))
+
+
+def _setup(tiny_config, sparse: bool, text: bool = False):
+    over = {
+        "training.sparse_table_updates": sparse,
+        "model.dropout_rate": 0.0,
+    }
+    if text:
+        over.update({"model.text_buckets": 256, "model.text_tokens": 4})
+    cfg = tiny_config.with_overrides(over)
+    num_users, num_items = 300, 200
+    optimizer = make_optimizer(cfg.training)
+    params = two_tower.init_params(jax.random.PRNGKey(0), cfg.model, num_users, num_items)
+    state = (
+        TrainState.create_sparse(params, optimizer)
+        if sparse
+        else TrainState.create(params, optimizer)
+    )
+    rng = np.random.default_rng(1)
+    bs = cfg.training.batch_size
+    batch = {
+        "user_idx": jnp.asarray(rng.integers(0, num_users, bs), jnp.int32),
+        "item_idx": jnp.asarray(rng.integers(0, num_items, bs), jnp.int32),
+        "weight": jnp.ones((bs,), jnp.float32),
+    }
+    tokens = None
+    if text:
+        tokens = jnp.asarray(rng.integers(0, 256, (num_items, 4)), jnp.int32)
+    return cfg, optimizer, params, state, batch, tokens
+
+
+class TestSparseStepEquivalence:
+    def test_first_step_matches_dense(self, tiny_config):
+        cfg_d, opt_d, params, state_d, batch, _ = _setup(tiny_config, sparse=False)
+        cfg_s, opt_s, _, state_s, _, _ = _setup(tiny_config, sparse=True)
+        rng = jax.random.PRNGKey(3)
+
+        dense_step = make_step_fn(cfg_d, opt_d)
+        sparse_step = make_sparse_step_fn(cfg_s, opt_s)
+        new_d, m_d = dense_step(state_d, batch, rng)
+        new_s, m_s = sparse_step(state_s, batch, rng)
+
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_d["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_s.params["user_tower"][0]["kernel"]),
+            np.asarray(new_d.params["user_tower"][0]["kernel"]),
+            rtol=1e-5, atol=1e-7,
+        )
+        for table in ("user_embedding", "item_embedding"):
+            np.testing.assert_allclose(
+                np.asarray(new_s.params[table]),
+                np.asarray(new_d.params[table]),
+                rtol=1e-4, atol=1e-6,
+            )
+
+    def test_multi_step_same_batch_matches_dense(self, tiny_config):
+        # When the same rows are touched every step, lazy == dense Adam.
+        cfg_d, opt_d, _, state_d, batch, _ = _setup(tiny_config, sparse=False)
+        cfg_s, opt_s, _, state_s, _, _ = _setup(tiny_config, sparse=True)
+        rng = jax.random.PRNGKey(3)
+        dense_step = jax.jit(make_step_fn(cfg_d, opt_d))
+        sparse_step = jax.jit(make_sparse_step_fn(cfg_s, opt_s))
+        for _ in range(3):
+            state_d, _ = dense_step(state_d, batch, rng)
+            state_s, _ = sparse_step(state_s, batch, rng)
+        np.testing.assert_allclose(
+            np.asarray(state_s.params["item_embedding"]),
+            np.asarray(state_d.params["item_embedding"]),
+            rtol=1e-3, atol=1e-5,
+        )
+
+    def test_untouched_rows_unchanged(self, tiny_config):
+        cfg, opt, params, state, batch, _ = _setup(tiny_config, sparse=True)
+        step = make_sparse_step_fn(cfg, opt)
+        new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+        touched = set(np.asarray(batch["user_idx"]).tolist())
+        untouched = [i for i in range(300) if i not in touched][:20]
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["user_embedding"])[untouched],
+            np.asarray(params["user_embedding"])[untouched],
+        )
+
+    def test_sparse_with_text_table(self, tiny_config):
+        cfg, opt, params, state, batch, tokens = _setup(
+            tiny_config, sparse=True, text=True
+        )
+        step = make_sparse_step_fn(cfg, opt, item_tokens=tokens)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        # text table changed on touched buckets
+        assert not np.allclose(
+            np.asarray(new_state.params["text_embedding"]),
+            np.asarray(params["text_embedding"]),
+        )
+
+    def test_sparse_learns(self, tiny_config):
+        from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+        from twotower_tpu.evaluation import Evaluator
+        from twotower_tpu.training import Trainer
+
+        cfg = tiny_config.with_overrides(
+            {"training.epochs": 3, "training.log_every_steps": 1000,
+             "training.sparse_table_updates": True}
+        )
+        data = generate_interactions(num_users=300, num_items=120,
+                                     num_interactions=8000, noise=0.2)
+        pp = Preprocessor(cfg.preprocessing)
+        data = pp.process(data)
+        splits = pp.split_data(data)
+        ev = Evaluator(cfg, len(pp.vocab.items), batch_size=256)
+        trainer = Trainer(
+            cfg,
+            log_q=np.log(pp.vocab.items.frequencies + 1e-12),
+            evaluate_fn=ev.make_evaluate_fn(splits.val.user_idx, splits.val.item_idx),
+        )
+        state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+        assert state.table_state is not None
+        res = trainer.fit(state, BatchPipeline(splits.train, cfg.training.batch_size))
+        assert res.best_metric > 3 * 10 / len(pp.vocab.items)

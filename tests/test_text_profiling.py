@@ -56,7 +56,9 @@ class TestTextTowerModel:
 
     def test_params_include_text_table(self, text_cfg):
         params = two_tower.init_params(jax.random.PRNGKey(0), text_cfg, 50, 30)
-        assert params["text_embedding"].shape == (512, text_cfg.embedding_dim)
+        assert params["text_embedding"].shape == (
+            two_tower.padded_rows(512), text_cfg.embedding_dim
+        )
 
     def test_pool_text_masked_mean(self, text_cfg):
         params = two_tower.init_params(jax.random.PRNGKey(0), text_cfg, 50, 30)

@@ -149,6 +149,10 @@ class TrainingConfig:
     weight_decay: float = 0.0
     warmup_steps: int = 0
     seed: int = 42
+    # Sparse (lazy-Adam, scatter-add) embedding-table updates — the
+    # TPU-native fast path (training/sparse.py); disable for exact dense
+    # optax semantics.
+    sparse_table_updates: bool = True
     log_every_steps: int = 100
     checkpoint_dir: str = "models/artifacts"
     keep_checkpoints: int = 3

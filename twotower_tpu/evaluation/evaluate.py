@@ -54,7 +54,7 @@ def restore_params(config: Config, ckpt_dir: Path, num_users: int, num_items: in
     params = two_tower.init_params(
         jax.random.PRNGKey(0), config.model, num_users, num_items
     )
-    template = TrainState.create(params, optimizer)
+    template = TrainState.for_config(params, optimizer, config)
     manager = CheckpointManager(ckpt_dir)
     state, meta = manager.restore(template, step=step)
     return state.params, meta

@@ -32,7 +32,15 @@ LANE = 128  # TPU lane width: pad table rows so shards tile cleanly.
 
 
 def padded_rows(n: int, multiple: int = LANE) -> int:
-    return -(-max(n, 1) // multiple) * multiple
+    """Table rows padded to a lane multiple with AT LEAST one spare row —
+    the last padded row is the ``dead row`` scatter target that sparse
+    updates aim duplicate/invalid ids at (training/sparse.py)."""
+    return -(-(max(n, 1) + 1) // multiple) * multiple
+
+
+def dead_row(table: Array) -> int:
+    """Index of the guaranteed-unused padding row (never a real id)."""
+    return table.shape[0] - 1
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +150,26 @@ def _maybe_normalize(x: Array, normalize: bool) -> Array:
     return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-12)
 
 
+def apply_user_tower(
+    params: Params,
+    emb: Array,
+    config: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Array | None = None,
+) -> Array:
+    """Query-tower MLP over pre-gathered embedding rows (the sparse-update
+    training path differentiates w.r.t. ``emb`` directly)."""
+    out = _apply_tower(
+        params["user_tower"],
+        emb,
+        compute_dtype=jnp.dtype(config.compute_dtype),
+        dropout_rate=config.dropout_rate if train else 0.0,
+        dropout_rng=dropout_rng,
+    )
+    return _maybe_normalize(out, config.normalize_embeddings)
+
+
 def embed_users(
     params: Params,
     user_idx: Array,
@@ -152,14 +180,9 @@ def embed_users(
 ) -> Array:
     """Query tower: table gather -> MLP -> optional L2 normalize."""
     emb = params["user_embedding"][user_idx]
-    out = _apply_tower(
-        params["user_tower"],
-        emb,
-        compute_dtype=jnp.dtype(config.compute_dtype),
-        dropout_rate=config.dropout_rate if train else 0.0,
-        dropout_rng=dropout_rng,
+    return apply_user_tower(
+        params, emb, config, train=train, dropout_rng=dropout_rng
     )
-    return _maybe_normalize(out, config.normalize_embeddings)
 
 
 def pool_text(params: Params, tokens: Array) -> Array:
@@ -173,6 +196,25 @@ def pool_text(params: Params, tokens: Array) -> Array:
     total = jnp.sum(emb * mask, axis=1)
     count = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
     return total / count
+
+
+def apply_item_tower(
+    params: Params,
+    emb: Array,
+    config: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Array | None = None,
+) -> Array:
+    """Candidate-tower MLP over pre-gathered (and text-combined) rows."""
+    out = _apply_tower(
+        params["item_tower"],
+        emb,
+        compute_dtype=jnp.dtype(config.compute_dtype),
+        dropout_rate=config.dropout_rate if train else 0.0,
+        dropout_rng=dropout_rng,
+    )
+    return _maybe_normalize(out, config.normalize_embeddings)
 
 
 def embed_items(
@@ -192,14 +234,9 @@ def embed_items(
         if "text_embedding" not in params:
             raise ValueError("model has no text tower (set model.text_buckets > 0)")
         emb = emb + pool_text(params, text_tokens)
-    out = _apply_tower(
-        params["item_tower"],
-        emb,
-        compute_dtype=jnp.dtype(config.compute_dtype),
-        dropout_rate=config.dropout_rate if train else 0.0,
-        dropout_rng=dropout_rng,
+    return apply_item_tower(
+        params, emb, config, train=train, dropout_rng=dropout_rng
     )
-    return _maybe_normalize(out, config.normalize_embeddings)
 
 
 def embed_item_table(

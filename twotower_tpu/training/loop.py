@@ -125,8 +125,14 @@ def make_train_step(
     item_tokens: Array | None = None,
 ) -> TrainStepFn:
     """Build the jitted train step. ``state`` is donated so XLA updates
-    params/opt-state in place (no HBM copy per step)."""
-    step = make_step_fn(config, optimizer, log_q, item_tokens=item_tokens)
+    params/opt-state in place (no HBM copy per step). Dispatches to the
+    sparse-table path when ``training.sparse_table_updates`` is set."""
+    if config.training.sparse_table_updates:
+        from twotower_tpu.training.sparse import make_sparse_step_fn
+
+        step = make_sparse_step_fn(config, optimizer, log_q, item_tokens=item_tokens)
+    else:
+        step = make_step_fn(config, optimizer, log_q, item_tokens=item_tokens)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -196,7 +202,7 @@ class Trainer:
     def init_state(self, num_users: int, num_items: int) -> TrainState:
         rng = jax.random.PRNGKey(self.config.training.seed)
         params = two_tower.init_params(rng, self.config.model, num_users, num_items)
-        return TrainState.create(params, self.optimizer)
+        return TrainState.for_config(params, self.optimizer, self.config)
 
     def _write(self, payload: dict[str, float], step: int) -> None:
         for w in self.writers:

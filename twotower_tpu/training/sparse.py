@@ -1,0 +1,274 @@
+"""Sparse (row-wise) embedding-table training step.
+
+The dense path materializes full-table gradients and runs Adam over every
+row each step — at 1.5M x 128 rows that is ~2 GB of HBM traffic per step and
+dominates the step time (measured: 14.4 ms/step vs 2.6 ms with tiny tables
+on v5e). This module implements the TPU-native alternative the BASELINE
+north star calls "gradient scatter": differentiate w.r.t. the *gathered
+rows*, dedup duplicate ids inside the batch (sort + segment-sum, static
+shapes), and scatter-add a lazy-Adam row update onto only the touched rows.
+
+Semantics vs dense Adam: identical for every touched row on every step in
+which it is touched; untouched rows carry no momentum decay (lazy Adam — the
+standard and empirically preferable convention for embedding tables).
+
+Duplicate/invalid scatter targets are aimed at the table's reserved dead row
+(``models.two_tower.dead_row``) with zero-masked updates, keeping every
+scatter target unique-or-harmless without dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from twotower_tpu.config import TrainingConfig
+
+Array = jax.Array
+
+TABLE_NAMES = ("user_embedding", "item_embedding", "text_embedding")
+
+
+def split_params(params: dict) -> tuple[dict, dict]:
+    """(tables, dense) partition of the parameter pytree."""
+    tables = {k: v for k, v in params.items() if k in TABLE_NAMES}
+    dense = {k: v for k, v in params.items() if k not in TABLE_NAMES}
+    return tables, dense
+
+
+def init_table_state(tables: dict) -> dict:
+    """Adam first/second moments per table, same shape as the table."""
+    return {
+        name: {"mu": jnp.zeros_like(t), "nu": jnp.zeros_like(t)}
+        for name, t in tables.items()
+    }
+
+
+def dedup_rows(ids: Array, grads: Array, dead: int) -> tuple[Array, Array, Array]:
+    """Combine duplicate ids: sort + segment-sum with static shapes.
+
+    Returns (targets [B], summed_grads [B, E], valid [B]): for each segment
+    (unique id) one valid row holding the summed gradient and the id as
+    scatter target; all other rows target the dead row with zero updates.
+    """
+    b = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    sg = grads[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(first) - 1  # segment index per sorted row, in [0, B)
+    summed = jax.ops.segment_sum(sg, seg, num_segments=b)  # [B, E]
+    seg_ids = jax.ops.segment_max(sid, seg, num_segments=b)  # id per segment
+    counts = jax.ops.segment_sum(jnp.ones_like(sid), seg, num_segments=b)
+    valid = counts > 0
+    targets = jnp.where(valid, seg_ids, dead)
+    return targets, summed, valid
+
+
+def adam_row_update(
+    table: Array,
+    mu: Array,
+    nu: Array,
+    targets: Array,
+    grads: Array,
+    valid: Array,
+    *,
+    lr: Array,
+    b1: float,
+    b2: float,
+    eps: float,
+    step: Array,
+) -> tuple[Array, Array, Array]:
+    """Lazy-Adam update of the targeted rows only (scatter-add deltas)."""
+    mask = valid.astype(table.dtype)[:, None]
+    mu_rows = mu[targets]
+    nu_rows = nu[targets]
+    new_mu = b1 * mu_rows + (1.0 - b1) * grads
+    new_nu = b2 * nu_rows + (1.0 - b2) * jnp.square(grads)
+    t = step.astype(jnp.float32)
+    mu_hat = new_mu / (1.0 - b1**t)
+    nu_hat = new_nu / (1.0 - b2**t)
+    update = lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+    table = table.at[targets].add(-update * mask)
+    mu = mu.at[targets].add((new_mu - mu_rows) * mask)
+    nu = nu.at[targets].add((new_nu - nu_rows) * mask)
+    return table, mu, nu
+
+
+def make_lr_fn(config: TrainingConfig) -> Callable[[Array], Array]:
+    """Scalar lr schedule mirroring training.state.make_optimizer."""
+    base = config.learning_rate
+    warmup = config.warmup_steps
+
+    def lr(step: Array) -> Array:
+        if warmup <= 0:
+            return jnp.asarray(base, jnp.float32)
+        frac = jnp.minimum(step.astype(jnp.float32) / warmup, 1.0)
+        return jnp.asarray(base, jnp.float32) * frac
+
+    return lr
+
+
+def make_sparse_step_fn(
+    config,
+    dense_optimizer,
+    log_q: Array | None = None,
+    *,
+    item_tokens: Array | None = None,
+    allow_pallas: bool = True,
+):
+    """Train step with sparse table updates.
+
+    Differentiates the loss w.r.t. the gathered embedding rows (not the
+    tables), applies the dense optimizer to the towers and lazy-Adam row
+    scatters to the tables. Drop-in replacement for
+    ``training.loop.make_step_fn`` (same signature contract).
+    """
+    import optax
+
+    from twotower_tpu.models import two_tower
+    from twotower_tpu.ops.dispatch import in_batch_softmax_loss_auto
+    from twotower_tpu.ops.losses import in_batch_softmax_loss, l2_penalty
+
+    mcfg = config.model
+    rcfg = config.retrieval
+    tcfg = config.training
+    lr_fn = make_lr_fn(tcfg)
+    loss_impl = in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
+
+    def step(state, batch: dict, rng: Array):
+        from twotower_tpu.training.state import TrainState
+
+        tables, dense = split_params(state.params)
+        u_ids = batch["user_idx"]
+        i_ids = batch["item_idx"]
+        u_rows = tables["user_embedding"][u_ids]
+        i_rows = tables["item_embedding"][i_ids]
+        tokens = item_tokens[i_ids] if item_tokens is not None else None
+        tok_rows = (
+            tables["text_embedding"][tokens] if tokens is not None else None
+        )
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(dense_p, u_rows, i_rows, tok_rows):
+            u_rng, i_rng = jax.random.split(dropout_rng)
+            u_emb = two_tower.apply_user_tower(
+                dense_p, u_rows, mcfg, train=True, dropout_rng=u_rng
+            )
+            item_in = i_rows
+            if tok_rows is not None:
+                mask = (tokens != 0).astype(tok_rows.dtype)[..., None]
+                pooled = jnp.sum(tok_rows * mask, axis=1) / jnp.maximum(
+                    jnp.sum(mask, axis=1), 1.0
+                )
+                item_in = i_rows + pooled
+            i_emb = two_tower.apply_item_tower(
+                dense_p, item_in, mcfg, train=True, dropout_rng=i_rng
+            )
+            loss, metrics = loss_impl(
+                u_emb,
+                i_emb,
+                i_ids,
+                temperature=rcfg.temperature,
+                log_q=log_q if rcfg.logq_correction else None,
+                weights=batch.get("weight"),
+            )
+            if mcfg.l2_regularization > 0:
+                reg = l2_penalty(dense_p, [u_rows, i_rows])
+                loss = loss + mcfg.l2_regularization * reg
+            metrics["loss"] = loss
+            return loss, metrics
+
+        if tok_rows is not None:
+            grads, metrics = jax.grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                dense, u_rows, i_rows, tok_rows
+            )
+            g_dense, g_u, g_i, g_tok = grads
+        else:
+            grads, metrics = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                dense, u_rows, i_rows, None
+            )
+            g_dense, g_u, g_i = grads
+            g_tok = None
+
+        updates, new_opt = dense_optimizer.update(g_dense, state.opt_state, dense)
+        new_dense = optax.apply_updates(dense, updates)
+
+        row_grads: dict[str, tuple[Array, Array]] = {
+            "user_embedding": (u_ids, g_u),
+            "item_embedding": (i_ids, g_i),
+        }
+        if g_tok is not None:
+            b, t, e = g_tok.shape
+            row_grads["text_embedding"] = (
+                tokens.reshape(b * t),
+                g_tok.reshape(b * t, e),
+            )
+        step_num = state.step + 1
+        new_tables, new_table_state, tbl_norm_sq = sparse_table_updates(
+            tables,
+            state.table_state,
+            row_grads,
+            lr=lr_fn(state.step),
+            step=step_num,
+        )
+        metrics["grad_norm"] = jnp.sqrt(
+            optax.global_norm(g_dense) ** 2 + tbl_norm_sq
+        )
+        new_state = TrainState(
+            step=step_num,
+            params={**new_tables, **new_dense},
+            opt_state=new_opt,
+            table_state=new_table_state,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def sparse_table_updates(
+    tables: dict,
+    table_state: dict,
+    row_grads: dict[str, tuple[Array, Array]],
+    *,
+    lr: Array,
+    step: Array,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> tuple[dict, dict, Array]:
+    """Apply row updates for every table with gradients this step.
+
+    ``row_grads``: table name -> (ids [R], grads [R, E]); ids may repeat.
+    Returns (new tables dict, new table_state dict, grad-norm-squared
+    contribution).
+    """
+    from twotower_tpu.models.two_tower import dead_row
+
+    norm_sq = jnp.asarray(0.0, jnp.float32)
+    new_tables = dict(tables)
+    new_state = {k: dict(v) for k, v in table_state.items()}
+    for name, (ids, grads) in row_grads.items():
+        table = tables[name]
+        targets, summed, valid = dedup_rows(ids, grads, dead_row(table))
+        t, mu, nu = adam_row_update(
+            table,
+            table_state[name]["mu"],
+            table_state[name]["nu"],
+            targets,
+            summed,
+            valid,
+            lr=lr,
+            b1=b1,
+            b2=b2,
+            eps=eps,
+            step=step,
+        )
+        new_tables[name] = t
+        new_state[name] = {"mu": mu, "nu": nu}
+        norm_sq = norm_sq + jnp.sum(
+            jnp.square(summed) * valid.astype(jnp.float32)[:, None]
+        )
+    return new_tables, new_state, norm_sq

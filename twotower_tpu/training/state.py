@@ -22,11 +22,17 @@ Array = jax.Array
 
 @struct.dataclass
 class TrainState:
-    """Immutable training state (a pytree: donate-able, shardable)."""
+    """Immutable training state (a pytree: donate-able, shardable).
+
+    ``opt_state`` covers the dense (tower) params; ``table_state`` holds the
+    per-table Adam moments when sparse row updates are enabled (None on the
+    dense path, where ``opt_state`` covers everything).
+    """
 
     step: Array
     params: Any
     opt_state: Any
+    table_state: Any = None
 
     @classmethod
     def create(cls, params: Any, optimizer: optax.GradientTransformation) -> "TrainState":
@@ -36,6 +42,33 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=optimizer.init(params),
+        )
+
+    @classmethod
+    def for_config(
+        cls, params: Any, optimizer: optax.GradientTransformation, config: Any
+    ) -> "TrainState":
+        """State matching ``config.training.sparse_table_updates``."""
+        if config.training.sparse_table_updates:
+            return cls.create_sparse(params, optimizer)
+        return cls.create(params, optimizer)
+
+    @classmethod
+    def create_sparse(
+        cls, params: Any, optimizer: optax.GradientTransformation
+    ) -> "TrainState":
+        """State for the sparse-table path: optimizer over dense params only,
+        explicit Adam moments per embedding table."""
+        import jax.numpy as jnp
+
+        from twotower_tpu.training.sparse import init_table_state, split_params
+
+        tables, dense = split_params(params)
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(dense),
+            table_state=init_table_state(tables),
         )
 
 
