@@ -128,8 +128,8 @@ class TestSparseStepEquivalence:
         cfg, opt, params, state, batch, tokens = _setup(
             tiny_config, sparse=True, text=True
         )
-        step = make_sparse_step_fn(cfg, opt, item_tokens=tokens)
-        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        step = make_sparse_step_fn(cfg, opt)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0), None, tokens)
         assert np.isfinite(float(metrics["loss"]))
         # text table changed on touched buckets
         assert not np.allclose(

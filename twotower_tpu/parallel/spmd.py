@@ -38,9 +38,7 @@ def make_sharded_train_step(
     """
     # Pallas kernels only when the mesh is a single device: GSPMD cannot
     # auto-partition pallas_call, and the in-batch loss needs the full batch.
-    step = make_step_fn(
-        config, optimizer, log_q, allow_pallas=mesh.devices.size == 1
-    )
+    raw = make_step_fn(config, optimizer, allow_pallas=mesh.devices.size == 1)
     st_sh = state_shardings(mesh, state_template, config.mesh)
     b_sh = batch_shardings(mesh, config.mesh)
     rep = replicated(mesh)
@@ -50,12 +48,29 @@ def make_sharded_train_step(
         "loss": rep,
         "grad_norm": rep,
     }
-    return jax.jit(
-        step,
-        in_shardings=(st_sh, {"user_idx": b_sh, "item_idx": b_sh, "weight": b_sh}, rep),
+    import jax.numpy as jnp
+
+    lq = (
+        jax.device_put(jnp.asarray(log_q, jnp.float32), rep)
+        if log_q is not None
+        else None
+    )
+    jitted = jax.jit(
+        raw,
+        in_shardings=(
+            st_sh,
+            {"user_idx": b_sh, "item_idx": b_sh, "weight": b_sh},
+            rep,
+            None if lq is None else rep,
+        ),
         out_shardings=(st_sh, metrics_sh),
         donate_argnums=(0,) if donate else (),
     )
+
+    def step(state, batch, rng):
+        return jitted(state, batch, rng, lq)
+
+    return step
 
 
 def make_sharded_eval_step(config: Config, mesh: Mesh, num_items: int, max_k: int):

@@ -33,14 +33,13 @@ Batch = dict[str, Array]
 TrainStepFn = Callable[[TrainState, Batch, Array], tuple[TrainState, dict[str, Array]]]
 
 
-def make_loss_fn(
-    config: Config,
-    log_q: Array | None,
-    *,
-    allow_pallas: bool = True,
-    item_tokens: Array | None = None,
-):
-    """Loss closure: forward both towers, in-batch softmax, sparse L2.
+def make_loss_fn(config: Config, *, allow_pallas: bool = True):
+    """Build ``loss_fn(params, batch, dropout_rng, log_q, item_tokens)``.
+
+    ``log_q`` / ``item_tokens`` are ARGUMENTS, not closures: closure-captured
+    device arrays become XLA constants that some runtimes (notably the
+    tunneled axon backend) re-ship on every execute — measured at ~1.4 ms per
+    captured MB-sized array per step.
 
     ``allow_pallas=False`` forces the XLA loss — required under a multi-device
     mesh, where GSPMD cannot auto-partition a ``pallas_call`` (the sharded
@@ -50,7 +49,13 @@ def make_loss_fn(
     mcfg = config.model
     rcfg = config.retrieval
 
-    def loss_fn(params, batch: Batch, dropout_rng: Array):
+    def loss_fn(
+        params,
+        batch: Batch,
+        dropout_rng: Array,
+        log_q: Array | None = None,
+        item_tokens: Array | None = None,
+    ):
         u_rng, i_rng = jax.random.split(dropout_rng)
         user_emb = two_tower.embed_users(
             params, batch["user_idx"], mcfg, train=True, dropout_rng=u_rng
@@ -88,22 +93,25 @@ def make_loss_fn(
 def make_step_fn(
     config: Config,
     optimizer: optax.GradientTransformation,
-    log_q: Array | None = None,
     *,
     allow_pallas: bool = True,
-    item_tokens: Array | None = None,
 ) -> TrainStepFn:
-    """The un-jitted step: grad -> optimizer update -> new state. Shared by
-    the single-chip path (``make_train_step``) and the mesh path
+    """The un-jitted step ``(state, batch, rng, log_q=None, item_tokens=None)``:
+    grad -> optimizer update -> new state. Shared by the single-chip path
+    (``make_train_step``) and the mesh path
     (``parallel.spmd.make_sharded_train_step``)."""
-    loss_fn = make_loss_fn(
-        config, log_q, allow_pallas=allow_pallas, item_tokens=item_tokens
-    )
+    loss_fn = make_loss_fn(config, allow_pallas=allow_pallas)
 
-    def step(state: TrainState, batch: Batch, rng: Array):
+    def step(
+        state: TrainState,
+        batch: Batch,
+        rng: Array,
+        log_q: Array | None = None,
+        item_tokens: Array | None = None,
+    ):
         dropout_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, batch, dropout_rng
+            state.params, batch, dropout_rng, log_q, item_tokens
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -124,16 +132,25 @@ def make_train_step(
     donate: bool = True,
     item_tokens: Array | None = None,
 ) -> TrainStepFn:
-    """Build the jitted train step. ``state`` is donated so XLA updates
-    params/opt-state in place (no HBM copy per step). Dispatches to the
-    sparse-table path when ``training.sparse_table_updates`` is set."""
+    """Build the jitted train step ``(state, batch, rng)``. ``state`` is
+    donated so XLA updates params/opt-state in place (no HBM copy per step).
+    Dispatches to the sparse-table path when ``training.sparse_table_updates``
+    is set. ``log_q``/``item_tokens`` are bound as device-resident jit
+    ARGUMENTS (see make_loss_fn docstring for why closures are poison)."""
     if config.training.sparse_table_updates:
         from twotower_tpu.training.sparse import make_sparse_step_fn
 
-        step = make_sparse_step_fn(config, optimizer, log_q, item_tokens=item_tokens)
+        raw = make_sparse_step_fn(config, optimizer)
     else:
-        step = make_step_fn(config, optimizer, log_q, item_tokens=item_tokens)
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+        raw = make_step_fn(config, optimizer)
+    jitted = jax.jit(raw, donate_argnums=(0,) if donate else ())
+    lq = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
+    tok = jnp.asarray(item_tokens) if item_tokens is not None else None
+
+    def step(state: TrainState, batch: Batch, rng: Array):
+        return jitted(state, batch, rng, lq, tok)
+
+    return step
 
 
 @dataclass
@@ -189,9 +206,8 @@ class Trainer:
         self.config = config
         self.optimizer = make_optimizer(config.training)
         self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
-        tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
         self.train_step = make_train_step(
-            config, self.optimizer, self.log_q, item_tokens=tokens
+            config, self.optimizer, self.log_q, item_tokens=item_tokens
         )
         self.evaluate_fn = evaluate_fn
         self.writers = writers or []

@@ -114,17 +114,17 @@ def make_lr_fn(config: TrainingConfig) -> Callable[[Array], Array]:
 def make_sparse_step_fn(
     config,
     dense_optimizer,
-    log_q: Array | None = None,
     *,
-    item_tokens: Array | None = None,
     allow_pallas: bool = True,
 ):
-    """Train step with sparse table updates.
+    """Train step with sparse table updates:
+    ``step(state, batch, rng, log_q=None, item_tokens=None)``.
 
     Differentiates the loss w.r.t. the gathered embedding rows (not the
     tables), applies the dense optimizer to the towers and lazy-Adam row
     scatters to the tables. Drop-in replacement for
-    ``training.loop.make_step_fn`` (same signature contract).
+    ``training.loop.make_step_fn`` (same signature contract — log_q and
+    item_tokens are jit ARGUMENTS, never closures; see make_loss_fn).
     """
     import optax
 
@@ -138,7 +138,13 @@ def make_sparse_step_fn(
     lr_fn = make_lr_fn(tcfg)
     loss_impl = in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
 
-    def step(state, batch: dict, rng: Array):
+    def step(
+        state,
+        batch: dict,
+        rng: Array,
+        log_q: Array | None = None,
+        item_tokens: Array | None = None,
+    ):
         from twotower_tpu.training.state import TrainState
 
         tables, dense = split_params(state.params)
