@@ -150,3 +150,33 @@ class TestTopKMips:
             np.asarray(ref_vals),
             rtol=1e-4,
         )
+
+
+class TestTopKApprox:
+    def test_matches_exact_on_cpu(self, rng):
+        from twotower_tpu.ops.topk import topk_mips_approx
+
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        items = rng.normal(size=(1000, 16)).astype(np.float32)
+        vals, idx = topk_mips_approx(jnp.asarray(q), jnp.asarray(items), 10)
+        scores = q @ items.T
+        ref_idx = np.argsort(-scores, axis=1)[:, :10]
+        ref_vals = np.take_along_axis(scores, ref_idx, axis=1)
+        # CPU lowering of approx_max_k is exact; require high overlap anyway
+        overlap = np.mean([
+            len(set(np.asarray(idx[b]).tolist()) & set(ref_idx[b].tolist())) / 10
+            for b in range(8)
+        ])
+        assert overlap >= 0.9
+        np.testing.assert_allclose(np.asarray(vals)[:, 0], ref_vals[:, 0], rtol=1e-4)
+
+    def test_query_chunking(self, rng):
+        from twotower_tpu.ops.topk import topk_mips_approx
+
+        q = rng.normal(size=(70, 8)).astype(np.float32)  # not a chunk multiple
+        items = rng.normal(size=(300, 8)).astype(np.float32)
+        vals, idx = topk_mips_approx(
+            jnp.asarray(q), jnp.asarray(items), 5, query_chunk=32
+        )
+        assert vals.shape == (70, 5) and idx.shape == (70, 5)
+        assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 300).all()

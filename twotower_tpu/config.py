@@ -221,7 +221,16 @@ class ServingConfig:
     port: int = 8000
     top_k: int = 100
     max_batch_size: int = 256
-    index_type: str = "tpu_mips"  # tpu_mips | cpu_flat (native C++ fallback)
+    # tpu_mips: approx_max_k ANN (FAISS-equivalent, ~1 ms @ 500k items);
+    # tpu_mips_exact: exact chunked-scan MIPS; cpu_flat: native C++ fallback.
+    index_type: str = "tpu_mips"
+    recall_target: float = 0.95
+
+    def __post_init__(self) -> None:
+        if self.index_type not in ("tpu_mips", "tpu_mips_exact", "cpu_flat"):
+            raise ValueError(f"unknown serving.index_type {self.index_type!r}")
+        if not 0.0 < self.recall_target <= 1.0:
+            raise ValueError("serving.recall_target must be in (0, 1]")
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ import numpy as np
 from twotower_tpu.config import Config
 from twotower_tpu.logging_utils import get_logger
 from twotower_tpu.models import two_tower
-from twotower_tpu.ops.topk import topk_mips
+from twotower_tpu.ops.topk import topk_mips, topk_mips_approx
 
 logger = get_logger(__name__)
 
@@ -53,20 +53,30 @@ class RetrievalIndex:
             num_items, self.corpus.shape[1], jax.default_backend(),
         )
 
+        # Serving search: approx_max_k ANN by default (the FAISS-equivalent;
+        # serving.recall_target), exact scan on request.
+        exact = config.serving.index_type == "tpu_mips_exact"
+        recall = config.serving.recall_target
+
+        def search(emb, corpus, k):
+            if exact:
+                return topk_mips(emb, corpus, k)
+            return topk_mips_approx(emb, corpus, k, recall_target=recall)
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def _query_users(params, corpus, user_idx, k: int):
             emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
-            return topk_mips(emb, corpus, k)
+            return search(emb, corpus, k)
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def _query_emb(corpus, emb, k: int):
-            return topk_mips(emb, corpus, k)
+            return search(emb, corpus, k)
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def _query_items(corpus, item_idx, k: int):
             emb = corpus[item_idx]
             # k+1: the item itself always ranks first in its own neighborhood
-            return topk_mips(emb, corpus, k + 1)
+            return search(emb, corpus, k + 1)
 
         self._query_users = _query_users
         self._query_emb = _query_emb

@@ -236,13 +236,17 @@ class Trainer:
         pending: dict[str, Array] | None = None
         timer = StepTimer()
 
+        from twotower_tpu.data.pipeline import DevicePrefetcher
+
+        def to_device(b):
+            return {k: jnp.asarray(v) for k, v in b.items()}
+
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()
             steps = 0
-            for batch in pipeline.epoch(epoch):
-                device_batch = {
-                    k: jnp.asarray(v) for k, v in batch.items()
-                }
+            # Background host->device prefetch: input transfer overlaps the
+            # previous step's device execution.
+            for device_batch in DevicePrefetcher(pipeline.epoch(epoch), to_device):
                 state, metrics = self.train_step(state, device_batch, rng)
                 timer.tick()
                 steps += 1
