@@ -23,6 +23,7 @@ from typing import Any, TypedDict
 import numpy as np
 
 from twotower_tpu.config import DatasetConfig
+from twotower_tpu.data.base import DataLoader, DataValidator
 from twotower_tpu.logging_utils import get_logger
 
 logger = get_logger(__name__)
@@ -71,7 +72,7 @@ class ValidationResult:
         return f"ValidationResult(errors={self.errors}, warnings={self.warnings})"
 
 
-class AmazonReviewsValidator:
+class AmazonReviewsValidator(DataValidator):
     """Structural/quality checks (reference: amazon_loader.py:33-93).
 
     Warn-only semantics like the reference: problems are logged and returned,
@@ -113,7 +114,7 @@ class AmazonReviewsValidator:
         return result
 
 
-class AmazonReviewsLoader:
+class AmazonReviewsLoader(DataLoader):
     """HF Hub loader with parquet cache (reference: amazon_loader.py:96-379)."""
 
     def __init__(self, config: DatasetConfig | None = None, cache_dir: str | None = None):

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from twotower_tpu.config import PreprocessingConfig
+from twotower_tpu.data.base import DataProcessor
 from twotower_tpu.data.schema import Interactions
 from twotower_tpu.data.text import TextProcessor
 from twotower_tpu.data.vocab import Vocabulary, VocabPair
@@ -86,7 +87,7 @@ class InteractionFilter:
     filter_interactions = filter
 
 
-class Preprocessor:
+class Preprocessor(DataProcessor):
     """End-to-end preprocessing orchestrator
     (reference: src/data/preprocessor.py:386-508)."""
 

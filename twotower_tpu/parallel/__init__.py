@@ -6,6 +6,11 @@ from twotower_tpu.parallel.sharding import (
     shard_state,
     state_shardings,
 )
+from twotower_tpu.parallel.a2a import (
+    alltoall_lookup,
+    psum_lookup,
+    sharded_embedding_lookup,
+)
 from twotower_tpu.parallel.spmd import make_sharded_eval_step, make_sharded_train_step
 
 __all__ = [
@@ -16,4 +21,7 @@ __all__ = [
     "state_shardings",
     "make_sharded_eval_step",
     "make_sharded_train_step",
+    "alltoall_lookup",
+    "psum_lookup",
+    "sharded_embedding_lookup",
 ]
