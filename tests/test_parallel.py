@@ -105,3 +105,45 @@ class TestSharding:
         fn, args = g.entry()
         loss, metrics = jax.jit(fn)(*args)
         assert np.isfinite(float(loss))
+
+
+class TestMeshTrainer:
+    def test_trainer_fit_on_mesh(self, tiny_config, devices, tmp_path):
+        from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+        from twotower_tpu.parallel import build_mesh
+        from twotower_tpu.training import Trainer
+
+        cfg = tiny_config.with_overrides(
+            {"training.epochs": 2, "training.log_every_steps": 1000,
+             "mesh.num_model": 2, "training.sparse_table_updates": False}
+        )
+        data = generate_interactions(num_users=200, num_items=100,
+                                     num_interactions=5000, noise=0.2)
+        pp = Preprocessor(cfg.preprocessing)
+        data = pp.process(data)
+        splits = pp.split_data(data)
+        mesh = build_mesh(cfg.mesh, devices)
+        trainer = Trainer(
+            cfg, log_q=np.log(pp.vocab.items.frequencies + 1e-12), mesh=mesh
+        )
+        state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+        res = trainer.fit(state, BatchPipeline(splits.train, cfg.training.batch_size))
+        losses = [h["loss"] for h in res.history if "loss" in h]
+        assert len(losses) >= 1 and np.isfinite(losses[-1])
+
+    def test_train_cli_mesh_flag(self, devices, tmp_path):
+        from twotower_tpu.training.train import main as train_main
+
+        rc = train_main(
+            [
+                "--synthetic", "--synthetic-users", "150", "--synthetic-items", "80",
+                "--synthetic-interactions", "4000",
+                "--checkpoint-dir", str(tmp_path / "ckpt"), "--mesh", "--no-eval",
+                "--override", "training.epochs=1", "training.batch_size=64",
+                "model.embedding_dim=16", "model.user_tower_dims=[16]",
+                "model.item_tower_dims=[16]", "mesh.num_model=2",
+                "preprocessing.min_interactions_per_user=2",
+                "preprocessing.min_interactions_per_item=2",
+            ]
+        )
+        assert rc == 0

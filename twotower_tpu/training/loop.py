@@ -202,13 +202,20 @@ class Trainer:
         checkpoint_manager: Any | None = None,
         shutdown: Any | None = None,
         item_tokens: np.ndarray | None = None,
+        mesh: Any | None = None,
     ):
         self.config = config
         self.optimizer = make_optimizer(config.training)
         self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
-        self.train_step = make_train_step(
-            config, self.optimizer, self.log_q, item_tokens=item_tokens
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            # Sharded step is built lazily in fit() — it needs the state
+            # pytree structure for sharding inference.
+            self.train_step = None
+        else:
+            self.train_step = make_train_step(
+                config, self.optimizer, self.log_q, item_tokens=item_tokens
+            )
         self.evaluate_fn = evaluate_fn
         self.writers = writers or []
         self.checkpoint_manager = checkpoint_manager
@@ -218,7 +225,24 @@ class Trainer:
     def init_state(self, num_users: int, num_items: int) -> TrainState:
         rng = jax.random.PRNGKey(self.config.training.seed)
         params = two_tower.init_params(rng, self.config.model, num_users, num_items)
+        if self.mesh is not None:
+            from twotower_tpu.parallel.sharding import shard_state
+
+            # Mesh path runs the dense optimizer step (parallel/spmd.py).
+            state = TrainState.create(params, self.optimizer)
+            return shard_state(self.mesh, state, self.config.mesh)
         return TrainState.for_config(params, self.optimizer, self.config)
+
+    def _ensure_step(self, state: TrainState) -> None:
+        if self.train_step is None:
+            from twotower_tpu.parallel.spmd import make_sharded_train_step
+
+            self.train_step = make_sharded_train_step(
+                self.config, self.optimizer, self.mesh, state, self.log_q
+            )
+            from twotower_tpu.parallel.sharding import batch_shardings
+
+            self._batch_sharding = batch_shardings(self.mesh, self.config.mesh)
 
     def _write(self, payload: dict[str, float], step: int) -> None:
         for w in self.writers:
@@ -235,11 +259,23 @@ class Trainer:
         t_start = time.perf_counter()
         pending: dict[str, Array] | None = None
         timer = StepTimer()
+        self._ensure_step(state)
+        if self.mesh is not None:
+            from twotower_tpu.parallel.sharding import replicated
+
+            rng = jax.device_put(rng, replicated(self.mesh))
 
         from twotower_tpu.data.pipeline import DevicePrefetcher
 
-        def to_device(b):
-            return {k: jnp.asarray(v) for k, v in b.items()}
+        if self.mesh is not None:
+            b_sh = self._batch_sharding
+
+            def to_device(b):
+                return {k: jax.device_put(jnp.asarray(v), b_sh) for k, v in b.items()}
+        else:
+
+            def to_device(b):
+                return {k: jnp.asarray(v) for k, v in b.items()}
 
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()

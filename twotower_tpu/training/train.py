@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
         "--profile-dir", type=str, default=None,
         help="write a jax.profiler device trace for the training run",
     )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="train SPMD over ALL visible devices (data x model mesh from "
+        "config.mesh) instead of single-device",
+    )
     return p
 
 
@@ -126,6 +131,11 @@ def run(args, config: Config) -> dict:
     )
     from twotower_tpu.utils.profiling import GracefulShutdown, trace
 
+    mesh = None
+    if args.mesh:
+        from twotower_tpu.parallel import build_mesh
+
+        mesh = build_mesh(config.mesh)
     shutdown = GracefulShutdown().install()
     trainer = Trainer(
         config,
@@ -135,6 +145,7 @@ def run(args, config: Config) -> dict:
         checkpoint_manager=manager,
         shutdown=shutdown,
         item_tokens=item_tokens,
+        mesh=mesh,
     )
     state = trainer.init_state(num_users, num_items)
     start_epoch = 0
