@@ -12,6 +12,16 @@ Every kernel has an XLA reference twin in ``ops/losses.py`` and is
 golden-tested against it (tests/test_pallas.py). Dispatch: ``fused_*``
 functions fall back to the XLA path off-TPU or on shapes the kernel does not
 cover (``ops/dispatch.py``).
+
+Scope note — ops measured and deliberately LEFT to XLA (profile-first):
+- embedding gather+pool (the text embedding-bag): XLA's gather+reduce fusion
+  runs at 0.03 ms for 4096x32 tokens over a 65k x 128 table on v5e — memory-
+  bound optimal; a PrefetchScalarGridSpec DMA kernel additionally cannot hold
+  [B, T] token addresses in 1 MB SMEM at production batch sizes.
+- serving top-k: ``lax.approx_max_k`` lowers to the TPU PartialReduce
+  primitive (1.0 ms @ 500k items) — hardware support a Pallas kernel cannot
+  beat; the exact eval path's chunked-scan merge is MXU matmul + top_k,
+  which XLA already pipelines.
 """
 
 from __future__ import annotations
