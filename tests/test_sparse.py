@@ -161,3 +161,65 @@ class TestSparseStepEquivalence:
         assert state.table_state is not None
         res = trainer.fit(state, BatchPipeline(splits.train, cfg.training.batch_size))
         assert res.best_metric > 3 * 10 / len(pp.vocab.items)
+
+
+class TestUniformSampling:
+    def test_dense_uniform_step(self, tiny_config):
+        cfg, opt, params, state, batch, _ = _setup(tiny_config, sparse=False)
+        cfg = cfg.with_overrides(
+            {"retrieval.candidate_sampling": "uniform", "retrieval.num_negatives": 64}
+        )
+        step = make_step_fn(cfg, make_optimizer(cfg.training), num_items=200)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "logits_mean" in metrics
+
+    def test_sparse_uniform_step_updates_negative_rows(self, tiny_config):
+        cfg, opt, params, state, batch, _ = _setup(tiny_config, sparse=True)
+        cfg = cfg.with_overrides(
+            {"retrieval.candidate_sampling": "uniform", "retrieval.num_negatives": 64}
+        )
+        step = make_sparse_step_fn(cfg, opt, num_items=200)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        # more item rows changed than just the batch positives (negatives too)
+        changed = ~np.all(
+            np.isclose(
+                np.asarray(new_state.params["item_embedding"]),
+                np.asarray(params["item_embedding"]),
+            ),
+            axis=1,
+        )
+        positives = len(set(np.asarray(batch["item_idx"]).tolist()))
+        assert changed.sum() > positives
+
+    def test_uniform_requires_num_items(self, tiny_config):
+        cfg, opt, *_ = _setup(tiny_config, sparse=True)
+        cfg = cfg.with_overrides({"retrieval.candidate_sampling": "uniform"})
+        with pytest.raises(ValueError):
+            make_sparse_step_fn(cfg, opt)
+
+    def test_uniform_trainer_learns(self, tiny_config):
+        from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+        from twotower_tpu.evaluation import Evaluator
+        from twotower_tpu.training import Trainer
+
+        cfg = tiny_config.with_overrides(
+            {"training.epochs": 3, "training.log_every_steps": 1000,
+             "retrieval.candidate_sampling": "uniform",
+             "retrieval.num_negatives": 128}
+        )
+        data = generate_interactions(num_users=300, num_items=120,
+                                     num_interactions=8000, noise=0.2)
+        pp = Preprocessor(cfg.preprocessing)
+        data = pp.process(data)
+        splits = pp.split_data(data)
+        ev = Evaluator(cfg, len(pp.vocab.items), batch_size=256)
+        trainer = Trainer(
+            cfg,
+            num_items=len(pp.vocab.items),
+            evaluate_fn=ev.make_evaluate_fn(splits.val.user_idx, splits.val.item_idx),
+        )
+        state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+        res = trainer.fit(state, BatchPipeline(splits.train, cfg.training.batch_size))
+        assert res.best_metric > 2 * 10 / len(pp.vocab.items)

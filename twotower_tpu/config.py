@@ -174,6 +174,8 @@ class RetrievalConfig:
     candidate_sampling: str = "in_batch"
     temperature: float = 0.1
     logq_correction: bool = True
+    # uniform branch: shared negatives sampled per step
+    num_negatives: int = 1024
     top_k_eval: list[int] = field(default_factory=lambda: [1, 5, 10, 20, 50, 100])
 
     def __post_init__(self) -> None:
@@ -184,6 +186,8 @@ class RetrievalConfig:
             )
         if self.temperature <= 0:
             raise ValueError("retrieval.temperature must be positive")
+        if self.num_negatives <= 0:
+            raise ValueError("retrieval.num_negatives must be positive")
         if not self.top_k_eval or any(k <= 0 for k in self.top_k_eval):
             raise ValueError("retrieval.top_k_eval must be positive ints")
 

@@ -114,12 +114,16 @@ def uniform_sampled_softmax_loss(
     *,
     temperature: float = 0.1,
     weights: Array | None = None,
+    pos_idx: Array | None = None,
+    neg_idx: Array | None = None,
 ) -> tuple[Array, dict[str, Array]]:
     """Uniform-negative sampled softmax (``retrieval.candidate_sampling:
     "uniform"`` config branch, configs/data_config.yaml:68).
 
     ``neg_item_emb`` is ``[N, D]`` shared negatives for the whole batch
     (uniform q => log-Q correction is a constant shift, hence omitted).
+    When ``pos_idx``/``neg_idx`` are given, accidental hits (a sampled
+    negative equal to the row's positive) are masked out.
     """
     batch = user_emb.shape[0]
     pos = jnp.einsum("bd,bd->b", user_emb, pos_item_emb).astype(jnp.float32)
@@ -129,6 +133,9 @@ def uniform_sampled_softmax_loss(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if pos_idx is not None and neg_idx is not None:
+        hit = neg_idx[None, :] == pos_idx[:, None]
+        neg = jnp.where(hit, _NEG_INF, neg)
     logits = jnp.concatenate([pos[:, None], neg], axis=1) / jnp.asarray(
         temperature, jnp.float32
     )
@@ -140,4 +147,7 @@ def uniform_sampled_softmax_loss(
     denom = jnp.maximum(weights.sum(), 1.0)
     loss = (per_example * weights).sum() / denom
     top1 = jnp.argmax(logits, axis=-1) == 0
-    return loss, {"accuracy": (top1.astype(jnp.float32) * weights).sum() / denom}
+    return loss, {
+        "accuracy": (top1.astype(jnp.float32) * weights).sum() / denom,
+        "logits_mean": (pos * weights).sum() / denom,
+    }

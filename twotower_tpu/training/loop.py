@@ -33,7 +33,7 @@ Batch = dict[str, Array]
 TrainStepFn = Callable[[TrainState, Batch, Array], tuple[TrainState, dict[str, Array]]]
 
 
-def make_loss_fn(config: Config, *, allow_pallas: bool = True):
+def make_loss_fn(config: Config, *, allow_pallas: bool = True, num_items: int | None = None):
     """Build ``loss_fn(params, batch, dropout_rng, log_q, item_tokens)``.
 
     ``log_q`` / ``item_tokens`` are ARGUMENTS, not closures: closure-captured
@@ -67,15 +67,46 @@ def make_loss_fn(config: Config, *, allow_pallas: bool = True):
             params, batch["item_idx"], mcfg, train=True, dropout_rng=i_rng,
             text_tokens=tokens,
         )
-        loss_impl = in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
-        loss, metrics = loss_impl(
-            user_emb,
-            item_emb,
-            batch["item_idx"],
-            temperature=rcfg.temperature,
-            log_q=log_q if rcfg.logq_correction else None,
-            weights=batch.get("weight"),
-        )
+        if rcfg.candidate_sampling == "uniform":
+            if num_items is None:
+                raise ValueError(
+                    "uniform candidate sampling needs num_items (pass it to "
+                    "make_train_step / the Trainer)"
+                )
+            from twotower_tpu.ops.losses import uniform_sampled_softmax_loss
+
+            neg_rng = jax.random.fold_in(dropout_rng, 0x5e9)
+            neg_ids = jax.random.randint(
+                neg_rng, (rcfg.num_negatives,), 0, num_items, dtype=jnp.int32
+            )
+            neg_tokens = (
+                item_tokens[neg_ids] if item_tokens is not None else None
+            )
+            neg_emb = two_tower.embed_items(
+                params, neg_ids, mcfg, train=True, dropout_rng=i_rng,
+                text_tokens=neg_tokens,
+            )
+            loss, metrics = uniform_sampled_softmax_loss(
+                user_emb,
+                item_emb,
+                neg_emb,
+                temperature=rcfg.temperature,
+                weights=batch.get("weight"),
+                pos_idx=batch["item_idx"],
+                neg_idx=neg_ids,
+            )
+        else:
+            loss_impl = (
+                in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
+            )
+            loss, metrics = loss_impl(
+                user_emb,
+                item_emb,
+                batch["item_idx"],
+                temperature=rcfg.temperature,
+                log_q=log_q if rcfg.logq_correction else None,
+                weights=batch.get("weight"),
+            )
         if mcfg.l2_regularization > 0:
             reg = l2_penalty(
                 {"user_tower": params["user_tower"], "item_tower": params["item_tower"]},
@@ -95,12 +126,13 @@ def make_step_fn(
     optimizer: optax.GradientTransformation,
     *,
     allow_pallas: bool = True,
+    num_items: int | None = None,
 ) -> TrainStepFn:
     """The un-jitted step ``(state, batch, rng, log_q=None, item_tokens=None)``:
     grad -> optimizer update -> new state. Shared by the single-chip path
     (``make_train_step``) and the mesh path
     (``parallel.spmd.make_sharded_train_step``)."""
-    loss_fn = make_loss_fn(config, allow_pallas=allow_pallas)
+    loss_fn = make_loss_fn(config, allow_pallas=allow_pallas, num_items=num_items)
 
     def step(
         state: TrainState,
@@ -131,6 +163,7 @@ def make_train_step(
     *,
     donate: bool = True,
     item_tokens: Array | None = None,
+    num_items: int | None = None,
 ) -> TrainStepFn:
     """Build the jitted train step ``(state, batch, rng)``. ``state`` is
     donated so XLA updates params/opt-state in place (no HBM copy per step).
@@ -140,9 +173,9 @@ def make_train_step(
     if config.training.sparse_table_updates:
         from twotower_tpu.training.sparse import make_sparse_step_fn
 
-        raw = make_sparse_step_fn(config, optimizer)
+        raw = make_sparse_step_fn(config, optimizer, num_items=num_items)
     else:
-        raw = make_step_fn(config, optimizer)
+        raw = make_step_fn(config, optimizer, num_items=num_items)
     jitted = jax.jit(raw, donate_argnums=(0,) if donate else ())
     lq = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
     tok = jnp.asarray(item_tokens) if item_tokens is not None else None
@@ -203,18 +236,21 @@ class Trainer:
         shutdown: Any | None = None,
         item_tokens: np.ndarray | None = None,
         mesh: Any | None = None,
+        num_items: int | None = None,
     ):
         self.config = config
         self.optimizer = make_optimizer(config.training)
         self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
         self.mesh = mesh
+        self.num_items = num_items
         if mesh is not None:
             # Sharded step is built lazily in fit() — it needs the state
             # pytree structure for sharding inference.
             self.train_step = None
         else:
             self.train_step = make_train_step(
-                config, self.optimizer, self.log_q, item_tokens=item_tokens
+                config, self.optimizer, self.log_q, item_tokens=item_tokens,
+                num_items=num_items,
             )
         self.evaluate_fn = evaluate_fn
         self.writers = writers or []

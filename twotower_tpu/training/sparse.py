@@ -116,6 +116,7 @@ def make_sparse_step_fn(
     dense_optimizer,
     *,
     allow_pallas: bool = True,
+    num_items: int | None = None,
 ):
     """Train step with sparse table updates:
     ``step(state, batch, rng, log_q=None, item_tokens=None)``.
@@ -125,18 +126,33 @@ def make_sparse_step_fn(
     scatters to the tables. Drop-in replacement for
     ``training.loop.make_step_fn`` (same signature contract — log_q and
     item_tokens are jit ARGUMENTS, never closures; see make_loss_fn).
+    Supports both ``in_batch`` and ``uniform`` candidate sampling
+    (``num_items`` is required for uniform).
     """
     import optax
 
     from twotower_tpu.models import two_tower
     from twotower_tpu.ops.dispatch import in_batch_softmax_loss_auto
-    from twotower_tpu.ops.losses import in_batch_softmax_loss, l2_penalty
+    from twotower_tpu.ops.losses import (
+        in_batch_softmax_loss,
+        l2_penalty,
+        uniform_sampled_softmax_loss,
+    )
 
     mcfg = config.model
     rcfg = config.retrieval
     tcfg = config.training
     lr_fn = make_lr_fn(tcfg)
     loss_impl = in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
+    uniform = rcfg.candidate_sampling == "uniform"
+    if uniform and num_items is None:
+        raise ValueError("uniform candidate sampling needs num_items")
+
+    def _pool(tok_rows, tokens):
+        mask = (tokens != 0).astype(tok_rows.dtype)[..., None]
+        return jnp.sum(tok_rows * mask, axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1), 1.0
+        )
 
     def step(
         state,
@@ -150,68 +166,100 @@ def make_sparse_step_fn(
         tables, dense = split_params(state.params)
         u_ids = batch["user_idx"]
         i_ids = batch["item_idx"]
-        u_rows = tables["user_embedding"][u_ids]
-        i_rows = tables["item_embedding"][i_ids]
-        tokens = item_tokens[i_ids] if item_tokens is not None else None
-        tok_rows = (
-            tables["text_embedding"][tokens] if tokens is not None else None
-        )
         dropout_rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(dense_p, u_rows, i_rows, tok_rows):
+        # Gather every differentiated row tensor up front; the loss is a
+        # function of this dict pytree, so jax.grad returns matching row
+        # gradients for the scatter updates.
+        diff: dict[str, Array] = {
+            "dense": dense,
+            "u_rows": tables["user_embedding"][u_ids],
+            "i_rows": tables["item_embedding"][i_ids],
+        }
+        tokens = item_tokens[i_ids] if item_tokens is not None else None
+        if tokens is not None:
+            diff["tok_rows"] = tables["text_embedding"][tokens]
+        neg_ids = None
+        neg_tokens = None
+        if uniform:
+            neg_rng = jax.random.fold_in(dropout_rng, 0x5E9)
+            neg_ids = jax.random.randint(
+                neg_rng, (rcfg.num_negatives,), 0, num_items, dtype=jnp.int32
+            )
+            diff["neg_rows"] = tables["item_embedding"][neg_ids]
+            if item_tokens is not None:
+                neg_tokens = item_tokens[neg_ids]
+                diff["neg_tok_rows"] = tables["text_embedding"][neg_tokens]
+
+        def loss_fn(diff):
+            dense_p = diff["dense"]
             u_rng, i_rng = jax.random.split(dropout_rng)
             u_emb = two_tower.apply_user_tower(
-                dense_p, u_rows, mcfg, train=True, dropout_rng=u_rng
+                dense_p, diff["u_rows"], mcfg, train=True, dropout_rng=u_rng
             )
-            item_in = i_rows
-            if tok_rows is not None:
-                mask = (tokens != 0).astype(tok_rows.dtype)[..., None]
-                pooled = jnp.sum(tok_rows * mask, axis=1) / jnp.maximum(
-                    jnp.sum(mask, axis=1), 1.0
-                )
-                item_in = i_rows + pooled
+            item_in = diff["i_rows"]
+            if "tok_rows" in diff:
+                item_in = item_in + _pool(diff["tok_rows"], tokens)
             i_emb = two_tower.apply_item_tower(
                 dense_p, item_in, mcfg, train=True, dropout_rng=i_rng
             )
-            loss, metrics = loss_impl(
-                u_emb,
-                i_emb,
-                i_ids,
-                temperature=rcfg.temperature,
-                log_q=log_q if rcfg.logq_correction else None,
-                weights=batch.get("weight"),
-            )
+            if uniform:
+                neg_in = diff["neg_rows"]
+                if "neg_tok_rows" in diff:
+                    neg_in = neg_in + _pool(diff["neg_tok_rows"], neg_tokens)
+                neg_emb = two_tower.apply_item_tower(
+                    dense_p, neg_in, mcfg, train=True, dropout_rng=i_rng
+                )
+                loss, metrics = uniform_sampled_softmax_loss(
+                    u_emb,
+                    i_emb,
+                    neg_emb,
+                    temperature=rcfg.temperature,
+                    weights=batch.get("weight"),
+                    pos_idx=i_ids,
+                    neg_idx=neg_ids,
+                )
+            else:
+                loss, metrics = loss_impl(
+                    u_emb,
+                    i_emb,
+                    i_ids,
+                    temperature=rcfg.temperature,
+                    log_q=log_q if rcfg.logq_correction else None,
+                    weights=batch.get("weight"),
+                )
             if mcfg.l2_regularization > 0:
-                reg = l2_penalty(dense_p, [u_rows, i_rows])
+                reg = l2_penalty(dense_p, [diff["u_rows"], diff["i_rows"]])
                 loss = loss + mcfg.l2_regularization * reg
             metrics["loss"] = loss
             return loss, metrics
 
-        if tok_rows is not None:
-            grads, metrics = jax.grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-                dense, u_rows, i_rows, tok_rows
-            )
-            g_dense, g_u, g_i, g_tok = grads
-        else:
-            grads, metrics = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-                dense, u_rows, i_rows, None
-            )
-            g_dense, g_u, g_i = grads
-            g_tok = None
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(diff)
 
-        updates, new_opt = dense_optimizer.update(g_dense, state.opt_state, dense)
+        updates, new_opt = dense_optimizer.update(
+            grads["dense"], state.opt_state, dense
+        )
         new_dense = optax.apply_updates(dense, updates)
 
+        item_grad_ids = i_ids
+        item_grads = grads["i_rows"]
+        if uniform:
+            item_grad_ids = jnp.concatenate([i_ids, neg_ids])
+            item_grads = jnp.concatenate([grads["i_rows"], grads["neg_rows"]])
         row_grads: dict[str, tuple[Array, Array]] = {
-            "user_embedding": (u_ids, g_u),
-            "item_embedding": (i_ids, g_i),
+            "user_embedding": (u_ids, grads["u_rows"]),
+            "item_embedding": (item_grad_ids, item_grads),
         }
-        if g_tok is not None:
-            b, t, e = g_tok.shape
-            row_grads["text_embedding"] = (
-                tokens.reshape(b * t),
-                g_tok.reshape(b * t, e),
-            )
+        if tokens is not None:
+            tok_ids = tokens.reshape(-1)
+            tok_grads = grads["tok_rows"].reshape(tok_ids.shape[0], -1)
+            if uniform and "neg_tok_rows" in grads:
+                n_ids = neg_tokens.reshape(-1)
+                tok_ids = jnp.concatenate([tok_ids, n_ids])
+                tok_grads = jnp.concatenate(
+                    [tok_grads, grads["neg_tok_rows"].reshape(n_ids.shape[0], -1)]
+                )
+            row_grads["text_embedding"] = (tok_ids, tok_grads)
         step_num = state.step + 1
         new_tables, new_table_state, tbl_norm_sq = sparse_table_updates(
             tables,
@@ -221,7 +269,7 @@ def make_sparse_step_fn(
             step=step_num,
         )
         metrics["grad_norm"] = jnp.sqrt(
-            optax.global_norm(g_dense) ** 2 + tbl_norm_sq
+            optax.global_norm(grads["dense"]) ** 2 + tbl_norm_sq
         )
         new_state = TrainState(
             step=step_num,

@@ -146,6 +146,7 @@ def run(args, config: Config) -> dict:
         shutdown=shutdown,
         item_tokens=item_tokens,
         mesh=mesh,
+        num_items=num_items,
     )
     state = trainer.init_state(num_users, num_items)
     start_epoch = 0
