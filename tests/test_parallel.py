@@ -147,3 +147,48 @@ class TestMeshTrainer:
             ]
         )
         assert rc == 0
+
+
+class TestShardedEval:
+    def test_sharded_eval_matches_single(self, tiny_config, devices):
+        from twotower_tpu.parallel import build_mesh
+        from twotower_tpu.parallel.sharding import batch_shardings, replicated, shard_state
+        from twotower_tpu.parallel.spmd import make_sharded_eval_step
+
+        cfg = tiny_config.with_overrides(
+            {"mesh.num_model": 2, "training.sparse_table_updates": False,
+             "model.dropout_rate": 0.0}
+        )
+        num_users, num_items = 200, 150
+        params = two_tower.init_params(jax.random.PRNGKey(0), cfg.model, num_users, num_items)
+        mesh = build_mesh(cfg.mesh, devices)
+        max_k = 20
+        encode, evalb = make_sharded_eval_step(cfg, mesh, num_items, max_k)
+
+        from twotower_tpu.parallel.sharding import state_shardings
+        sharded_params = jax.device_put(
+            params,
+            state_shardings(mesh, params, cfg.mesh),
+        )
+        corpus = encode(sharded_params)
+        rng = np.random.default_rng(0)
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        users = jax.device_put(jnp.asarray(rng.integers(0, num_users, 64), jnp.int32), b_sh)
+        items = jax.device_put(jnp.asarray(rng.integers(0, num_items, 64), jnp.int32), b_sh)
+        w = jax.device_put(jnp.ones((64,), jnp.float32), b_sh)
+        metrics = evalb(sharded_params, corpus, users, items, w)
+
+        # single-device reference
+        from twotower_tpu.evaluation.metrics import metrics_at_k
+        from twotower_tpu.ops.topk import topk_mips
+
+        u_emb = two_tower.embed_users(params, jax.device_get(users), cfg.model)
+        ref_corpus = two_tower.embed_item_table(params, cfg.model, num_items)
+        _, topk_idx = topk_mips(u_emb, ref_corpus, max_k)
+        ref = metrics_at_k(topk_idx, jnp.asarray(jax.device_get(items)),
+                           tuple(k for k in sorted(cfg.retrieval.top_k_eval) if k <= max_k),
+                           weights=jnp.asarray(jax.device_get(w)))
+        for key in ref:
+            np.testing.assert_allclose(
+                float(metrics[key]), float(ref[key]), rtol=1e-4, atol=1e-5
+            )
