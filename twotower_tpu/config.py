@@ -176,6 +176,8 @@ class RetrievalConfig:
     logq_correction: bool = True
     # uniform branch: shared negatives sampled per step
     num_negatives: int = 1024
+    # exact brute-force eval (metric-faithful) vs approx_max_k (fast val)
+    eval_exact: bool = True
     top_k_eval: list[int] = field(default_factory=lambda: [1, 5, 10, 20, 50, 100])
 
     def __post_init__(self) -> None:

@@ -31,8 +31,8 @@ def generate_interactions(
     Recall@K by a wide margin.
     """
     rng = np.random.default_rng(seed)
-    u_lat = rng.normal(size=(num_users, latent_dim))
-    i_lat = rng.normal(size=(num_items, latent_dim))
+    u_lat = rng.normal(size=(num_users, latent_dim)).astype(np.float32)
+    i_lat = rng.normal(size=(num_items, latent_dim)).astype(np.float32)
     popularity = rng.zipf(1.5, size=num_items).astype(np.float64)
     popularity /= popularity.sum()
 
@@ -44,10 +44,12 @@ def generate_interactions(
     for start in range(0, num_interactions, chunk):
         end = min(start + chunk, num_interactions)
         uu = users[start:end]
-        logits = u_lat[uu] @ i_lat.T / np.sqrt(latent_dim)
-        logits += noise * rng.normal(size=logits.shape)
-        logits += np.log(popularity + 1e-12)[None, :]
-        gumbel = -np.log(-np.log(rng.uniform(size=logits.shape) + 1e-12) + 1e-12)
+        logits = (u_lat[uu] @ i_lat.T) / np.float32(np.sqrt(latent_dim))
+        logits += (noise * rng.standard_normal(logits.shape, dtype=np.float32))
+        logits += np.log(popularity + 1e-12).astype(np.float32)[None, :]
+        gumbel = -np.log(
+            -np.log(rng.random(logits.shape, dtype=np.float32) + 1e-12) + 1e-12
+        )
         items[start:end] = np.argmax(logits + gumbel, axis=1)
 
     affinity = np.einsum("nd,nd->n", u_lat[users], i_lat[items]) / np.sqrt(latent_dim)

@@ -20,7 +20,7 @@ from twotower_tpu.config import Config
 from twotower_tpu.evaluation.metrics import merge_metric_sums, metrics_at_k
 from twotower_tpu.logging_utils import get_logger
 from twotower_tpu.models import two_tower
-from twotower_tpu.ops.topk import topk_mips
+from twotower_tpu.ops.topk import topk_mips, topk_mips_approx
 
 logger = get_logger(__name__)
 
@@ -55,12 +55,20 @@ class Evaluator:
                 params, mcfg, num_items, item_tokens=tokens
             )
 
+        exact = config.retrieval.eval_exact
+
         @functools.partial(jax.jit, static_argnames=("max_k",))
         def _eval_batch(params, corpus, user_idx, true_item, weight, max_k: int):
             user_emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
-            _, topk_idx = topk_mips(
-                user_emb, corpus, max_k, chunk_size=self.corpus_chunk_size
-            )
+            if exact:
+                _, topk_idx = topk_mips(
+                    user_emb, corpus, max_k, chunk_size=self.corpus_chunk_size
+                )
+            else:
+                # approx_max_k validation path (retrieval.eval_exact=false):
+                # ~100x faster at large corpora; final test runs should stay
+                # exact for metric fidelity.
+                _, topk_idx = topk_mips_approx(user_emb, corpus, max_k)
             ks = tuple(k for k in self.ks if k <= max_k)
             return metrics_at_k(topk_idx, true_item, ks, weights=weight)
 
