@@ -1,0 +1,98 @@
+"""Device-resident epoch loop tests: learning parity with the host loop."""
+
+import jax
+import numpy as np
+import pytest
+
+from twotower_tpu.data import Preprocessor, generate_interactions
+from twotower_tpu.evaluation import Evaluator
+from twotower_tpu.training.device_loop import DeviceDataset, DeviceTrainer, make_epoch_fn
+from twotower_tpu.training.state import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def prepared(tiny_config_module):
+    cfg = tiny_config_module
+    data = generate_interactions(
+        num_users=300, num_items=120, num_interactions=8000, noise=0.2
+    )
+    pp = Preprocessor(cfg.preprocessing)
+    data = pp.process(data)
+    splits = pp.split_data(data)
+    return cfg, pp, splits
+
+
+@pytest.fixture(scope="module")
+def tiny_config_module():
+    from twotower_tpu.config import Config
+
+    return Config().with_overrides(
+        {
+            "model.embedding_dim": 16,
+            "model.user_tower_dims": [32, 16],
+            "model.item_tower_dims": [32, 16],
+            "training.batch_size": 128,
+            "training.epochs": 3,
+            "preprocessing.min_interactions_per_user": 2,
+            "preprocessing.min_interactions_per_item": 2,
+        }
+    )
+
+
+class TestDeviceDataset:
+    def test_padding_and_steps(self):
+        ds = DeviceDataset(np.arange(10), np.arange(10), batch_size=4)
+        assert ds.num_steps == 3
+        assert ds.columns["user_idx"].shape == (12,)
+        assert float(ds.columns["weight"][-1]) == 0.0  # padded row
+        assert float(ds.columns["weight"][9]) == 1.0
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            DeviceDataset(np.array([]), np.array([]), batch_size=4)
+
+
+class TestDeviceTrainer:
+    def test_epoch_fn_runs_and_counts_steps(self, prepared):
+        cfg, pp, splits = prepared
+        ds = DeviceDataset.from_interactions(splits.train, cfg.training.batch_size)
+        opt = make_optimizer(cfg.training)
+        trainer = DeviceTrainer(cfg)
+        state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+        epoch_fn = make_epoch_fn(cfg, opt, ds.num_steps, donate=False)
+        new_state, metrics = epoch_fn(
+            state, ds.columns, jax.random.PRNGKey(0), None, None
+        )
+        assert int(new_state.step) == ds.num_steps
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_learns_like_host_loop(self, prepared):
+        cfg, pp, splits = prepared
+        ds = DeviceDataset.from_interactions(splits.train, cfg.training.batch_size)
+        ev = Evaluator(cfg, len(pp.vocab.items), batch_size=256)
+        trainer = DeviceTrainer(
+            cfg,
+            log_q=np.log(pp.vocab.items.frequencies + 1e-12),
+            evaluate_fn=ev.make_evaluate_fn(splits.val.user_idx, splits.val.item_idx),
+        )
+        state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+        res = trainer.fit(state, ds)
+        losses = [h["loss"] for h in res.history]
+        assert losses[-1] < losses[0]
+        assert res.best_metric > 2 * 10 / len(pp.vocab.items)
+
+    def test_deterministic_across_runs(self, prepared):
+        cfg, pp, splits = prepared
+        cfg = cfg.with_overrides({"training.epochs": 1, "model.dropout_rate": 0.0})
+        ds = DeviceDataset.from_interactions(splits.train, cfg.training.batch_size)
+
+        def run():
+            t = DeviceTrainer(cfg)
+            s = t.init_state(len(pp.vocab.users), len(pp.vocab.items))
+            return t.fit(s, ds).state
+
+        s1, s2 = run(), run()
+        np.testing.assert_array_equal(
+            np.asarray(s1.params["item_embedding"]),
+            np.asarray(s2.params["item_embedding"]),
+        )

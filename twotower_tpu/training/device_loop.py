@@ -1,0 +1,225 @@
+"""Device-resident training: whole epochs as one compiled program.
+
+The host-side epoch loop (``Trainer.fit``) dispatches one step at a time and
+feeds batches from host memory — fine when the host is fast, but the TPU
+step is ~0.3 ms and a throttled host cannot keep up (measured: the input
+loop, not the chip, bounds throughput). This module removes the host from
+the hot path entirely:
+
+- ``DeviceDataset``: the encoded interaction columns live in HBM (int32
+  ids — 50M interactions is ~400 MB, trivially resident).
+- ``make_epoch_fn``: ONE jitted program per epoch — an on-device
+  ``jax.random.permutation`` shuffle followed by ``lax.scan`` over train
+  steps (dynamic-slice batch selection, same step function as the host
+  loop). Per-step metrics come back stacked; the host sees one dispatch per
+  epoch.
+
+Validation, early stopping, and checkpointing stay host-side per epoch
+(``DeviceTrainer.fit``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotower_tpu.config import Config
+from twotower_tpu.logging_utils import get_logger
+from twotower_tpu.training.loop import EarlyStopping, TrainResult
+from twotower_tpu.training.state import TrainState, make_optimizer
+
+logger = get_logger(__name__)
+
+Array = jax.Array
+
+
+class DeviceDataset:
+    """Encoded interactions resident in device memory, padded to a batch
+    multiple with zero-weight rows (static shapes for the scanned epoch)."""
+
+    def __init__(self, user_idx, item_idx, batch_size: int, weight=None):
+        n = len(user_idx)
+        if n == 0:
+            raise ValueError("empty dataset")
+        self.num_examples = n
+        self.batch_size = batch_size
+        self.num_steps = -(-n // batch_size)
+        padded = self.num_steps * batch_size
+        w = np.ones(n, np.float32) if weight is None else np.asarray(weight, np.float32)
+        pad = padded - n
+        if pad:
+            user_idx = np.concatenate([np.asarray(user_idx, np.int32), np.zeros(pad, np.int32)])
+            item_idx = np.concatenate([np.asarray(item_idx, np.int32), np.zeros(pad, np.int32)])
+            w = np.concatenate([w, np.zeros(pad, np.float32)])
+        self.columns = {
+            "user_idx": jnp.asarray(user_idx, jnp.int32),
+            "item_idx": jnp.asarray(item_idx, jnp.int32),
+            "weight": jnp.asarray(w, jnp.float32),
+        }
+
+    @classmethod
+    def from_interactions(cls, data, batch_size: int) -> "DeviceDataset":
+        if data.user_idx is None or data.item_idx is None:
+            raise ValueError("data must be encoded (run Preprocessor.process first)")
+        return cls(data.user_idx, data.item_idx, batch_size)
+
+
+def make_epoch_fn(
+    config: Config,
+    optimizer,
+    num_steps: int,
+    *,
+    num_items: int | None = None,
+    donate: bool = True,
+):
+    """Build ``epoch_fn(state, columns, epoch_rng, log_q, item_tokens)`` —
+    shuffle + ``num_steps`` train steps as one compiled program, returning
+    (new_state, mean metrics over the epoch)."""
+    if config.training.sparse_table_updates:
+        from twotower_tpu.training.sparse import make_sparse_step_fn
+
+        step = make_sparse_step_fn(config, optimizer, num_items=num_items)
+    else:
+        from twotower_tpu.training.loop import make_step_fn
+
+        step = make_step_fn(config, optimizer, num_items=num_items)
+    batch_size = config.training.batch_size
+
+    def epoch_fn(state, columns, epoch_rng, log_q=None, item_tokens=None):
+        n = columns["user_idx"].shape[0]
+        perm = jax.random.permutation(epoch_rng, n)
+
+        def body(state, i):
+            sel = jax.lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+            batch = {k: v[sel] for k, v in columns.items()}
+            state, metrics = step(state, batch, epoch_rng, log_q, item_tokens)
+            return state, metrics
+
+        state, stacked = jax.lax.scan(
+            body, state, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return state, {k: v.mean() for k, v in stacked.items()}
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+
+
+class DeviceTrainer:
+    """Epoch-granular host loop over the device-resident epoch program.
+
+    Same contract as ``Trainer`` for evaluation / early stopping /
+    checkpointing, but the inner loop never leaves the device.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        *,
+        log_q: np.ndarray | None = None,
+        item_tokens: np.ndarray | None = None,
+        num_items: int | None = None,
+        evaluate_fn=None,
+        writers: list[Any] | None = None,
+        checkpoint_manager: Any | None = None,
+        shutdown: Any | None = None,
+    ):
+        self.config = config
+        self.optimizer = make_optimizer(config.training)
+        self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
+        self.item_tokens = (
+            jnp.asarray(item_tokens) if item_tokens is not None else None
+        )
+        self.num_items = num_items
+        self.evaluate_fn = evaluate_fn
+        self.writers = writers or []
+        self.checkpoint_manager = checkpoint_manager
+        self.shutdown = shutdown
+        self._epoch_fn = None
+
+    def init_state(self, num_users: int, num_items: int) -> TrainState:
+        from twotower_tpu.models import two_tower
+
+        rng = jax.random.PRNGKey(self.config.training.seed)
+        params = two_tower.init_params(rng, self.config.model, num_users, num_items)
+        return TrainState.for_config(params, self.optimizer, self.config)
+
+    def fit(self, state: TrainState, dataset: DeviceDataset, *, start_epoch: int = 0) -> TrainResult:
+        cfg = self.config.training
+        if self._epoch_fn is None:
+            self._epoch_fn = make_epoch_fn(
+                self.config, self.optimizer, dataset.num_steps,
+                num_items=self.num_items,
+            )
+        stopper = EarlyStopping(patience=cfg.patience)
+        result = TrainResult(state=state)
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        t_start = time.perf_counter()
+
+        for epoch in range(start_epoch, cfg.epochs):
+            t_epoch = time.perf_counter()
+            epoch_rng = jax.random.fold_in(base_rng, epoch)
+            state, metrics = self._epoch_fn(
+                state, dataset.columns, epoch_rng, self.log_q, self.item_tokens
+            )
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            epoch_time = time.perf_counter() - t_epoch
+            eps = dataset.num_examples / max(epoch_time, 1e-9)
+            record = {"epoch": float(epoch), "examples_per_sec": eps, **host}
+
+            if self.evaluate_fn is not None and (epoch + 1) % cfg.validation_freq == 0:
+                val = self.evaluate_fn(state.params)
+                record.update({f"val/{k}": v for k, v in val.items()})
+                metric = val.get(cfg.early_stopping_metric)
+                if metric is None:
+                    raise KeyError(
+                        f"early_stopping_metric {cfg.early_stopping_metric!r} "
+                        f"not in validation metrics {sorted(val)}"
+                    )
+                logger.info(
+                    "epoch %d: %.1fs (%.0f ex/s) loss %.4f %s=%.4f",
+                    epoch, epoch_time, eps, host.get("loss", np.nan),
+                    cfg.early_stopping_metric, metric,
+                )
+                improved = metric > stopper.best
+                should_stop = stopper.update(metric, int(state.step))
+                if improved and self.checkpoint_manager is not None:
+                    self.checkpoint_manager.save(
+                        int(state.step), state,
+                        metrics={cfg.early_stopping_metric: metric},
+                        extra={"epoch": epoch + 1},
+                    )
+                result.history.append(record)
+                for w in self.writers:
+                    w.write(record, step=int(state.step))
+                if should_stop:
+                    logger.info("early stopping at epoch %d", epoch)
+                    break
+            else:
+                logger.info(
+                    "epoch %d: %.1fs (%.0f ex/s) loss %.4f",
+                    epoch, epoch_time, eps, host.get("loss", np.nan),
+                )
+                result.history.append(record)
+                for w in self.writers:
+                    w.write(record, step=int(state.step))
+
+            if self.shutdown is not None and self.shutdown.should_stop:
+                if self.checkpoint_manager is not None:
+                    self.checkpoint_manager.save(
+                        int(state.step), state,
+                        extra={"epoch": epoch + 1, "preempted": True},
+                    )
+                logger.warning("graceful shutdown after epoch %d", epoch)
+                break
+
+        total = time.perf_counter() - t_start
+        result.state = state
+        result.best_metric = stopper.best
+        result.best_step = stopper.best_step
+        result.examples_per_sec = (
+            len(result.history) * dataset.num_examples / max(total, 1e-9)
+        )
+        return result

@@ -57,6 +57,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="write a jax.profiler device trace for the training run",
     )
     p.add_argument(
+        "--device-loop", action="store_true",
+        help="run whole epochs as one compiled device program (on-device "
+        "shuffle + lax.scan; removes the host from the hot path)",
+    )
+    p.add_argument(
         "--mesh", action="store_true",
         help="train SPMD over ALL visible devices (data x model mesh from "
         "config.mesh) instead of single-device",
@@ -137,17 +142,39 @@ def run(args, config: Config) -> dict:
 
         mesh = build_mesh(config.mesh)
     shutdown = GracefulShutdown().install()
-    trainer = Trainer(
-        config,
-        log_q=log_q,
-        evaluate_fn=evaluate_fn,
-        writers=writers,
-        checkpoint_manager=manager,
-        shutdown=shutdown,
-        item_tokens=item_tokens,
-        mesh=mesh,
-        num_items=num_items,
-    )
+    if args.device_loop:
+        if args.mesh:
+            raise SystemExit("--device-loop and --mesh are mutually exclusive")
+        from twotower_tpu.training.device_loop import DeviceDataset, DeviceTrainer
+
+        trainer = DeviceTrainer(
+            config,
+            log_q=log_q,
+            item_tokens=item_tokens,
+            num_items=num_items,
+            evaluate_fn=evaluate_fn,
+            writers=writers,
+            checkpoint_manager=manager,
+            shutdown=shutdown,
+        )
+        train_input = DeviceDataset.from_interactions(
+            splits.train, config.training.batch_size
+        )
+    else:
+        trainer = Trainer(
+            config,
+            log_q=log_q,
+            evaluate_fn=evaluate_fn,
+            writers=writers,
+            checkpoint_manager=manager,
+            shutdown=shutdown,
+            item_tokens=item_tokens,
+            mesh=mesh,
+            num_items=num_items,
+        )
+        train_input = BatchPipeline(
+            splits.train, config.training.batch_size, seed=config.training.seed
+        )
     state = trainer.init_state(num_users, num_items)
     start_epoch = 0
     if args.resume and manager.latest_step() is not None:
@@ -155,11 +182,8 @@ def run(args, config: Config) -> dict:
         start_epoch = int(meta.get("epoch", 0))
         logger.info("resumed from step %d (epoch %d)", int(state.step), start_epoch)
 
-    pipeline = BatchPipeline(
-        splits.train, config.training.batch_size, seed=config.training.seed
-    )
     with trace(args.profile_dir):
-        result = trainer.fit(state, pipeline, start_epoch=start_epoch)
+        result = trainer.fit(state, train_input, start_epoch=start_epoch)
     shutdown.uninstall()
 
     # Final artifacts: vocab manifest + final checkpoint + test metrics.
