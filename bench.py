@@ -29,7 +29,7 @@ BATCH = 4096
 NUM_USERS = 1_000_000
 NUM_ITEMS = 500_000
 WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+MEASURE_STEPS = 50
 
 
 def main() -> None:
@@ -65,16 +65,27 @@ def main() -> None:
 
     for i in range(WARMUP_STEPS):
         state, metrics = step(state, batches[i % len(batches)], step_rng)
-    jax.block_until_ready(state.params)
+    _ = float(metrics["loss"])  # hard sync: scalar fetch forces completion
 
-    t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, metrics = step(state, batches[i % len(batches)], step_rng)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    # Two-point slope: some PJRT transports ACK before device completion, so
+    # block_until_ready alone under-measures; a final scalar fetch (which the
+    # full state chain feeds) is the only hard sync, and measuring two run
+    # lengths cancels its fixed latency out of the per-step time.
+    def run(n_steps: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, batches[i % len(batches)], step_rng)
+        _ = float(metrics["loss"])
+        return time.perf_counter() - t0
+
+    n1, n2 = MEASURE_STEPS, MEASURE_STEPS * 4
+    t1 = run(n1)
+    t2 = run(n2)
+    step_s = max((t2 - t1) / (n2 - n1), 1e-9)
 
     n_chips = jax.device_count()
-    eps_per_chip = MEASURE_STEPS * BATCH / dt / n_chips
+    eps_per_chip = BATCH / step_s / n_chips
     print(
         json.dumps(
             {

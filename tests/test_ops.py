@@ -180,3 +180,15 @@ class TestTopKApprox:
         )
         assert vals.shape == (70, 5) and idx.shape == (70, 5)
         assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 300).all()
+
+    def test_item_chunked_matches_unchunked(self, rng):
+        from twotower_tpu.ops.topk import topk_mips_approx
+
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        items = rng.normal(size=(1000, 16)).astype(np.float32)
+        v1, i1 = topk_mips_approx(jnp.asarray(q), jnp.asarray(items), 10)
+        v2, i2 = topk_mips_approx(
+            jnp.asarray(q), jnp.asarray(items), 10, item_chunk=256
+        )
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

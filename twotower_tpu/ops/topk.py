@@ -92,7 +92,7 @@ def topk_mips(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "recall_target", "query_chunk")
+    jax.jit, static_argnames=("k", "recall_target", "query_chunk", "item_chunk")
 )
 def topk_mips_approx(
     query_emb: Array,
@@ -101,15 +101,19 @@ def topk_mips_approx(
     *,
     recall_target: float = 0.95,
     query_chunk: int = 256,
+    item_chunk: int = 1 << 20,
 ) -> tuple[Array, Array]:
     """Approximate top-k via the TPU PartialReduce primitive
     (``lax.approx_max_k``) — the serving-path ANN equivalent of the
-    reference's FAISS/Annoy plan (reference: pyproject.toml:38-39), ~100x
-    faster than the exact scan at 500k items (measured: 1.0 ms @ B=1,
-    7.9 ms @ B=256, 0.98 recall@100 at recall_target=0.95).
+    reference's FAISS/Annoy plan (reference: pyproject.toml:38-39), ~300x
+    faster than the exact scan at 500k items (measured on v5e with hard-sync
+    slope timing: 0.37 ms @ B=1, 0.45 ms @ B=256 vs 134 ms exact @ B=256;
+    0.98 recall@100 at recall_target=0.95).
 
-    Queries are processed in ``query_chunk`` blocks so the score matrix
-    stays bounded at ``query_chunk x N`` regardless of batch size.
+    Memory is bounded on both axes: queries run in ``query_chunk`` blocks,
+    and corpora beyond ``item_chunk`` rows are scanned in item blocks whose
+    per-block approx top-k candidates are exactly merged — so a 10M-item
+    catalog needs only ``query_chunk x item_chunk`` score scratch.
     """
     n = item_emb.shape[0]
     if k > n:
@@ -121,14 +125,57 @@ def topk_mips_approx(
         query_emb = jnp.pad(query_emb, ((0, padded_b - b), (0, 0)))
     q_blocks = query_emb.reshape(padded_b // chunk, chunk, query_emb.shape[1])
 
-    def block(q):
-        scores = jax.lax.dot_general(
+    def scores_for(q, items):
+        return jax.lax.dot_general(
             q,
-            item_emb,
+            items,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+    if n <= item_chunk:
+
+        def block(q):
+            return jax.lax.approx_max_k(
+                scores_for(q, item_emb), k, recall_target=recall_target
+            )
+
+    else:
+        # Item-blocked: approx top-k per corpus block, exact merge across
+        # blocks (the global top-k is contained in the union of block
+        # top-ks up to each block's recall target).
+        padded_n = -(-n // item_chunk) * item_chunk
+        items_padded = (
+            jnp.pad(item_emb, ((0, padded_n - n), (0, 0))) if padded_n != n else item_emb
+        )
+        item_blocks = items_padded.reshape(
+            padded_n // item_chunk, item_chunk, item_emb.shape[1]
+        )
+        num_blocks = item_blocks.shape[0]
+
+        def block(q):
+            def step(carry, inp):
+                best_v, best_i = carry
+                items, blk = inp
+                s = scores_for(q, items)
+                base = blk * item_chunk
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, item_chunk), 1) + base
+                s = jnp.where(col < n, s, -jnp.inf)
+                v, i = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+                i = i.astype(jnp.int32) + base
+                all_v = jnp.concatenate([best_v, v], axis=1)
+                all_i = jnp.concatenate([best_i, i], axis=1)
+                nv, sel = jax.lax.top_k(all_v, k)
+                return (nv, jnp.take_along_axis(all_i, sel, axis=1)), None
+
+            init = (
+                jnp.full((chunk, k), -jnp.inf, jnp.float32),
+                jnp.full((chunk, k), -1, jnp.int32),
+            )
+            (v, i), _ = jax.lax.scan(
+                step, init, (item_blocks, jnp.arange(num_blocks, dtype=jnp.int32))
+            )
+            return v, i
 
     vals, idx = jax.lax.map(block, q_blocks)
     return (
