@@ -192,3 +192,68 @@ class TestShardedEval:
             np.testing.assert_allclose(
                 float(metrics[key]), float(ref[key]), rtol=1e-4, atol=1e-5
             )
+
+
+class TestMeshTextTokens:
+    def test_sharded_step_trains_text_table(self, tiny_config, devices):
+        """Regression: --mesh + text tower must actually train the text table
+        (tokens were silently dropped before)."""
+        from twotower_tpu.parallel import build_mesh, make_sharded_train_step, shard_state
+
+        cfg = tiny_config.with_overrides(
+            {"mesh.num_model": 2, "model.dropout_rate": 0.0,
+             "training.sparse_table_updates": False,
+             "model.text_buckets": 256, "model.text_tokens": 4}
+        )
+        num_users, num_items = 200, 150
+        optimizer = make_optimizer(cfg.training)
+        params = two_tower.init_params(jax.random.PRNGKey(0), cfg.model, num_users, num_items)
+        mesh = build_mesh(cfg.mesh, devices)
+        state = shard_state(mesh, TrainState.create(params, optimizer), cfg.mesh)
+        rng = np.random.default_rng(0)
+        tokens = rng.integers(1, 256, (num_items, 4)).astype(np.int32)
+        step = make_sharded_train_step(
+            cfg, optimizer, mesh, state, item_tokens=tokens, donate=False
+        )
+        from twotower_tpu.parallel.sharding import batch_shardings, replicated
+
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        bs = cfg.training.batch_size
+        batch = {
+            "user_idx": jax.device_put(jnp.asarray(rng.integers(0, num_users, bs), jnp.int32), b_sh),
+            "item_idx": jax.device_put(jnp.asarray(rng.integers(0, num_items, bs), jnp.int32), b_sh),
+            "weight": jax.device_put(jnp.ones((bs,), jnp.float32), b_sh),
+        }
+        new_state, metrics = step(state, batch, jax.device_put(jax.random.PRNGKey(1), replicated(mesh)))
+        assert np.isfinite(float(metrics["loss"]))
+        assert not np.allclose(
+            np.asarray(new_state.params["text_embedding"]),
+            np.asarray(params["text_embedding"]),
+        )
+
+    def test_vocab_padding_matches_model(self):
+        from twotower_tpu.data.vocab import Vocabulary
+
+        for n in (1, 100, 127, 128, 512, 1000):
+            v = Vocabulary(
+                ids=np.array([f"x{i}" for i in range(n)], object),
+                counts=np.ones(n, np.int64),
+            )
+            assert v.padded_size(128) == two_tower.padded_rows(n)
+
+
+class TestVocabEncodeVectorized:
+    def test_encode_roundtrip_and_missing(self):
+        from twotower_tpu.data.vocab import Vocabulary
+
+        raw = np.array(["b", "a", "c", "a"], object)
+        v = Vocabulary.build(raw)
+        enc = v.encode(np.array(["a", "c", "zz", "b"], object))
+        assert enc.tolist() == [0, 2, -1, 1]
+        np.testing.assert_array_equal(v.decode([0, 1, 2]), ["a", "b", "c"])
+
+    def test_encode_empty_vocab_inputs(self):
+        from twotower_tpu.data.vocab import Vocabulary
+
+        v = Vocabulary.build(np.array(["x"], object))
+        assert v.encode(np.array([], object)).shape == (0,)

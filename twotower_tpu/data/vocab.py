@@ -44,9 +44,17 @@ class Vocabulary:
         return self._index
 
     def encode(self, raw_ids: np.ndarray, missing: int = -1) -> np.ndarray:
-        """Map raw ids -> int32 indices; unseen ids -> ``missing``."""
-        idx = self.index
-        return np.array([idx.get(str(v), missing) for v in raw_ids], dtype=np.int32)
+        """Map raw ids -> int32 indices; unseen ids -> ``missing``.
+
+        Vectorized: ``ids`` is sorted-unique by construction, so a
+        searchsorted + equality check replaces a per-row Python dict loop
+        (material at tens of millions of rows)."""
+        raw = np.asarray(raw_ids).astype(str)
+        ids = self.ids.astype(str)
+        pos = np.searchsorted(ids, raw)
+        pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
+        found = ids[pos_c] == raw if len(ids) else np.zeros(len(raw), bool)
+        return np.where(found, pos_c, missing).astype(np.int32)
 
     def decode(self, indices: np.ndarray) -> np.ndarray:
         return self.ids[np.asarray(indices)]
@@ -64,9 +72,11 @@ class Vocabulary:
 
     def padded_size(self, multiple: int) -> int:
         """Table rows padded up so every model shard is equal-sized and
-        MXU/lane aligned."""
+        MXU/lane aligned, with at least one spare row reserved — the SAME
+        formula as ``models.two_tower.padded_rows`` (the dead-row scatter
+        target), so shard bounds match the real table layout."""
         n = max(len(self), 1)
-        return -(-n // multiple) * multiple
+        return -(-(n + 1) // multiple) * multiple
 
     def shard_bounds(self, num_shards: int, pad_multiple: int = 128) -> list[tuple[int, int]]:
         """Contiguous row ranges per model shard over the padded table."""

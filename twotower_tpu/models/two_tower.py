@@ -185,17 +185,20 @@ def embed_users(
     )
 
 
-def pool_text(params: Params, tokens: Array) -> Array:
-    """Embedding-bag over hashed n-gram tokens: masked mean of bucket
-    embeddings (token 0 = PAD). ``tokens`` is ``[B, T]`` int32 -> ``[B, E]``.
-
-    This is the op the Pallas fused gather+pool kernel accelerates
-    (ops/pallas_gather.py); this XLA form is its reference twin."""
-    emb = params["text_embedding"][tokens]  # [B, T, E]
-    mask = (tokens != 0).astype(emb.dtype)[..., None]
-    total = jnp.sum(emb * mask, axis=1)
+def pool_rows(tok_rows: Array, tokens: Array) -> Array:
+    """Masked-mean pool of pre-gathered token rows ``[B, T, E]`` (token 0 =
+    PAD) -> ``[B, E]``. Single source of truth for embedding-bag pooling —
+    used by ``pool_text`` and the sparse training path."""
+    mask = (tokens != 0).astype(tok_rows.dtype)[..., None]
+    total = jnp.sum(tok_rows * mask, axis=1)
     count = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
     return total / count
+
+
+def pool_text(params: Params, tokens: Array) -> Array:
+    """Embedding-bag over hashed n-gram tokens: masked mean of bucket
+    embeddings. ``tokens`` is ``[B, T]`` int32 -> ``[B, E]``."""
+    return pool_rows(params["text_embedding"][tokens], tokens)
 
 
 def apply_item_tower(

@@ -52,6 +52,8 @@ def topk_mips(
     if k > n:
         raise ValueError(f"k={k} exceeds corpus size {n}")
     chunk_size = min(chunk_size, -(-n // 128) * 128)
+    # each scan step takes a top-k over one chunk: the chunk must hold >= k
+    chunk_size = max(chunk_size, -(-k // 128) * 128)
     item_emb, n_real = _pad_items(item_emb, chunk_size)
     num_chunks = item_emb.shape[0] // chunk_size
     chunks = item_emb.reshape(num_chunks, chunk_size, item_emb.shape[1])

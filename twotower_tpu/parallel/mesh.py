@@ -50,10 +50,20 @@ def build_mesh(config: MeshConfig, devices: list | None = None) -> Mesh:
     return mesh
 
 
-def initialize_multihost(coordinator: str | None = None) -> None:
+def initialize_multihost(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
     """Multi-host bring-up (``jax.distributed.initialize``) — the TPU-native
     replacement for the communication backend the reference never had
-    (SURVEY.md §5.8). No-op on single-process runs."""
-    if jax.process_count() > 1 or coordinator is None:
+    (SURVEY.md §5.8). MUST run before any other JAX call (touching the
+    backend first — even ``jax.devices()`` — makes distributed init fail);
+    no-op when no coordinator is given (single-process runs)."""
+    if coordinator is None:
         return
-    jax.distributed.initialize(coordinator_address=coordinator)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -27,6 +27,8 @@ def make_sharded_train_step(
     state_template: TrainState,
     log_q: Any = None,
     *,
+    item_tokens: Any = None,
+    num_items: int | None = None,
     donate: bool = True,
 ):
     """Jit the shared step function with explicit mesh shardings.
@@ -38,7 +40,9 @@ def make_sharded_train_step(
     """
     # Pallas kernels only when the mesh is a single device: GSPMD cannot
     # auto-partition pallas_call, and the in-batch loss needs the full batch.
-    raw = make_step_fn(config, optimizer, allow_pallas=mesh.devices.size == 1)
+    raw = make_step_fn(
+        config, optimizer, allow_pallas=mesh.devices.size == 1, num_items=num_items
+    )
     st_sh = state_shardings(mesh, state_template, config.mesh)
     b_sh = batch_shardings(mesh, config.mesh)
     rep = replicated(mesh)
@@ -55,6 +59,11 @@ def make_sharded_train_step(
         if log_q is not None
         else None
     )
+    tok = (
+        jax.device_put(jnp.asarray(item_tokens), rep)
+        if item_tokens is not None
+        else None
+    )
     jitted = jax.jit(
         raw,
         in_shardings=(
@@ -62,13 +71,14 @@ def make_sharded_train_step(
             {"user_idx": b_sh, "item_idx": b_sh, "weight": b_sh},
             rep,
             None if lq is None else rep,
+            None if tok is None else rep,
         ),
         out_shardings=(st_sh, metrics_sh),
         donate_argnums=(0,) if donate else (),
     )
 
     def step(state, batch, rng):
-        return jitted(state, batch, rng, lq)
+        return jitted(state, batch, rng, lq, tok)
 
     return step
 

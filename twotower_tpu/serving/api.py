@@ -105,6 +105,9 @@ class RecommendService:
         """POST /similar_items — {item_id|item_idx, k?} -> neighbours."""
         self.requests += 1
         k = int(payload.get("k", self.default_k))
+        # k+1 is searched (self-match removed), so k caps at num_items - 1
+        if not 1 <= k <= self.index.num_items - 1:
+            raise ServingError(f"k must be in [1, {self.index.num_items - 1}]")
         if "item_idx" in payload:
             idx = np.atleast_1d(np.asarray(payload["item_idx"], np.int64))
         elif "item_id" in payload:

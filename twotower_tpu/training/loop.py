@@ -243,6 +243,7 @@ class Trainer:
         self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
         self.mesh = mesh
         self.num_items = num_items
+        self._item_tokens = item_tokens
         if mesh is not None:
             # Sharded step is built lazily in fit() — it needs the state
             # pytree structure for sharding inference.
@@ -274,7 +275,8 @@ class Trainer:
             from twotower_tpu.parallel.spmd import make_sharded_train_step
 
             self.train_step = make_sharded_train_step(
-                self.config, self.optimizer, self.mesh, state, self.log_q
+                self.config, self.optimizer, self.mesh, state, self.log_q,
+                item_tokens=self._item_tokens, num_items=self.num_items,
             )
             from twotower_tpu.parallel.sharding import batch_shardings
 

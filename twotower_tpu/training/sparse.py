@@ -148,12 +148,6 @@ def make_sparse_step_fn(
     if uniform and num_items is None:
         raise ValueError("uniform candidate sampling needs num_items")
 
-    def _pool(tok_rows, tokens):
-        mask = (tokens != 0).astype(tok_rows.dtype)[..., None]
-        return jnp.sum(tok_rows * mask, axis=1) / jnp.maximum(
-            jnp.sum(mask, axis=1), 1.0
-        )
-
     def step(
         state,
         batch: dict,
@@ -199,14 +193,14 @@ def make_sparse_step_fn(
             )
             item_in = diff["i_rows"]
             if "tok_rows" in diff:
-                item_in = item_in + _pool(diff["tok_rows"], tokens)
+                item_in = item_in + two_tower.pool_rows(diff["tok_rows"], tokens)
             i_emb = two_tower.apply_item_tower(
                 dense_p, item_in, mcfg, train=True, dropout_rng=i_rng
             )
             if uniform:
                 neg_in = diff["neg_rows"]
                 if "neg_tok_rows" in diff:
-                    neg_in = neg_in + _pool(diff["neg_tok_rows"], neg_tokens)
+                    neg_in = neg_in + two_tower.pool_rows(diff["neg_tok_rows"], neg_tokens)
                 neg_emb = two_tower.apply_item_tower(
                     dense_p, neg_in, mcfg, train=True, dropout_rng=i_rng
                 )
