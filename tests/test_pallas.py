@@ -82,6 +82,7 @@ def test_supported_shapes():
     assert not pallas_kernels.supported_for(100, 128)  # batch not multiple
     assert not pallas_kernels.supported_for(16384, 128)  # too big
     assert not pallas_kernels.supported_for(256, 96)  # dim not lane multiple
+    assert not pallas_kernels.supported_for(8192, 512)  # VMEM budget
 
 
 def test_dispatch_falls_back_off_tpu(rng):

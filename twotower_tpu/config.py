@@ -158,6 +158,15 @@ class TrainingConfig:
     keep_checkpoints: int = 3
     early_stopping_metric: str = "recall@10"
 
+    def effective_sparse_updates(self) -> bool:
+        """Sparse row updates implement lazy ADAM specifically; fall back to
+        the dense path for any other optimizer/decay configuration."""
+        return (
+            self.sparse_table_updates
+            and self.optimizer.lower() == "adam"
+            and self.weight_decay == 0.0
+        )
+
     def __post_init__(self) -> None:
         if self.batch_size <= 0:
             raise ValueError("training.batch_size must be positive")

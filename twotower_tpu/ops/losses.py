@@ -82,7 +82,8 @@ def in_batch_softmax_loss(
     denom = jnp.maximum(weights.sum(), 1.0)
     loss = (per_example * weights).sum() / denom
 
-    top1 = jnp.argmax(logits, axis=-1) == jnp.arange(batch)
+    # pos >= row-max: identical tie semantics to the Pallas kernel's metric
+    top1 = jnp.diagonal(logits) >= jnp.max(logits, axis=-1)
     metrics = {
         "accuracy": (top1.astype(jnp.float32) * weights).sum() / denom,
         "logits_mean": (jnp.diagonal(scores) * weights).sum() / denom,

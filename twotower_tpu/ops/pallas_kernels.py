@@ -49,11 +49,20 @@ _BLOCK_ROWS = 256
 _MAX_BATCH = 8192
 
 
+# VMEM bound for the backward (the bigger kernel): the resident V + dV
+# full-array blocks plus two [BLOCK_ROWS, B] f32 working tiles (scores and
+# ds; Mosaic reuses the rest). Budget is the ~16 MB/core capacity — shapes
+# beyond it (e.g. 8192 x 512) fall back to the XLA loss via the dispatcher.
+_VMEM_BUDGET_BYTES = 16 * 1024 * 1024
+
+
 def _supported(batch: int, dim: int) -> bool:
+    vmem = 2 * batch * dim * 4 + 2 * _BLOCK_ROWS * batch * 4
     return (
         batch % _BLOCK_ROWS == 0
         and batch <= _MAX_BATCH
         and dim % 128 == 0
+        and vmem <= _VMEM_BUDGET_BYTES
     )
 
 

@@ -193,6 +193,7 @@ def topk_mips_sharded(
     *,
     axis_name: str,
     chunk_size: int = 8192,
+    num_items: int | None = None,
 ) -> tuple[Array, Array]:
     """Cross-shard exact top-k for a corpus row-sharded over ``axis_name``.
 
@@ -200,6 +201,10 @@ def topk_mips_sharded(
     corpus shard (local indices offset to global ids), then the per-shard
     candidates are all-gathered along the model axis and merged — exact
     because the global top-k is contained in the union of per-shard top-ks.
+
+    ``num_items``: real (unpadded) corpus size — rows at global index >=
+    num_items are shard padding and get masked to -inf so they never
+    surface (equal shards require padding whenever S does not divide N).
     """
     shard_id = jax.lax.axis_index(axis_name)
     num_shards = jax.lax.axis_size(axis_name)
@@ -208,6 +213,9 @@ def topk_mips_sharded(
     )
     offset = shard_id * item_emb_shard.shape[0]
     local_idx = local_idx + offset
+    if num_items is not None:
+        pad = local_idx >= num_items
+        local_vals = jnp.where(pad, -jnp.inf, local_vals)
     # [S, B, k] along the model axis — rides ICI.
     all_vals = jax.lax.all_gather(local_vals, axis_name)
     all_idx = jax.lax.all_gather(local_idx, axis_name)

@@ -10,9 +10,13 @@ equivalent for use inside ``shard_map`` — the BASELINE north star's
   per link — the same pattern GSPMD emits.
 - ``alltoall_lookup``: ids are bucketed by owner shard (sort + static-shape
   capacity), exchanged with ``all_to_all``, gathered locally, and the rows
-  returned with a second ``all_to_all`` — S times less traffic than psum on
-  an S-way model axis. Buckets are fixed at worst-case capacity ``B`` so
-  shapes stay static.
+  returned with a second ``all_to_all``. Traffic is ``S x capacity x E``
+  per device: at the safe default ``capacity=B`` (worst-case skew) that is
+  MORE than psum's ``~2 x B x E`` — the saving only materializes with
+  ``capacity ~ B/S`` (uniform ownership, e.g. shuffled batches), where it
+  is ``~B x E`` total. Callers who can bound per-shard ownership should
+  pass the tighter capacity; ids beyond a bucket's capacity would be
+  silently dropped, so the default stays worst-case-safe.
 
 Both are plain differentiable JAX: the transpose of the exchange IS the
 gradient scatter (``all_to_all`` back + segment scatter-add), so ``jax.grad``
@@ -50,14 +54,24 @@ def psum_lookup(table_shard: Array, ids: Array, *, axis_name: str) -> Array:
     return jax.lax.psum(rows, axis_name)
 
 
-def alltoall_lookup(table_shard: Array, ids: Array, *, axis_name: str) -> Array:
+def alltoall_lookup(
+    table_shard: Array,
+    ids: Array,
+    *,
+    axis_name: str,
+    capacity: int | None = None,
+) -> Array:
     """Bucketed all-to-all exchange: send each id to its owner shard, get the
-    row back. Traffic per link is ``O(B x E / S)`` vs psum's ``O(B x E)``.
+    row back. ``capacity`` is the per-destination bucket size (default: the
+    worst-case ``B``; see module docstring for the traffic trade-off —
+    ownership counts beyond capacity are silently dropped, so only lower it
+    when ownership is provably bounded).
     """
     rows_per_shard = table_shard.shape[0]
     num_shards = jax.lax.axis_size(axis_name)
     my_shard = jax.lax.axis_index(axis_name)
     b = ids.shape[0]
+    cap = b if capacity is None else capacity
 
     owner = jnp.clip(ids // rows_per_shard, 0, num_shards - 1)
     order = jnp.argsort(owner)  # stable group-by-owner
@@ -67,27 +81,29 @@ def alltoall_lookup(table_shard: Array, ids: Array, *, axis_name: str) -> Array:
     starts = jnp.searchsorted(sorted_owner, jnp.arange(num_shards))
     bucket_pos = jnp.arange(b) - starts[sorted_owner]
 
-    # Static-capacity send buffer [S, B]: row s holds the ids bound for
+    # Static-capacity send buffer [S, cap]: row s holds the ids bound for
     # shard s; padding entries point at shard s's row 0 (always in-bounds).
     pad_ids = (jnp.arange(num_shards) * rows_per_shard)[:, None] * jnp.ones(
-        (1, b), jnp.int32
+        (1, cap), jnp.int32
     )
-    send_ids = pad_ids.astype(ids.dtype).at[sorted_owner, bucket_pos].set(sorted_ids)
+    send_ids = pad_ids.astype(ids.dtype).at[
+        sorted_owner, jnp.minimum(bucket_pos, cap - 1)
+    ].set(sorted_ids)
 
     # Exchange requests: recv_ids[j] = the ids device j wants from MY shard.
     recv_ids = jax.lax.all_to_all(
         send_ids, axis_name, split_axis=0, concat_axis=0, tiled=False
     )
     local = jnp.clip(recv_ids - my_shard * rows_per_shard, 0, rows_per_shard - 1)
-    rows = table_shard[local]  # [S, B, E]
+    rows = table_shard[local]  # [S, cap, E]
 
     # Return the rows: resp[j] = rows for the ids I sent to shard j.
     resp = jax.lax.all_to_all(rows, axis_name, split_axis=0, concat_axis=0, tiled=False)
 
     # Un-bucket: my p-th sorted request went to bucket sorted_owner[p] at
     # bucket_pos[p]; then invert the sort.
-    flat = resp.reshape(num_shards * b, -1)
-    emb_sorted = flat[sorted_owner * b + bucket_pos]
+    flat = resp.reshape(num_shards * cap, -1)
+    emb_sorted = flat[sorted_owner * cap + jnp.minimum(bucket_pos, cap - 1)]
     inverse = jnp.argsort(order)
     return emb_sorted[inverse]
 

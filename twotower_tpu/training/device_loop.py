@@ -79,7 +79,7 @@ def make_epoch_fn(
     """Build ``epoch_fn(state, columns, epoch_rng, log_q, item_tokens)`` —
     shuffle + ``num_steps`` train steps as one compiled program, returning
     (new_state, mean metrics over the epoch)."""
-    if config.training.sparse_table_updates:
+    if config.training.effective_sparse_updates():
         from twotower_tpu.training.sparse import make_sparse_step_fn
 
         step = make_sparse_step_fn(config, optimizer, num_items=num_items)
@@ -137,7 +137,7 @@ class DeviceTrainer:
         self.writers = writers or []
         self.checkpoint_manager = checkpoint_manager
         self.shutdown = shutdown
-        self._epoch_fn = None
+        self._epoch_fns: dict[int, Any] = {}
 
     def init_state(self, num_users: int, num_items: int) -> TrainState:
         from twotower_tpu.models import two_tower
@@ -148,11 +148,12 @@ class DeviceTrainer:
 
     def fit(self, state: TrainState, dataset: DeviceDataset, *, start_epoch: int = 0) -> TrainResult:
         cfg = self.config.training
-        if self._epoch_fn is None:
-            self._epoch_fn = make_epoch_fn(
+        if dataset.num_steps not in self._epoch_fns:
+            self._epoch_fns[dataset.num_steps] = make_epoch_fn(
                 self.config, self.optimizer, dataset.num_steps,
                 num_items=self.num_items,
             )
+        epoch_fn = self._epoch_fns[dataset.num_steps]
         stopper = EarlyStopping(patience=cfg.patience)
         result = TrainResult(state=state)
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -161,7 +162,7 @@ class DeviceTrainer:
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()
             epoch_rng = jax.random.fold_in(base_rng, epoch)
-            state, metrics = self._epoch_fn(
+            state, metrics = epoch_fn(
                 state, dataset.columns, epoch_rng, self.log_q, self.item_tokens
             )
             host = {k: float(v) for k, v in jax.device_get(metrics).items()}

@@ -170,7 +170,7 @@ def make_train_step(
     Dispatches to the sparse-table path when ``training.sparse_table_updates``
     is set. ``log_q``/``item_tokens`` are bound as device-resident jit
     ARGUMENTS (see make_loss_fn docstring for why closures are poison)."""
-    if config.training.sparse_table_updates:
+    if config.training.effective_sparse_updates():
         from twotower_tpu.training.sparse import make_sparse_step_fn
 
         raw = make_sparse_step_fn(config, optimizer, num_items=num_items)

@@ -98,17 +98,16 @@ def adam_row_update(
 
 
 def make_lr_fn(config: TrainingConfig) -> Callable[[Array], Array]:
-    """Scalar lr schedule mirroring training.state.make_optimizer."""
-    base = config.learning_rate
-    warmup = config.warmup_steps
+    """The SAME optax schedule the dense optimizer uses
+    (training.state.make_optimizer) — one source of truth for lr."""
+    import optax
 
-    def lr(step: Array) -> Array:
-        if warmup <= 0:
-            return jnp.asarray(base, jnp.float32)
-        frac = jnp.minimum(step.astype(jnp.float32) / warmup, 1.0)
-        return jnp.asarray(base, jnp.float32) * frac
-
-    return lr
+    if config.warmup_steps > 0:
+        return optax.linear_schedule(
+            0.0, config.learning_rate, config.warmup_steps
+        )
+    base = jnp.asarray(config.learning_rate, jnp.float32)
+    return lambda step: base
 
 
 def make_sparse_step_fn(

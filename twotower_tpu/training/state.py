@@ -49,7 +49,7 @@ class TrainState:
         cls, params: Any, optimizer: optax.GradientTransformation, config: Any
     ) -> "TrainState":
         """State matching ``config.training.sparse_table_updates``."""
-        if config.training.sparse_table_updates:
+        if config.training.effective_sparse_updates():
             return cls.create_sparse(params, optimizer)
         return cls.create(params, optimizer)
 
