@@ -223,3 +223,30 @@ class TestUniformSampling:
         state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
         res = trainer.fit(state, BatchPipeline(splits.train, cfg.training.batch_size))
         assert res.best_metric > 2 * 10 / len(pp.vocab.items)
+
+
+class TestPackedMoments:
+    def test_packed_matches_reference_update(self):
+        from twotower_tpu.training.sparse import (
+            adam_row_update,
+            adam_row_update_packed,
+            dedup_rows,
+        )
+
+        rng = np.random.default_rng(0)
+        n, e, b = 256, 16, 64
+        table = jnp.asarray(rng.normal(size=(n, e)), jnp.float32)
+        mu = jnp.asarray(rng.normal(size=(n, e)) * 0.01, jnp.float32)
+        nu = jnp.asarray(np.abs(rng.normal(size=(n, e))) * 0.01, jnp.float32)
+        ids = jnp.asarray(rng.integers(0, n - 1, b), jnp.int32)
+        grads = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
+        targets, summed, valid = dedup_rows(ids, grads, n - 1)
+        kw = dict(lr=jnp.float32(1e-3), b1=0.9, b2=0.999, eps=1e-8,
+                  step=jnp.int32(5))
+        rt, rmu, rnu = adam_row_update(table, mu, nu, targets, summed, valid, **kw)
+        pt, pmo = adam_row_update_packed(
+            table, jnp.concatenate([mu, nu], axis=1), targets, summed, valid, **kw
+        )
+        np.testing.assert_allclose(np.asarray(pt), np.asarray(rt), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pmo[:, :e]), np.asarray(rmu), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pmo[:, e:]), np.asarray(rnu), rtol=1e-6)
