@@ -252,7 +252,11 @@ class AmazonReviewsLoader(DataLoader):
         ratings = np.asarray(df["rating"], np.float64)
         num_users = df["user_id"].nunique()
         num_items = df["parent_asin"].nunique()
-        ts = np.asarray(df["timestamp"], np.int64)
+        ts_raw = np.asarray(
+            __import__("pandas").to_numeric(df["timestamp"], errors="coerce"),
+            np.float64,
+        )
+        ts = ts_raw[np.isfinite(ts_raw)].astype(np.int64)
         if len(ts) and np.median(np.abs(ts)) > 1e11:
             ts = ts // 1000
         fmt = "%Y-%m-%d"
@@ -270,6 +274,6 @@ class AmazonReviewsLoader(DataLoader):
                 dt.datetime.fromtimestamp(int(ts.min())).strftime(fmt),
                 dt.datetime.fromtimestamp(int(ts.max())).strftime(fmt),
             )
-            if len(df)
+            if len(ts)
             else ("", ""),
         )

@@ -39,12 +39,12 @@ def analyze_category(path: Path) -> dict:
             str(int(r)): int(c)
             for r, c in zip(*np.unique(valid.astype(np.int64), return_counts=True))
         }
-    if "text" in df:
+    if "text" in df and len(df):
         lengths = df["text"].fillna("").astype(str).str.len()
         out["text_length"] = {
             "mean": float(lengths.mean()),
             "median": float(lengths.median()),
-            "max": int(lengths.max()) if len(df) else 0,
+            "max": int(lengths.max()),
         }
     return out
 

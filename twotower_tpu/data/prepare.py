@@ -35,10 +35,19 @@ def load_category_files(data_dir: Path) -> dict[str, "Interactions"]:
     for pattern, suffix in (("*_reviews.parquet", "_reviews"), ("*_5core.parquet", "_5core")):
         for path in sorted(data_dir.glob(pattern)):
             category = path.name.replace(suffix + ".parquet", "")
+            key = category
+            if key in out:
+                # raw + 5-core files for the same category: keep BOTH under
+                # distinct keys instead of silently overwriting the first
+                key = f"{category}{suffix}"
+                logger.warning(
+                    "category %s present in multiple sources; keeping both "
+                    "(%s)", category, key,
+                )
             try:
                 df = pd.read_parquet(path)
-                out[category] = schema.from_dataframe(df)
-                logger.info("loaded %s: %d rows", path.name, len(out[category]))
+                out[key] = schema.from_dataframe(df)
+                logger.info("loaded %s: %d rows", path.name, len(out[key]))
             except Exception as e:
                 logger.error("failed to load %s: %s", path, e)
     return out

@@ -114,6 +114,16 @@ class Interactions:
             yield self.select(np.arange(start, min(start + chunk_size, len(self))))
 
     def concat(self, other: "Interactions") -> "Interactions":
+        def cat_text(a, b, n_a, n_b):
+            # keep text when either side has it (fill the other with "")
+            if a is None and b is None:
+                return None
+            if a is None:
+                a = np.full(n_a, "", object)
+            if b is None:
+                b = np.full(n_b, "", object)
+            return np.concatenate([a, b])
+
         def cat(a: np.ndarray | None, b: np.ndarray | None) -> np.ndarray | None:
             if a is None or b is None:
                 return None
@@ -124,8 +134,8 @@ class Interactions:
             item_id=np.concatenate([self.item_id, other.item_id]),
             rating=np.concatenate([self.rating, other.rating]),
             timestamp=np.concatenate([self.timestamp, other.timestamp]),
-            text=cat(self.text, other.text),
-            title=cat(self.title, other.title),
+            text=cat_text(self.text, other.text, len(self), len(other)),
+            title=cat_text(self.title, other.title, len(self), len(other)),
             user_idx=cat(self.user_idx, other.user_idx),
             item_idx=cat(self.item_idx, other.item_idx),
             extra={
@@ -169,8 +179,11 @@ def from_columns(raw: Mapping[str, Any], strict: bool = True) -> Interactions:
     for canonical in ("user_id", "parent_asin", "rating", "timestamp"):
         name = _resolve(cols, canonical)
         if name is None:
-            if strict:
-                raise SchemaError(f"missing required column {canonical!r} (have {sorted(cols)})")
+            if strict or canonical in ("user_id", "parent_asin"):
+                # ids are irreducible; rating/timestamp get lenient defaults
+                raise SchemaError(
+                    f"missing required column {canonical!r} (have {sorted(cols)})"
+                )
             continue
         resolved[canonical] = name
 
@@ -180,8 +193,17 @@ def from_columns(raw: Mapping[str, Any], strict: bool = True) -> Interactions:
 
     user_id = as_array(resolved["user_id"]).astype(object)
     item_id = as_array(resolved["parent_asin"]).astype(object)
-    rating = _coerce_numeric(as_array(resolved["rating"]), np.float32)
-    timestamp = _coerce_numeric(as_array(resolved["timestamp"]), np.float64)
+    n_rows = len(user_id)
+    rating = (
+        _coerce_numeric(as_array(resolved["rating"]), np.float32)
+        if "rating" in resolved
+        else np.ones(n_rows, np.float32)  # lenient default: implicit positive
+    )
+    timestamp = (
+        _coerce_numeric(as_array(resolved["timestamp"]), np.float64)
+        if "timestamp" in resolved
+        else np.zeros(n_rows, np.float64)
+    )
 
     # Drop rows with unparseable rating/timestamp or missing ids
     # (reference: preprocessor.py:441 dropna on ids/rating).

@@ -26,6 +26,7 @@ class Vocabulary:
 
     def __post_init__(self) -> None:
         self._index: dict | None = None
+        self._ids_str: np.ndarray | None = None
 
     @classmethod
     def build(cls, raw_ids: np.ndarray) -> "Vocabulary":
@@ -50,7 +51,10 @@ class Vocabulary:
         searchsorted + equality check replaces a per-row Python dict loop
         (material at tens of millions of rows)."""
         raw = np.asarray(raw_ids).astype(str)
-        ids = self.ids.astype(str)
+        if self._ids_str is None:
+            # cache the unicode cast: this sits on the per-request serving path
+            self._ids_str = self.ids.astype(str)
+        ids = self._ids_str
         pos = np.searchsorted(ids, raw)
         pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
         found = ids[pos_c] == raw if len(ids) else np.zeros(len(raw), bool)

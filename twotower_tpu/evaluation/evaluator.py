@@ -69,7 +69,7 @@ class Evaluator:
                 # ~100x faster at large corpora; final test runs should stay
                 # exact for metric fidelity.
                 _, topk_idx = topk_mips_approx(user_emb, corpus, max_k)
-            ks = tuple(k for k in self.ks if k <= max_k)
+            ks = tuple(k for k in self.ks if k <= max_k) or (max_k,)
             return metrics_at_k(topk_idx, true_item, ks, weights=weight)
 
         self._encode_corpus = _encode_corpus

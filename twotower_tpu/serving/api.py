@@ -49,6 +49,18 @@ class RecommendService:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _check_payload(payload: Any) -> dict:
+        if not isinstance(payload, dict):
+            raise ServingError("payload must be a JSON object")
+        return payload
+
+    def _get_k(self, payload: dict) -> int:
+        try:
+            return int(payload.get("k", self.default_k))
+        except (TypeError, ValueError) as e:
+            raise ServingError(f"invalid k: {payload.get('k')!r}") from e
+
     def health(self) -> dict[str, Any]:
         return {
             "status": "ok",
@@ -60,7 +72,10 @@ class RecommendService:
 
     def _resolve_users(self, payload: dict) -> np.ndarray:
         if "user_idx" in payload:
-            idx = np.atleast_1d(np.asarray(payload["user_idx"], np.int64))
+            try:
+                idx = np.atleast_1d(np.asarray(payload["user_idx"], np.int64))
+            except (TypeError, ValueError) as e:
+                raise ServingError("user_idx must be integers") from e
         elif "user_id" in payload:
             ids = payload["user_id"]
             ids = [ids] if isinstance(ids, str) else list(ids)
@@ -80,7 +95,8 @@ class RecommendService:
     def recommend(self, payload: dict) -> dict[str, Any]:
         """POST /recommend — {user_id|user_idx, k?} -> ranked items."""
         self.requests += 1
-        k = int(payload.get("k", self.default_k))
+        payload = self._check_payload(payload)
+        k = self._get_k(payload)
         if not 1 <= k <= self.index.num_items:
             raise ServingError(f"k must be in [1, {self.index.num_items}]")
         user_idx = self._resolve_users(payload)
@@ -104,12 +120,16 @@ class RecommendService:
     def similar_items(self, payload: dict) -> dict[str, Any]:
         """POST /similar_items — {item_id|item_idx, k?} -> neighbours."""
         self.requests += 1
-        k = int(payload.get("k", self.default_k))
+        payload = self._check_payload(payload)
+        k = self._get_k(payload)
         # k+1 is searched (self-match removed), so k caps at num_items - 1
         if not 1 <= k <= self.index.num_items - 1:
             raise ServingError(f"k must be in [1, {self.index.num_items - 1}]")
         if "item_idx" in payload:
-            idx = np.atleast_1d(np.asarray(payload["item_idx"], np.int64))
+            try:
+                idx = np.atleast_1d(np.asarray(payload["item_idx"], np.int64))
+            except (TypeError, ValueError) as e:
+                raise ServingError("item_idx must be integers") from e
         elif "item_id" in payload:
             ids = payload["item_id"]
             ids = [ids] if isinstance(ids, str) else list(ids)
@@ -156,6 +176,8 @@ def create_app(service: RecommendService):
                 return web.json_response(handler(payload))
             except ServingError as e:
                 return web.json_response({"error": str(e)}, status=e.status)
+            except (TypeError, ValueError, KeyError) as e:
+                return web.json_response({"error": f"bad request: {e}"}, status=400)
 
         return route
 

@@ -92,8 +92,8 @@ class CpuFlatIndex:
         b, dq = queries.shape
         if dq != d:
             raise ValueError(f"query dim {dq} != corpus dim {d}")
-        if k > n:
-            raise ValueError(f"k={k} exceeds corpus size {n}")
+        if not 1 <= k <= n:
+            raise ValueError(f"k={k} must be in [1, {n}]")
         if self._lib is not None:
             scores = np.empty((b, k), np.float32)
             idx = np.empty((b, k), np.int32)

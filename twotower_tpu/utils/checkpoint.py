@@ -45,6 +45,8 @@ class CheckpointManager:
     def all_steps(self) -> list[int]:
         steps = []
         for p in self.directory.glob("step_*"):
+            if not (p / "meta.json").exists():
+                continue  # incomplete (crashed mid-save) — not restorable
             try:
                 steps.append(int(p.name.split("_")[1]))
             except (IndexError, ValueError):
@@ -67,9 +69,15 @@ class CheckpointManager:
     ) -> Path:
         """Save state + metadata; prune beyond ``keep`` oldest-first."""
         path = self._step_dir(step)
-        if path.exists():
+        if (path / "meta.json").exists():
             logger.info("checkpoint step %d already exists, skipping", step)
             return path
+        if path.exists():
+            # leftover from a crashed save: clear and rewrite
+            import shutil
+
+            logger.warning("removing incomplete checkpoint at %s", path)
+            shutil.rmtree(path, ignore_errors=True)
         self._ckptr.save(path / "state", state)
         self._ckptr.wait_until_finished()
         meta = {
@@ -78,6 +86,7 @@ class CheckpointManager:
             "format": "twotower_tpu.checkpoint.v1",
             **(extra or {}),
         }
+        # meta.json is written LAST: its presence marks the save complete
         if jax.process_index() == 0:
             (path / "meta.json").write_text(json.dumps(meta, indent=2))
         self._prune()
