@@ -64,6 +64,8 @@ class TestInBatchSoftmax:
         np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
 
     def test_padding_rows_ignored(self, rng):
+        # Zero-weight rows contribute no loss AND their columns are masked
+        # out as negatives: the loss must equal the unpadded 6-row batch.
         b, d = 8, 4
         u = rng.normal(size=(b, d)).astype(np.float32)
         v = rng.normal(size=(b, d)).astype(np.float32)
@@ -74,8 +76,35 @@ class TestInBatchSoftmax:
             jnp.asarray(u), jnp.asarray(v), jnp.asarray(idx),
             temperature=1.0, weights=jnp.asarray(w),
         )
-        expected = _np_softmax_ce(u @ v.T)[:6].mean()
+        expected = _np_softmax_ce(u[:6] @ v[:6].T).mean()
         np.testing.assert_allclose(float(loss_w), expected, rtol=1e-5)
+
+    def test_block_form_matches_full(self, rng):
+        from twotower_tpu.ops.losses import in_batch_softmax_block
+
+        b, d = 16, 8
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 12, b), jnp.int32)  # some dups
+        log_q = jnp.asarray(np.log(rng.uniform(0.01, 1.0, 12)), jnp.float32)
+        w = jnp.asarray(np.r_[np.ones(14), 0.0, 0.0], jnp.float32)
+        full_pe, full_c, full_rd = in_batch_softmax_block(
+            u, v, idx, 0, temperature=0.3, log_q=log_q, weights_all=w
+        )
+        for off, rows in ((0, 8), (8, 8), (4, 4)):
+            pe, c, rd = in_batch_softmax_block(
+                u[off : off + rows], v, idx, off,
+                temperature=0.3, log_q=log_q, weights_all=w,
+            )
+            np.testing.assert_allclose(
+                np.asarray(pe), np.asarray(full_pe)[off : off + rows], rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(full_c)[off : off + rows]
+            )
+            np.testing.assert_allclose(
+                np.asarray(rd), np.asarray(full_rd)[off : off + rows], rtol=1e-5
+            )
 
     def test_grad_is_finite(self, rng):
         b, d = 8, 4

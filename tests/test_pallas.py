@@ -77,6 +77,50 @@ def test_backward_matches_xla(rng, dup):
     np.testing.assert_allclose(np.asarray(pal_dv), np.asarray(ref_dv), rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("off,rows", [(0, 256), (256, 256)])
+def test_block_kernel_matches_xla_block(rng, off, rows):
+    """Sharded form: local user rows at a global offset vs full-batch
+    columns — forward and VJP must match the XLA block twin."""
+    u, v, idx, log_q, w = _inputs(rng, 512, 128, dup=True)
+    u_loc = u[off : off + rows]
+
+    ref_pe, ref_c, ref_rd = losses.in_batch_softmax_block(
+        u_loc, v, idx, off, temperature=0.1, log_q=log_q, weights_all=w
+    )
+    pal_pe, pal_c, pal_rd = pallas_kernels.fused_in_batch_softmax_block(
+        u_loc, v, idx, off, temperature=0.1, log_q=log_q, weights_all=w
+    )
+    w_loc = np.asarray(w)[off : off + rows]
+    live = w_loc > 0  # padding rows' per-row values are unweighted garbage
+    np.testing.assert_allclose(
+        np.asarray(pal_pe)[live], np.asarray(ref_pe)[live], rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(pal_c)[live], np.asarray(ref_c)[live])
+    np.testing.assert_allclose(
+        np.asarray(pal_rd)[live], np.asarray(ref_rd)[live], rtol=1e-3, atol=1e-4
+    )
+
+    wj = jnp.asarray(np.where(live, w_loc, 0.0), jnp.float32)
+
+    def ref_fn(u_loc, v):
+        pe, _, _ = losses.in_batch_softmax_block(
+            u_loc, v, idx, off, temperature=0.1, log_q=log_q, weights_all=w
+        )
+        return jnp.sum(pe * wj)
+
+    def pal_fn(u_loc, v):
+        pe, _, _ = pallas_kernels.fused_in_batch_softmax_block(
+            u_loc, v, idx, off, temperature=0.1, log_q=log_q, weights_all=w
+        )
+        return jnp.sum(pe * wj)
+
+    ref_du, ref_dv = jax.grad(ref_fn, argnums=(0, 1))(u_loc, v)
+    pal_du, pal_dv = jax.grad(pal_fn, argnums=(0, 1))(u_loc, v)
+    # atol covers f32 accumulation-order noise over the 512-wide lse/exp.
+    np.testing.assert_allclose(np.asarray(pal_du), np.asarray(ref_du), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(pal_dv), np.asarray(ref_dv), rtol=5e-3, atol=5e-4)
+
+
 def test_supported_shapes():
     assert pallas_kernels.supported_for(4096, 128)
     assert not pallas_kernels.supported_for(100, 128)  # batch not multiple

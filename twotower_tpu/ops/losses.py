@@ -25,6 +25,75 @@ Array = jax.Array
 _NEG_INF = -1e9  # finite sentinel: keeps grads zero without NaN propagation
 
 
+def in_batch_softmax_block(
+    user_emb: Array,
+    item_emb_all: Array,
+    item_idx_all: Array,
+    row_offset: Array | int,
+    *,
+    temperature: float = 0.1,
+    log_q: Array | None = None,
+    weights_all: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Per-row in-batch softmax CE for a row block of the global batch.
+
+    The block form is what every caller reduces to: single-device passes the
+    full batch with ``row_offset=0``; the sharded paths (parallel/spmd.py,
+    parallel/sparse_spmd.py) pass each data shard's local user rows against
+    the all-gathered item columns.
+
+    Args:
+      user_emb: ``[R, D]`` query embeddings for global rows
+        ``[row_offset, row_offset + R)``.
+      item_emb_all: ``[B, D]`` candidate embeddings for the FULL batch.
+      item_idx_all: ``[B]`` int32 global item ids for every column.
+      row_offset: this block's first global row (static int or traced scalar).
+      log_q: optional ``[num_items]`` log sampling probabilities.
+      weights_all: optional ``[B]`` per-example weights for every column;
+        zero-weight (padding) columns are masked out as negatives so padded
+        rows never bias real rows' softmax.
+
+    Returns:
+      ``(per_example [R], correct [R], raw_diag [R])`` — CE loss, top-1
+      indicator, and the raw (untempered, un-corrected) positive score.
+    """
+    rows = user_emb.shape[0]
+    batch = item_emb_all.shape[0]
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    # One MXU matmul; accumulate f32 regardless of input dtype (bf16 path).
+    scores = jax.lax.dot_general(
+        user_emb,
+        item_emb_all,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = scores / jnp.asarray(temperature, jnp.float32)
+
+    if log_q is not None:
+        # Subtract log q(item_j) from column j for every row (bias correction
+        # for popular items that appear as in-batch negatives more often).
+        logits = logits - log_q[item_idx_all][None, :].astype(jnp.float32)
+
+    col_ids = jnp.arange(batch, dtype=jnp.int32)[None, :]
+    row_ids = row_offset + jnp.arange(rows, dtype=jnp.int32)[:, None]
+    diag = col_ids == row_ids
+    row_item = jax.lax.dynamic_slice_in_dim(item_idx_all, row_offset, rows)
+    # Accidental-hit mask: another row's positive equals this row's positive.
+    mask = item_idx_all[None, :] == row_item[:, None]
+    if weights_all is not None:
+        # Zero-weight (padding) columns must not serve as negatives.
+        mask = mask | (weights_all[None, :] == 0.0)
+    logits = jnp.where(mask & ~diag, _NEG_INF, logits)
+
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    pos = jnp.sum(jnp.where(diag, logits, 0.0), axis=-1)
+    per_example = lse - pos
+    # pos >= row-max: identical tie semantics to the Pallas kernel's metric
+    correct = (pos >= jnp.max(logits, axis=-1)).astype(jnp.float32)
+    raw_diag = jnp.sum(jnp.where(diag, scores, 0.0), axis=-1)
+    return per_example, jax.lax.stop_gradient(correct), jax.lax.stop_gradient(raw_diag)
+
+
 def in_batch_softmax_loss(
     user_emb: Array,
     item_emb: Array,
@@ -47,46 +116,31 @@ def in_batch_softmax_loss(
       log_q: optional ``[num_items]`` log sampling probabilities (from global
         item frequencies — see ``data/vocab.py``). ``None`` disables log-Q
         correction.
-      weights: optional ``[B]`` per-example weights (0 = padding row).
+      weights: optional ``[B]`` per-example weights (0 = padding row; padded
+        rows neither contribute loss nor serve as in-batch negatives).
 
     Returns:
       (scalar loss, metrics dict with ``accuracy`` — fraction of rows whose
       positive out-scores every in-batch negative — and ``logits_mean``).
     """
     batch = user_emb.shape[0]
-    # One MXU matmul; accumulate f32 regardless of input dtype (bf16 path).
-    scores = jax.lax.dot_general(
+    per_example, correct, raw_diag = in_batch_softmax_block(
         user_emb,
         item_emb,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        item_idx,
+        0,
+        temperature=temperature,
+        log_q=log_q,
+        weights_all=weights,
     )
-    logits = scores / jnp.asarray(temperature, jnp.float32)
-
-    if log_q is not None:
-        # Subtract log q(item_j) from column j for every row (bias correction
-        # for popular items that appear as in-batch negatives more often).
-        logits = logits - log_q[item_idx][None, :].astype(jnp.float32)
-
-    # Accidental-hit mask: another row's positive equals this row's positive.
-    same_item = item_idx[None, :] == item_idx[:, None]
-    diag = jnp.eye(batch, dtype=bool)
-    logits = jnp.where(same_item & ~diag, _NEG_INF, logits)
-
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    per_example = -jnp.diagonal(log_probs)
-
     if weights is None:
         weights = jnp.ones((batch,), jnp.float32)
     weights = weights.astype(jnp.float32)
     denom = jnp.maximum(weights.sum(), 1.0)
     loss = (per_example * weights).sum() / denom
-
-    # pos >= row-max: identical tie semantics to the Pallas kernel's metric
-    top1 = jnp.diagonal(logits) >= jnp.max(logits, axis=-1)
     metrics = {
-        "accuracy": (top1.astype(jnp.float32) * weights).sum() / denom,
-        "logits_mean": (jnp.diagonal(scores) * weights).sum() / denom,
+        "accuracy": (correct * weights).sum() / denom,
+        "logits_mean": (raw_diag * weights).sum() / denom,
     }
     return loss, metrics
 

@@ -56,11 +56,14 @@ _MAX_BATCH = 8192
 _VMEM_BUDGET_BYTES = 16 * 1024 * 1024
 
 
-def _supported(batch: int, dim: int) -> bool:
-    vmem = 2 * batch * dim * 4 + 2 * _BLOCK_ROWS * batch * 4
+def _supported(rows: int, cols: int, dim: int) -> bool:
+    """Kernel coverage for a ``[rows, cols]`` score block (``rows == cols``
+    on the single-device path; ``rows == cols / num_data`` on the sharded
+    block path)."""
+    vmem = 2 * cols * dim * 4 + 2 * _BLOCK_ROWS * cols * 4
     return (
-        batch % _BLOCK_ROWS == 0
-        and batch <= _MAX_BATCH
+        rows % _BLOCK_ROWS == 0
+        and cols <= _MAX_BATCH
         and dim % 128 == 0
         and vmem <= _VMEM_BUDGET_BYTES
     )
@@ -73,9 +76,11 @@ def _supported(batch: int, dim: int) -> bool:
 
 def _fwd_kernel(
     u_ref,  # [BR, D]      row block of user embeddings
-    v_ref,  # [B, D]       all item embeddings
+    v_ref,  # [B, D]       all item embeddings (full-batch columns)
     idx_ref,  # [1, B]     int32 item ids (for accidental-hit masking)
-    logq_ref,  # [1, B]    log q per column (zeros when disabled)
+    logq_ref,  # [1, B]    log q per column (zeros when disabled;
+    #                      +1e9 folded in for zero-weight padding columns)
+    off_ref,  # [1, 1]     SMEM: global row offset of this U block's rows
     loss_ref,  # [BR, 1]   out: per-row CE loss
     lse_ref,  # [BR, 1]    out: per-row logsumexp (saved for backward)
     correct_ref,  # [BR, 1] out: 1.0 where the positive is the row argmax
@@ -85,7 +90,11 @@ def _fwd_kernel(
     block_rows: int,
 ):
     i = pl.program_id(0)
-    row0 = i * block_rows
+    # Global row of this block's first row. The offset is a multiple of the
+    # block size by contract (data-shard offsets are multiples of the local
+    # row count, itself a multiple of _BLOCK_ROWS) — the hint lets Mosaic
+    # prove the idx_ref dynamic slice below is lane-aligned.
+    row0 = pl.multiple_of(off_ref[0, 0] + i * block_rows, block_rows)
     # Scores on the MXU, f32 accumulation: [BR, B].
     s = jax.lax.dot_general(
         u_ref[:],
@@ -112,9 +121,10 @@ def _fwd_kernel(
     pos_ref[:] = pos
 
 
-def _fwd_call(u, v, item_idx, log_q_cols, *, temperature: float):
-    batch, dim = u.shape
-    grid = (batch // _BLOCK_ROWS,)
+def _fwd_call(u, v, item_idx, log_q_cols, row_offset, *, temperature: float):
+    rows, dim = u.shape
+    batch = v.shape[0]
+    grid = (rows // _BLOCK_ROWS,)
     kernel = functools.partial(
         _fwd_kernel, inv_temp=1.0 / temperature, block_rows=_BLOCK_ROWS
     )
@@ -127,16 +137,23 @@ def _fwd_call(u, v, item_idx, log_q_cols, *, temperature: float):
             pl.BlockSpec((batch, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[row_out, row_out, row_out, row_out],
-        out_shape=[jax.ShapeDtypeStruct((batch, 1), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows, 1), jnp.float32)] * 4,
         cost_estimate=pl.CostEstimate(
-            flops=2 * batch * batch * dim,
-            bytes_accessed=(batch * dim * 4) * 2 + batch * 8,
-            transcendentals=batch * batch,
+            flops=2 * rows * batch * dim,
+            bytes_accessed=(rows + batch) * dim * 4 + batch * 8,
+            transcendentals=rows * batch,
         ),
         interpret=_interpret(),
-    )(u, v, item_idx.reshape(1, batch), log_q_cols.reshape(1, batch))
+    )(
+        u,
+        v,
+        item_idx.reshape(1, batch),
+        log_q_cols.reshape(1, batch),
+        jnp.asarray(row_offset, jnp.int32).reshape(1, 1),
+    )
     return loss[:, 0], lse[:, 0], correct[:, 0], pos[:, 0]
 
 
@@ -152,6 +169,7 @@ def _bwd_kernel(
     v_ref,  # [B, D]
     idx_ref,  # [1, B]
     logq_ref,  # [1, B]
+    off_ref,  # [1, 1]   SMEM: global row offset
     lse_ref,  # [BR, 1]
     g_ref,  # [BR, 1]   upstream grad per row (includes weights/denom)
     du_ref,  # [BR, D]  out
@@ -161,7 +179,7 @@ def _bwd_kernel(
     block_rows: int,
 ):
     i = pl.program_id(0)
-    row0 = i * block_rows
+    row0 = pl.multiple_of(off_ref[0, 0] + i * block_rows, block_rows)
 
     @pl.when(i == 0)
     def _():
@@ -202,9 +220,10 @@ def _bwd_kernel(
     )
 
 
-def _bwd_call(u, v, item_idx, log_q_cols, lse, g_rows, *, temperature: float):
-    batch, dim = u.shape
-    grid = (batch // _BLOCK_ROWS,)
+def _bwd_call(u, v, item_idx, log_q_cols, row_offset, lse, g_rows, *, temperature: float):
+    rows, dim = u.shape
+    batch = v.shape[0]
+    grid = (rows // _BLOCK_ROWS,)
     kernel = functools.partial(
         _bwd_kernel, inv_temp=1.0 / temperature, block_rows=_BLOCK_ROWS
     )
@@ -216,6 +235,7 @@ def _bwd_call(u, v, item_idx, log_q_cols, lse, g_rows, *, temperature: float):
             pl.BlockSpec((batch, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, batch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_BLOCK_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLOCK_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -224,13 +244,13 @@ def _bwd_call(u, v, item_idx, log_q_cols, lse, g_rows, *, temperature: float):
             pl.BlockSpec((batch, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, dim), jnp.float32),
+            jax.ShapeDtypeStruct((rows, dim), jnp.float32),
             jax.ShapeDtypeStruct((batch, dim), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=6 * batch * batch * dim,
-            bytes_accessed=(batch * dim * 4) * 4,
-            transcendentals=batch * batch,
+            flops=6 * rows * batch * dim,
+            bytes_accessed=(rows + batch) * dim * 4 * 2,
+            transcendentals=rows * batch,
         ),
         interpret=_interpret(),
     )(
@@ -238,8 +258,9 @@ def _bwd_call(u, v, item_idx, log_q_cols, lse, g_rows, *, temperature: float):
         v,
         item_idx.reshape(1, batch),
         log_q_cols.reshape(1, batch),
-        lse.reshape(batch, 1),
-        g_rows.reshape(batch, 1),
+        jnp.asarray(row_offset, jnp.int32).reshape(1, 1),
+        lse.reshape(rows, 1),
+        g_rows.reshape(rows, 1),
     )
     return du, dv
 
@@ -249,30 +270,89 @@ def _bwd_call(u, v, item_idx, log_q_cols, lse, g_rows, *, temperature: float):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_per_example_loss(u, v, item_idx, log_q_cols, temperature):
-    loss, _, correct, pos = _fwd_call(u, v, item_idx, log_q_cols, temperature=temperature)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_per_example_loss(u, v, item_idx, log_q_cols, row_offset, temperature):
+    loss, _, correct, pos = _fwd_call(
+        u, v, item_idx, log_q_cols, row_offset, temperature=temperature
+    )
     return loss, correct, pos
 
 
-def _fused_fwd(u, v, item_idx, log_q_cols, temperature):
+def _fused_fwd(u, v, item_idx, log_q_cols, row_offset, temperature):
     loss, lse, correct, pos = _fwd_call(
-        u, v, item_idx, log_q_cols, temperature=temperature
+        u, v, item_idx, log_q_cols, row_offset, temperature=temperature
     )
-    return (loss, correct, pos), (u, v, item_idx, log_q_cols, lse)
+    return (loss, correct, pos), (u, v, item_idx, log_q_cols, row_offset, lse)
 
 
 def _fused_bwd(temperature, residuals, gs):
-    u, v, item_idx, log_q_cols, lse = residuals
+    u, v, item_idx, log_q_cols, row_offset, lse = residuals
     g, _, _ = gs  # correct/pos are metric outputs; their cotangents are zero
     du, dv = _bwd_call(
-        u, v, item_idx, log_q_cols, lse, g.astype(jnp.float32),
+        u, v, item_idx, log_q_cols, row_offset, lse, g.astype(jnp.float32),
         temperature=temperature,
     )
-    return du.astype(u.dtype), dv.astype(v.dtype), None, None
+    return du.astype(u.dtype), dv.astype(v.dtype), None, None, None
 
 
 _fused_per_example_loss.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _logq_cols(
+    item_idx: Array, log_q: Array | None, weights_all: Array | None, batch: int
+) -> Array:
+    """Per-column log-Q vector with zero-weight padding columns folded in as
+    a +1e9 shift (so they mask to ~-1e9 after subtraction — padding columns
+    must not act as in-batch negatives)."""
+    cols = (
+        log_q[item_idx].astype(jnp.float32)
+        if log_q is not None
+        else jnp.zeros((batch,), jnp.float32)
+    )
+    if weights_all is not None:
+        cols = cols + jnp.where(weights_all == 0.0, -_NEG_INF, 0.0)
+    return cols
+
+
+def fused_in_batch_softmax_block(
+    user_emb: Array,
+    item_emb_all: Array,
+    item_idx_all: Array,
+    row_offset: Array | int,
+    *,
+    temperature: float = 0.1,
+    log_q: Array | None = None,
+    weights_all: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Pallas-fused twin of ``ops.losses.in_batch_softmax_block``: per-row
+    ``(per_example, correct, raw_diag)`` for local user rows at
+    ``row_offset`` against the full-batch item columns. This is the form the
+    sharded train steps call per data shard (each shard's ``[B/D, B]``
+    block); check shapes with ``supported_block`` first.
+    """
+    rows, dim = user_emb.shape
+    batch = item_emb_all.shape[0]
+    if not _supported(rows, batch, dim):
+        raise ValueError(
+            f"fused loss kernel does not support rows={rows}, cols={batch}, dim={dim}"
+        )
+    u = user_emb.astype(jnp.float32)
+    v = item_emb_all.astype(jnp.float32)
+    cols = _logq_cols(item_idx_all, log_q, weights_all, batch)
+    per_example, correct, pos = _fused_per_example_loss(
+        u, v, item_idx_all, cols, jnp.asarray(row_offset, jnp.int32), temperature
+    )
+    # Raw diagonal score from the kernel's corrected positive logit:
+    # pos = raw/temp - logq_col  =>  raw = (pos + logq_col) * temp (exact,
+    # including the folded padding shift).
+    off = jnp.asarray(row_offset, jnp.int32)
+    diag_cols = jax.lax.dynamic_slice_in_dim(cols, off, rows)
+    raw_diag = (pos + diag_cols) * temperature
+    return (
+        per_example,
+        jax.lax.stop_gradient(correct),
+        jax.lax.stop_gradient(raw_diag),
+    )
 
 
 def fused_in_batch_softmax_loss(
@@ -291,31 +371,24 @@ def fused_in_batch_softmax_loss(
     dispatcher in ``ops/dispatch.py`` rather than calling this directly).
     """
     batch, dim = user_emb.shape
-    if not _supported(batch, dim):
+    if not _supported(batch, batch, dim):
         raise ValueError(
             f"fused loss kernel does not support batch={batch}, dim={dim}"
         )
-    u = user_emb.astype(jnp.float32)
-    v = item_emb.astype(jnp.float32)
-    log_q_cols = (
-        log_q[item_idx].astype(jnp.float32)
-        if log_q is not None
-        else jnp.zeros((batch,), jnp.float32)
+    per_example, correct, raw_diag = fused_in_batch_softmax_block(
+        user_emb,
+        item_emb,
+        item_idx,
+        0,
+        temperature=temperature,
+        log_q=log_q,
+        weights_all=weights,
     )
-    per_example, correct, pos = _fused_per_example_loss(
-        u, v, item_idx, log_q_cols, temperature
-    )
-    correct = jax.lax.stop_gradient(correct)
-    pos = jax.lax.stop_gradient(pos)
-
     if weights is None:
         weights = jnp.ones((batch,), jnp.float32)
     weights = weights.astype(jnp.float32)
     denom = jnp.maximum(weights.sum(), 1.0)
     loss = (per_example * weights).sum() / denom
-    # Raw diagonal score from the kernel's corrected positive logit:
-    # pos = raw/temp - log_q  =>  raw = (pos + log_q) * temp.
-    raw_diag = (pos + log_q_cols) * temperature
     metrics = {
         "accuracy": (correct * weights).sum() / denom,
         "logits_mean": (raw_diag * weights).sum() / denom,
@@ -324,5 +397,10 @@ def fused_in_batch_softmax_loss(
 
 
 def supported_for(batch: int, dim: int) -> bool:
-    """Whether the fused loss kernel covers these shapes."""
-    return _supported(batch, dim)
+    """Whether the fused loss kernel covers a square single-device batch."""
+    return _supported(batch, batch, dim)
+
+
+def supported_block(rows: int, cols: int, dim: int) -> bool:
+    """Whether the fused block kernel covers a ``[rows, cols]`` score block."""
+    return _supported(rows, cols, dim)
