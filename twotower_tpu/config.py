@@ -222,6 +222,10 @@ class MeshConfig:
     num_data: int = -1  # -1: infer from available devices
     num_model: int = 1
     shard_embeddings: bool = True
+    # Sparse mesh path's all-to-all bucket sizing: <= 0 means worst-case-safe
+    # (zero dropped ids); k > 0 sizes buckets at k x the uniform expectation
+    # (drops are counted in the step metric ``dropped_ids``).
+    a2a_capacity_factor: float = 0.0
 
     def __post_init__(self) -> None:
         if self.num_model < 1:

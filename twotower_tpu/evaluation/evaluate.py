@@ -113,6 +113,9 @@ def run(args, config: Config) -> dict:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from twotower_tpu.utils.platform import respect_env_platform
+
+    respect_env_platform()
     setup_logging()
     args = build_argparser().parse_args(argv)
     config = load_config(args.config, parse_cli_overrides(args.override))

@@ -11,6 +11,10 @@ from twotower_tpu.parallel.a2a import (
     psum_lookup,
     sharded_embedding_lookup,
 )
+from twotower_tpu.parallel.sparse_spmd import (
+    make_sparse_sharded_train_step,
+    use_sparse_mesh_path,
+)
 from twotower_tpu.parallel.spmd import make_sharded_eval_step, make_sharded_train_step
 
 __all__ = [
@@ -21,6 +25,8 @@ __all__ = [
     "state_shardings",
     "make_sharded_eval_step",
     "make_sharded_train_step",
+    "make_sparse_sharded_train_step",
+    "use_sparse_mesh_path",
     "alltoall_lookup",
     "psum_lookup",
     "sharded_embedding_lookup",

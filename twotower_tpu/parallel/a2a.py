@@ -15,8 +15,13 @@ equivalent for use inside ``shard_map`` — the BASELINE north star's
   MORE than psum's ``~2 x B x E`` — the saving only materializes with
   ``capacity ~ B/S`` (uniform ownership, e.g. shuffled batches), where it
   is ``~B x E`` total. Callers who can bound per-shard ownership should
-  pass the tighter capacity; ids beyond a bucket's capacity would be
-  silently dropped, so the default stays worst-case-safe.
+  pass the tighter capacity; ids beyond a bucket's capacity fall into a
+  trash bucket (they read/write nothing real, and ``return_stats=True``
+  reports the count) — the default capacity stays worst-case-safe.
+
+``alltoall_row_update`` is the lookup's explicit transpose for the sparse
+training path: route row grads to owners, dedup there, lazy-Adam the local
+shard rows (the BASELINE "gradient scatter").
 
 Both are plain differentiable JAX: the transpose of the exchange IS the
 gradient scatter (``all_to_all`` back + segment scatter-add), so ``jax.grad``
@@ -54,25 +59,16 @@ def psum_lookup(table_shard: Array, ids: Array, *, axis_name: str) -> Array:
     return jax.lax.psum(rows, axis_name)
 
 
-def alltoall_lookup(
-    table_shard: Array,
-    ids: Array,
-    *,
-    axis_name: str,
-    capacity: int | None = None,
-) -> Array:
-    """Bucketed all-to-all exchange: send each id to its owner shard, get the
-    row back. ``capacity`` is the per-destination bucket size (default: the
-    worst-case ``B``; see module docstring for the traffic trade-off —
-    ownership counts beyond capacity are silently dropped, so only lower it
-    when ownership is provably bounded).
-    """
-    rows_per_shard = table_shard.shape[0]
-    num_shards = jax.lax.axis_size(axis_name)
-    my_shard = jax.lax.axis_index(axis_name)
-    b = ids.shape[0]
-    cap = b if capacity is None else capacity
+def _bucket_by_owner(ids: Array, rows_per_shard: int, num_shards: int, cap: int):
+    """Stable group-by-owner with static-capacity buckets.
 
+    Returns ``(sorted_ids, sorted_owner, dest, slot, order, dropped)``:
+    ``dest``/``slot`` address a ``[num_shards + 1, cap]`` send buffer where
+    bucket ``num_shards`` is the trash row for overflow entries (so an
+    overflowing bucket can never clobber another id's valid slot), and
+    ``dropped`` counts entries beyond capacity.
+    """
+    b = ids.shape[0]
     owner = jnp.clip(ids // rows_per_shard, 0, num_shards - 1)
     order = jnp.argsort(owner)  # stable group-by-owner
     sorted_ids = ids[order]
@@ -80,15 +76,46 @@ def alltoall_lookup(
     # Start offset of each owner bucket and position within it.
     starts = jnp.searchsorted(sorted_owner, jnp.arange(num_shards))
     bucket_pos = jnp.arange(b) - starts[sorted_owner]
+    overflow = bucket_pos >= cap
+    dest = jnp.where(overflow, num_shards, sorted_owner)
+    slot = jnp.minimum(bucket_pos, cap - 1)
+    dropped = jnp.sum(overflow.astype(jnp.int32))
+    return sorted_ids, sorted_owner, dest, slot, order, bucket_pos, dropped
 
-    # Static-capacity send buffer [S, cap]: row s holds the ids bound for
-    # shard s; padding entries point at shard s's row 0 (always in-bounds).
-    pad_ids = (jnp.arange(num_shards) * rows_per_shard)[:, None] * jnp.ones(
+
+def alltoall_lookup(
+    table_shard: Array,
+    ids: Array,
+    *,
+    axis_name,
+    capacity: int | None = None,
+    return_stats: bool = False,
+):
+    """Bucketed all-to-all exchange: send each id to its owner shard, get the
+    row back. ``capacity`` is the per-destination bucket size (default: the
+    worst-case ``B``; see module docstring for the traffic trade-off).
+    Ids beyond a bucket's capacity receive arbitrary rows (their requests
+    land in a trash bucket, so other ids stay correct); pass
+    ``return_stats=True`` to get ``(rows, dropped_count)`` so callers can
+    surface overflow instead of silently training on corrupt rows.
+    """
+    rows_per_shard = table_shard.shape[0]
+    num_shards = jax.lax.axis_size(axis_name)
+    my_shard = jax.lax.axis_index(axis_name)
+    b = ids.shape[0]
+    cap = b if capacity is None else min(capacity, b)
+
+    sorted_ids, sorted_owner, dest, slot, order, bucket_pos, dropped = (
+        _bucket_by_owner(ids, rows_per_shard, num_shards, cap)
+    )
+
+    # Static-capacity send buffer [S+1, cap] (last row = overflow trash):
+    # row s holds the ids bound for shard s; padding entries point at shard
+    # s's row 0 (always in-bounds on the owner).
+    pad_ids = (jnp.arange(num_shards + 1) * rows_per_shard)[:, None] * jnp.ones(
         (1, cap), jnp.int32
     )
-    send_ids = pad_ids.astype(ids.dtype).at[
-        sorted_owner, jnp.minimum(bucket_pos, cap - 1)
-    ].set(sorted_ids)
+    send_ids = pad_ids.astype(ids.dtype).at[dest, slot].set(sorted_ids)[:num_shards]
 
     # Exchange requests: recv_ids[j] = the ids device j wants from MY shard.
     recv_ids = jax.lax.all_to_all(
@@ -105,7 +132,122 @@ def alltoall_lookup(
     flat = resp.reshape(num_shards * cap, -1)
     emb_sorted = flat[sorted_owner * cap + jnp.minimum(bucket_pos, cap - 1)]
     inverse = jnp.argsort(order)
-    return emb_sorted[inverse]
+    out = emb_sorted[inverse]
+    if return_stats:
+        return out, dropped
+    return out
+
+
+def alltoall_row_update(
+    table_shard: Array,
+    moments_shard: Array,
+    ids: Array,
+    grads: Array,
+    *,
+    axis_name,
+    capacity: int | None = None,
+    lr: Array,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    step: Array,
+) -> tuple[Array, Array, Array, Array]:
+    """Distributed "gradient scatter": route row gradients to their owner
+    shards with all-to-all, dedup at the owner, and apply the packed
+    lazy-Adam row update (``training.sparse.adam_row_update_packed``) to the
+    local table shard.
+
+    This is the hand-written transpose of ``alltoall_lookup`` — together
+    they form the BASELINE north star's "all-to-all ID exchange and gradient
+    scatter" for the sharded sparse train step (parallel/sparse_spmd.py).
+    Each device contributes its ``(ids, grads)`` exactly once; contributions
+    for the same global row from different devices are summed at the owner
+    (dedup is a sort + segment-sum over the received buckets, same static-
+    shape scheme as the single-device ``dedup_rows``).
+
+    Args:
+      table_shard: ``[rows_per_shard, E]`` this device's table rows.
+      moments_shard: ``[rows_per_shard, 2E]`` packed Adam moments.
+      ids: ``[R]`` global row ids this device is responsible for reporting.
+      grads: ``[R, E]`` the matching row gradients.
+      capacity: per-destination bucket size (default worst-case ``R`` —
+        zero drops). Overflow entries land in a trash bucket (never
+        corrupting other rows) and are counted in the returned drop count.
+
+    Returns:
+      ``(new_table_shard, new_moments_shard, grad_norm_sq, dropped)`` where
+      ``grad_norm_sq`` is this shard's contribution to the global table-grad
+      norm (sum over the deduped row grads; psum it over the row axis).
+    """
+    from twotower_tpu.training.sparse import adam_row_update_packed
+
+    rows_per_shard = table_shard.shape[0]
+    num_shards = jax.lax.axis_size(axis_name)
+    my_shard = jax.lax.axis_index(axis_name)
+    r, e = grads.shape
+    cap = r if capacity is None else min(capacity, r)
+
+    sorted_ids, _, dest, slot, order, _, dropped = _bucket_by_owner(
+        ids, rows_per_shard, num_shards, cap
+    )
+    sorted_grads = grads[order]
+
+    # Send buffers: ids pad with -1 (invalid marker), grads pad with zeros;
+    # bucket num_shards is the overflow trash row, sliced off before the
+    # exchange.
+    send_ids = (
+        jnp.full((num_shards + 1, cap), -1, jnp.int32)
+        .at[dest, slot]
+        .set(sorted_ids.astype(jnp.int32))[:num_shards]
+    )
+    send_grads = (
+        jnp.zeros((num_shards + 1, cap, e), jnp.float32)
+        .at[dest, slot]
+        .set(sorted_grads.astype(jnp.float32))[:num_shards]
+    )
+
+    recv_ids = jax.lax.all_to_all(
+        send_ids, axis_name, split_axis=0, concat_axis=0, tiled=False
+    ).reshape(num_shards * cap)
+    recv_grads = jax.lax.all_to_all(
+        send_grads, axis_name, split_axis=0, concat_axis=0, tiled=False
+    ).reshape(num_shards * cap, e)
+
+    # Owner-side dedup: sort by local row, segment-sum. Invalid entries
+    # (padding, id -1) sort last under the sentinel ``rows_per_shard``.
+    valid_in = recv_ids >= 0
+    local = jnp.where(
+        valid_in,
+        jnp.clip(recv_ids - my_shard * rows_per_shard, 0, rows_per_shard - 1),
+        rows_per_shard,
+    )
+    g_in = recv_grads * valid_in[:, None].astype(jnp.float32)
+    n = local.shape[0]
+    order2 = jnp.argsort(local)
+    s_lid = local[order2]
+    s_g = g_in[order2]
+    first = jnp.concatenate([jnp.ones((1,), bool), s_lid[1:] != s_lid[:-1]])
+    seg = jnp.cumsum(first) - 1
+    summed = jax.ops.segment_sum(s_g, seg, num_segments=n)
+    seg_ids = jax.ops.segment_max(s_lid, seg, num_segments=n)
+    counts = jax.ops.segment_sum(jnp.ones_like(s_lid), seg, num_segments=n)
+    valid = (counts > 0) & (seg_ids < rows_per_shard)
+    targets = jnp.where(valid, jnp.clip(seg_ids, 0, rows_per_shard - 1), 0)
+
+    new_table, new_moments = adam_row_update_packed(
+        table_shard,
+        moments_shard,
+        targets,
+        summed,
+        valid,
+        lr=lr,
+        b1=b1,
+        b2=b2,
+        eps=eps,
+        step=step,
+    )
+    norm_sq = jnp.sum(jnp.square(summed) * valid.astype(jnp.float32)[:, None])
+    return new_table, new_moments, norm_sq, dropped
 
 
 def sharded_embedding_lookup(

@@ -45,17 +45,23 @@ def measure_mesh(
     from twotower_tpu.training.state import TrainState, make_optimizer
 
     cfg = config.with_overrides(
-        {
-            "mesh.num_model": 2 if n_devices % 2 == 0 and n_devices > 1 else 1,
-            "training.sparse_table_updates": False,  # mesh path runs dense
-        }
+        {"mesh.num_model": 2 if n_devices % 2 == 0 and n_devices > 1 else 1}
     )
+    from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path
+
+    sparse = use_sparse_mesh_path(cfg)
     mesh = build_mesh(cfg.mesh, jax.devices()[:n_devices])
     optimizer = make_optimizer(cfg.training)
     params = two_tower.init_params(
         jax.random.PRNGKey(0), cfg.model, num_users, num_items
     )
-    state = shard_state(mesh, TrainState.create(params, optimizer), cfg.mesh)
+    if sparse:
+        state = shard_state(
+            mesh, TrainState.for_config(params, optimizer, cfg), cfg.mesh,
+            sparse_mesh=True,
+        )
+    else:
+        state = shard_state(mesh, TrainState.create(params, optimizer), cfg.mesh)
     step = make_sharded_train_step(cfg, optimizer, mesh, state)
 
     bs = cfg.training.batch_size
@@ -87,6 +93,7 @@ def measure_mesh(
         "global_batch": bs,
         "examples_per_sec": round(eps, 1),
         "step_ms": round(dt / steps * 1e3, 3),
+        "sparse_path": sparse,
     }
 
 
@@ -114,6 +121,9 @@ def run_scaling(config, device_counts: list[int], **kw) -> list[dict]:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from twotower_tpu.utils.platform import respect_env_platform
+
+    respect_env_platform()
     from twotower_tpu.config import load_config, parse_cli_overrides
 
     setup_logging()

@@ -42,16 +42,42 @@ def _is_table_leaf(path: tuple, leaf: Any) -> bool:
     return any(t in names for t in _TABLE_NAMES) and getattr(leaf, "ndim", 0) == 2
 
 
-def state_shardings(mesh: Mesh, state: Any, config: MeshConfig) -> Any:
-    """NamedSharding tree for a TrainState (or bare params) pytree."""
-    model = config.model_axis if config.shard_embeddings else None
-    table = NamedSharding(mesh, P(model, None))
-    replicated = NamedSharding(mesh, P())
+def table_partition(config: MeshConfig, *, sparse_mesh: bool = False) -> P:
+    """Row-sharding spec for embedding tables (and their moment mirrors).
+
+    Dense GSPMD path: rows over the ``model`` axis only (replicated across
+    ``data`` so XLA's auto-partitioned gather works without redundancy
+    bookkeeping). Sparse a2a path (parallel/sparse_spmd.py): rows over the
+    COMBINED ``(data, model)`` axis — every device owns distinct rows, which
+    both maximizes table capacity and makes the distributed row scatter
+    consistency-free.
+    """
+    if not config.shard_embeddings:
+        return P(None, None)
+    if sparse_mesh:
+        return P((config.data_axis, config.model_axis), None)
+    return P(config.model_axis, None)
+
+
+def state_pspecs(state: Any, config: MeshConfig, *, sparse_mesh: bool = False) -> Any:
+    """PartitionSpec tree for a TrainState (or bare params) pytree."""
+    table = table_partition(config, sparse_mesh=sparse_mesh)
 
     def rule(path, leaf):
-        return table if _is_table_leaf(path, leaf) else replicated
+        return table if _is_table_leaf(path, leaf) else P()
 
     return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def state_shardings(
+    mesh: Mesh, state: Any, config: MeshConfig, *, sparse_mesh: bool = False
+) -> Any:
+    """NamedSharding tree for a TrainState (or bare params) pytree."""
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        state_pspecs(state, config, sparse_mesh=sparse_mesh),
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
 def batch_shardings(mesh: Mesh, config: MeshConfig) -> Any:
@@ -59,9 +85,13 @@ def batch_shardings(mesh: Mesh, config: MeshConfig) -> Any:
     return NamedSharding(mesh, P(config.data_axis))
 
 
-def shard_state(mesh: Mesh, state: Any, config: MeshConfig) -> Any:
+def shard_state(
+    mesh: Mesh, state: Any, config: MeshConfig, *, sparse_mesh: bool = False
+) -> Any:
     """Place a host-resident state pytree onto the mesh per the rules."""
-    return jax.device_put(state, state_shardings(mesh, state, config))
+    return jax.device_put(
+        state, state_shardings(mesh, state, config, sparse_mesh=sparse_mesh)
+    )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

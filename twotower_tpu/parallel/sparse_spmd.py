@@ -1,0 +1,358 @@
+"""Sharded SPARSE train step: all-to-all lookups + distributed gradient scatter.
+
+This is the flagship distributed path the BASELINE north star describes
+("all-to-all ID exchange and gradient scatter" over row-sharded embedding
+tables) — the composition of the single-device sparse step
+(training/sparse.py: differentiate w.r.t. gathered rows, lazy-Adam only the
+touched rows) with explicit mesh collectives, so multi-chip training never
+materializes a full-table gradient (the ~2 GB/step HBM-traffic problem the
+dense mesh path has at 10M-row tables).
+
+Layout (differs from the dense GSPMD path in parallel/spmd.py):
+
+- Embedding tables AND their packed Adam moments are row-sharded over the
+  COMBINED ``(data, model)`` axis — every device owns a distinct slice of
+  rows (maximum table scale, no replica-consistency bookkeeping). Global row
+  ``g`` lives on device ``g // rows_per_shard`` in data-major mesh order,
+  matching ``P((data, model), None)``.
+- Dense tower params/opt state replicated; batch split over ``data``.
+
+Per-device step (inside one ``shard_map``):
+
+1. Each model peer takes a ``1/S`` slice of its data shard's ids and
+   gathers the rows over the combined axis (``a2a.alltoall_lookup``), then
+   ``all_gather`` along ``model`` reassembles the local batch's rows —
+   row traffic is ``B`` rows total, never ``S x`` redundant.
+2. ``jax.grad`` INSIDE the body differentiates each device's share of the
+   global loss (its ``[b, B]`` score block against the item columns
+   all-gathered along ``data``). The ``all_gather`` transpose
+   (psum-scatter) sums the item-row cotangents across data shards
+   automatically; the in-batch loss runs the fused Pallas block kernel on
+   TPU (ops/pallas_kernels.py) and the XLA twin elsewhere.
+3. Dense grads are ``psum``-ed over ``data`` only (model peers compute
+   replicated grads) and applied with the optax optimizer.
+4. Each model peer routes its slice of row gradients to the owner shards
+   (``a2a.alltoall_row_update``): all-to-all exchange, owner-side dedup
+   (sort + segment-sum), packed lazy-Adam on the local rows. Summing
+   duplicate rows across devices happens at the owner by construction.
+
+Numeric parity with the single-device sparse step is golden-tested on the
+8-device CPU mesh for (data x model) in {8x1, 4x2, 2x4, 1x8}
+(tests/test_sparse_spmd.py). The reference has no distributed code at all
+(SURVEY.md §2.2 row 22; reference README.md:17 declares the capability).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from twotower_tpu.config import Config
+from twotower_tpu.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+Array = jax.Array
+
+
+def use_sparse_mesh_path(config: Config) -> bool:
+    """Whether the mesh train step should run the sparse (a2a + scatter)
+    path. Falls back to the dense GSPMD step for configurations the sparse
+    path does not model (non-Adam optimizers, uniform sampling, unsharded
+    tables)."""
+    return (
+        config.training.effective_sparse_updates()
+        and config.retrieval.candidate_sampling == "in_batch"
+        and config.mesh.shard_embeddings
+    )
+
+
+def _capacity(k: int, num_shards: int, factor: float) -> int:
+    """Per-destination a2a bucket capacity for ``k`` local ids over
+    ``num_shards`` owners. ``factor <= 0`` -> worst-case ``k`` (zero drops);
+    otherwise ``factor x`` the uniform expectation, rounded up to 8 (drops
+    are counted and surfaced in the step metrics as ``dropped_ids``)."""
+    if factor <= 0:
+        return k
+    cap = -(-int(factor * k) // num_shards)
+    cap = -(-cap // 8) * 8
+    return max(8, min(cap, k))
+
+
+def make_sparse_sharded_train_step(
+    config: Config,
+    optimizer,
+    mesh: Mesh,
+    state_template: Any,
+    log_q: Any = None,
+    *,
+    item_tokens: Any = None,
+    num_items: int | None = None,
+    donate: bool = True,
+):
+    """Build the jitted sharded sparse step ``(state, batch, rng)``.
+
+    ``state_template`` must be a sparse TrainState (``table_state`` holds
+    packed moments) sharded per ``sharding.state_shardings(...,
+    sparse_mesh=True)``; batch arrays split over the data axis.
+    """
+    del num_items  # in-batch sampling only (checked by use_sparse_mesh_path)
+    from twotower_tpu.models import two_tower
+    from twotower_tpu.ops import pallas_kernels
+    from twotower_tpu.ops.dispatch import pallas_enabled
+    from twotower_tpu.ops.losses import in_batch_softmax_block, l2_penalty
+    from twotower_tpu.parallel.a2a import alltoall_lookup, alltoall_row_update
+    from twotower_tpu.parallel.sharding import state_pspecs
+    from twotower_tpu.training.sparse import make_lr_fn, split_params
+    from twotower_tpu.training.state import TrainState
+
+    mcfg = config.model
+    rcfg = config.retrieval
+    tcfg = config.training
+    mesh_cfg = config.mesh
+    data_ax, model_ax = mesh_cfg.data_axis, mesh_cfg.model_axis
+    comb = (data_ax, model_ax)
+    num_data = mesh.shape[data_ax]
+    num_model = mesh.shape[model_ax]
+    world = num_data * num_model
+
+    batch_size = tcfg.batch_size
+    if batch_size % (num_data * num_model) != 0:
+        raise ValueError(
+            f"training.batch_size={batch_size} must divide by "
+            f"num_data*num_model={num_data}x{num_model} for the sparse mesh step"
+        )
+    b_local = batch_size // num_data
+
+    if state_template.table_state is None:
+        raise ValueError(
+            "sparse mesh step needs a sparse TrainState "
+            "(TrainState.for_config with sparse_table_updates on)"
+        )
+    tables_t, _ = split_params(state_template.params)
+    for name, t in tables_t.items():
+        if t.shape[0] % world != 0:
+            raise ValueError(
+                f"table {name!r} rows {t.shape[0]} not divisible by the "
+                f"{world}-device mesh (pad tables to a multiple)"
+            )
+
+    out_dim = list(mcfg.item_tower_dims)[-1]
+    # Fused Pallas block kernel on TPU when the [b_local, B] block fits.
+    use_pallas = (
+        pallas_enabled()
+        and jax.default_backend() == "tpu"
+        and pallas_kernels.supported_block(b_local, batch_size, out_dim)
+    )
+    loss_block = (
+        pallas_kernels.fused_in_batch_softmax_block if use_pallas
+        else in_batch_softmax_block
+    )
+    logger.info(
+        "sparse mesh step: mesh=(%s=%d, %s=%d), local_batch=%d, pallas=%s",
+        data_ax, num_data, model_ax, num_model, b_local, use_pallas,
+    )
+
+    lr_fn = make_lr_fn(tcfg)
+    cap_factor = mesh_cfg.a2a_capacity_factor
+    tok_width = int(item_tokens.shape[1]) if item_tokens is not None else 0
+
+    def body(state, batch, rng, fixed):
+        lq = fixed.get("log_q")
+        item_tok = fixed.get("item_tokens")
+        tables, dense = split_params(state.params)
+        d_idx = jax.lax.axis_index(data_ax)
+        m_idx = jax.lax.axis_index(model_ax)
+        ids_u = batch["user_idx"]
+        ids_i = batch["item_idx"]
+        w = batch["weight"].astype(jnp.float32)
+
+        def slice_of(x, k):
+            return jax.lax.dynamic_slice_in_dim(x, m_idx * k, k, axis=0)
+
+        def gather(name, flat_ids):
+            """Model-peer-sliced lookup over the combined row axis, then
+            all_gather along model -> every peer holds all rows."""
+            k = flat_ids.shape[0] // num_model
+            my_ids = slice_of(flat_ids, k)
+            rows_m, drop = alltoall_lookup(
+                tables[name],
+                my_ids,
+                axis_name=comb,
+                capacity=_capacity(k, world, cap_factor),
+                return_stats=True,
+            )
+            rows = jax.lax.all_gather(rows_m, model_ax, tiled=True, axis=0)
+            return rows, drop
+
+        u_rows, drop_fwd = gather("user_embedding", ids_u)
+        i_rows, d2 = gather("item_embedding", ids_i)
+        drop_fwd = drop_fwd + d2
+        tokens = None
+        if item_tok is not None:
+            tokens = item_tok[ids_i]  # [b, T]
+            tok_rows_flat, d3 = gather("text_embedding", tokens.reshape(-1))
+            drop_fwd = drop_fwd + d3
+            tok_rows = tok_rows_flat.reshape(b_local, tok_width, -1)
+
+        dropout_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, state.step), d_idx
+        )
+        row_offset = d_idx * b_local
+
+        diff: dict[str, Any] = {"dense": dense, "u_rows": u_rows, "i_rows": i_rows}
+        if tokens is not None:
+            diff["tok_rows"] = tok_rows
+
+        def loss_fn(diff):
+            dense_p = diff["dense"]
+            u_rng, i_rng = jax.random.split(dropout_rng)
+            u_emb = two_tower.apply_user_tower(
+                dense_p, diff["u_rows"], mcfg, train=True, dropout_rng=u_rng
+            )
+            item_in = diff["i_rows"]
+            if "tok_rows" in diff:
+                item_in = item_in + two_tower.pool_rows(diff["tok_rows"], tokens)
+            i_emb = two_tower.apply_item_tower(
+                dense_p, item_in, mcfg, train=True, dropout_rng=i_rng
+            )
+            # Item columns for the in-batch loss: the full global batch.
+            # The all_gather's transpose (psum-scatter over data) sums the
+            # column cotangents from every data shard automatically.
+            v_all = jax.lax.all_gather(i_emb, data_ax, tiled=True, axis=0)
+            idx_all = jax.lax.all_gather(ids_i, data_ax, tiled=True, axis=0)
+            w_all = jax.lax.all_gather(w, data_ax, tiled=True, axis=0)
+            per_ex, correct, raw_diag = loss_block(
+                u_emb,
+                v_all,
+                idx_all,
+                row_offset,
+                temperature=rcfg.temperature,
+                log_q=lq if rcfg.logq_correction else None,
+                weights_all=w_all,
+            )
+            denom = jnp.maximum(jax.lax.psum(jnp.sum(w), data_ax), 1.0)
+            num = jnp.sum(per_ex * w)
+            # This device's SHARE of the global loss: grad of the sum over
+            # data shards of these shares == grad of the global weighted
+            # mean (collective transposes do the cross-shard summing).
+            loss_share = num / denom
+            if mcfg.l2_regularization > 0:
+                # Dense kernels appear once in the global loss -> each data
+                # shard contributes 1/D; touched rows are per-shard terms.
+                reg = l2_penalty(dense_p, []) / num_data + l2_penalty(
+                    {}, [diff["u_rows"], diff["i_rows"]]
+                )
+                loss_share = loss_share + mcfg.l2_regularization * reg
+            aux = {
+                # loss_share includes the l2 term: psum over data = the
+                # global loss exactly as the single-device step reports it.
+                "loss_share": loss_share,
+                "acc_num": jnp.sum(correct * w),
+                "logit_num": jnp.sum(raw_diag * w),
+                "denom": denom,
+            }
+            return loss_share, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(diff)
+
+        import optax
+
+        # Dense grads: sum over data shards only (model peers are replicas).
+        dense_g = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, data_ax), grads["dense"]
+        )
+        updates, new_opt = optimizer.update(dense_g, state.opt_state, dense)
+        new_dense = optax.apply_updates(dense, updates)
+
+        step_num = state.step + 1
+        lr = lr_fn(state.step)
+
+        def route_update(name, flat_ids, flat_grads):
+            """Each model peer contributes its 1/S slice of the (replicated)
+            row grads exactly once; owners dedup + lazy-Adam their rows."""
+            k = flat_ids.shape[0] // num_model
+            nt, nmo, nsq, drop = alltoall_row_update(
+                tables[name],
+                state.table_state[name]["moments"],
+                slice_of(flat_ids, k),
+                slice_of(flat_grads, k),
+                axis_name=comb,
+                capacity=_capacity(k, world, cap_factor),
+                lr=lr,
+                step=step_num,
+            )
+            return nt, nmo, jax.lax.psum(nsq, comb), drop
+
+        row_work = {
+            "user_embedding": (ids_u, grads["u_rows"]),
+            "item_embedding": (ids_i, grads["i_rows"]),
+        }
+        if tokens is not None:
+            row_work["text_embedding"] = (
+                tokens.reshape(-1),
+                grads["tok_rows"].reshape(b_local * tok_width, -1),
+            )
+        new_tables = dict(tables)
+        new_tstate = {k: dict(v) for k, v in state.table_state.items()}
+        tbl_norm_sq = jnp.asarray(0.0, jnp.float32)
+        drop_bwd = jnp.int32(0)
+        for name, (fids, fgrads) in row_work.items():
+            nt, nmo, nsq, drop = route_update(name, fids, fgrads)
+            new_tables[name] = nt
+            new_tstate[name] = {"moments": nmo}
+            tbl_norm_sq = tbl_norm_sq + nsq
+            drop_bwd = drop_bwd + drop
+
+        denom = aux["denom"]
+        metrics = {
+            "loss": jax.lax.psum(aux["loss_share"], data_ax),
+            "accuracy": jax.lax.psum(aux["acc_num"], data_ax) / denom,
+            "logits_mean": jax.lax.psum(aux["logit_num"], data_ax) / denom,
+            "grad_norm": jnp.sqrt(
+                optax.global_norm(dense_g) ** 2 + tbl_norm_sq
+            ),
+            "dropped_ids": jax.lax.psum(
+                (drop_fwd + drop_bwd).astype(jnp.float32), comb
+            ),
+        }
+        new_state = TrainState(
+            step=step_num,
+            params={**new_tables, **new_dense},
+            opt_state=new_opt,
+            table_state=new_tstate,
+        )
+        return new_state, metrics
+
+    # --- specs + jit -------------------------------------------------------
+    st_spec = state_pspecs(state_template, mesh_cfg, sparse_mesh=True)
+    batch_spec = {k: P(data_ax) for k in ("user_idx", "item_idx", "weight")}
+    fixed = {}
+    rep = NamedSharding(mesh, P())
+    if log_q is not None:
+        fixed["log_q"] = jax.device_put(jnp.asarray(log_q, jnp.float32), rep)
+    if item_tokens is not None:
+        fixed["item_tokens"] = jax.device_put(jnp.asarray(item_tokens), rep)
+    fixed_spec = {k: P() for k in fixed}
+    metrics_spec = {
+        "loss": P(), "accuracy": P(), "logits_mean": P(),
+        "grad_norm": P(), "dropped_ids": P(),
+    }
+
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(st_spec, batch_spec, P(), fixed_spec),
+        out_specs=(st_spec, metrics_spec),
+        check_rep=False,
+    )
+    jitted = jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch, rng):
+        return jitted(state, batch, rng, fixed)
+
+    return step

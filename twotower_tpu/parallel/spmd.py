@@ -37,9 +37,37 @@ def make_sharded_train_step(
     (abstract shapes suffice — pass the real state or ``jax.eval_shape``
     output). Returns a step callable with state donated, batch split on
     ``data``, and replicated metrics out.
+
+    Dispatch: when the config enables sparse table updates (and the model/
+    sampling combination supports them — ``use_sparse_mesh_path``), this
+    builds the shard_map-based sparse step (parallel/sparse_spmd.py: a2a
+    lookups + distributed gradient scatter, tables sharded over the combined
+    mesh); otherwise the dense GSPMD step below.
     """
-    # Pallas kernels only when the mesh is a single device: GSPMD cannot
-    # auto-partition pallas_call, and the in-batch loss needs the full batch.
+    from twotower_tpu.parallel.sparse_spmd import (
+        make_sparse_sharded_train_step,
+        use_sparse_mesh_path,
+    )
+
+    if use_sparse_mesh_path(config):
+        if state_template.table_state is None:
+            raise ValueError(
+                "config enables sparse mesh training but the state has no "
+                "table_state — build it with TrainState.for_config and shard "
+                "with state_shardings(..., sparse_mesh=True)"
+            )
+        return make_sparse_sharded_train_step(
+            config,
+            optimizer,
+            mesh,
+            state_template,
+            log_q,
+            item_tokens=item_tokens,
+            donate=donate,
+        )
+    # Dense GSPMD path. Pallas kernels only when the mesh is a single
+    # device: GSPMD cannot auto-partition pallas_call, and the in-batch loss
+    # needs the full batch.
     raw = make_step_fn(
         config, optimizer, allow_pallas=mesh.devices.size == 1, num_items=num_items
     )

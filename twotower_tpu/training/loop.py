@@ -264,8 +264,15 @@ class Trainer:
         params = two_tower.init_params(rng, self.config.model, num_users, num_items)
         if self.mesh is not None:
             from twotower_tpu.parallel.sharding import shard_state
+            from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path
 
-            # Mesh path runs the dense optimizer step (parallel/spmd.py).
+            # Sparse mesh path: sparse TrainState + tables sharded over the
+            # combined axis. Dense GSPMD path: dense state, model-axis rows.
+            if use_sparse_mesh_path(self.config):
+                state = TrainState.for_config(params, self.optimizer, self.config)
+                return shard_state(
+                    self.mesh, state, self.config.mesh, sparse_mesh=True
+                )
             state = TrainState.create(params, self.optimizer)
             return shard_state(self.mesh, state, self.config.mesh)
         return TrainState.for_config(params, self.optimizer, self.config)
