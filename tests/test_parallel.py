@@ -194,6 +194,58 @@ class TestShardedEval:
             )
 
 
+class TestMeshLoss:
+    """The shard_map loss island (parallel/spmd.make_mesh_loss) must match
+    the single-device XLA loss exactly — values AND gradients — for both the
+    XLA block and the Pallas block kernel (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("force_pallas", [False, True])
+    def test_mesh_loss_matches_single_device(self, tiny_config, devices, force_pallas):
+        from twotower_tpu.ops.losses import in_batch_softmax_loss
+        from twotower_tpu.parallel.spmd import make_mesh_loss
+
+        cfg = tiny_config.with_overrides({"mesh.num_model": 2})
+        mesh = build_mesh(cfg.mesh, devices)
+        rng = np.random.default_rng(0)
+        # Pallas block needs rows_local % 256 == 0 -> batch 1024 over data=4.
+        batch, dim = (1024, 128) if force_pallas else (64, 16)
+        u = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 500, batch), jnp.int32)
+        log_q = jnp.asarray(np.log(rng.uniform(0.01, 1.0, 500)), jnp.float32)
+        w = np.ones(batch, np.float32)
+        w[-3:] = 0.0
+        w = jnp.asarray(w)
+
+        mesh_loss = make_mesh_loss(mesh, cfg, force_pallas=force_pallas)
+
+        def f_mesh(u, v):
+            return mesh_loss(
+                u, v, idx, temperature=0.1, log_q=log_q, weights=w
+            )[0]
+
+        def f_ref(u, v):
+            return in_batch_softmax_loss(
+                u, v, idx, temperature=0.1, log_q=log_q, weights=w
+            )[0]
+
+        with mesh:
+            loss, metrics = jax.jit(
+                lambda u, v: mesh_loss(u, v, idx, temperature=0.1, log_q=log_q, weights=w)
+            )(u, v)
+            gu, gv = jax.jit(jax.grad(f_mesh, argnums=(0, 1)))(u, v)
+        ref_loss, ref_metrics = in_batch_softmax_loss(
+            u, v, idx, temperature=0.1, log_q=log_q, weights=w
+        )
+        ru, rv = jax.grad(f_ref, argnums=(0, 1))(u, v)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(metrics["accuracy"]), float(ref_metrics["accuracy"]), atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(ru), rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=5e-3, atol=5e-4)
+
+
 class TestMeshTextTokens:
     def test_sharded_step_trains_text_table(self, tiny_config, devices):
         """Regression: --mesh + text tower must actually train the text table

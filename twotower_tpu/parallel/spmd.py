@@ -20,6 +20,92 @@ from twotower_tpu.training.loop import make_step_fn
 from twotower_tpu.training.state import TrainState
 
 
+def make_mesh_loss(mesh: Mesh, config: Config, *, force_pallas: bool | None = None):
+    """In-batch loss for the dense GSPMD step as a ``shard_map`` island.
+
+    GSPMD cannot auto-partition a ``pallas_call``; this wrapper restores the
+    fused Pallas kernel on multi-device meshes by computing each data
+    shard's ``[B/D, B]`` score block locally (item columns all-gathered
+    along ``data``) and returning the PER-EXAMPLE values sharded over
+    ``data`` — the weighted reduction happens outside the island, and the
+    block kernel's custom VJP plus the all_gather transpose produce the
+    correct distributed backward (golden-tested vs the XLA loss in
+    tests/test_parallel.py).
+
+    ``force_pallas``: ``None`` auto-selects (Pallas on TPU when the block
+    shape is supported, XLA block otherwise); tests pass True/False.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from twotower_tpu.ops import pallas_kernels
+    from twotower_tpu.ops.dispatch import pallas_enabled
+    from twotower_tpu.ops.losses import in_batch_softmax_block
+
+    data_ax = config.mesh.data_axis
+    num_data = mesh.shape[data_ax]
+
+    def loss(user_emb, item_emb, item_idx, *, temperature, log_q=None, weights=None):
+        batch = user_emb.shape[0]
+        rows_local = batch // num_data
+        dim = user_emb.shape[1]
+        if force_pallas is None:
+            use_pallas = (
+                pallas_enabled()
+                and jax.default_backend() == "tpu"
+                and pallas_kernels.supported_block(rows_local, batch, dim)
+            )
+        else:
+            use_pallas = force_pallas
+        block = (
+            pallas_kernels.fused_in_batch_softmax_block
+            if use_pallas
+            else in_batch_softmax_block
+        )
+        w = weights if weights is not None else jnp.ones((batch,), jnp.float32)
+        args = [user_emb, item_emb, item_idx, w]
+        specs = [P(data_ax, None), P(data_ax, None), P(data_ax), P(data_ax)]
+        if log_q is not None:
+            args.append(log_q)
+            specs.append(P())
+
+        def body(u_loc, v_loc, idx_loc, w_loc, *rest):
+            lq = rest[0] if rest else None
+            d = jax.lax.axis_index(data_ax)
+            v_all = jax.lax.all_gather(v_loc, data_ax, tiled=True, axis=0)
+            idx_all = jax.lax.all_gather(idx_loc, data_ax, tiled=True, axis=0)
+            w_all = jax.lax.all_gather(w_loc, data_ax, tiled=True, axis=0)
+            return block(
+                u_loc,
+                v_all,
+                idx_all,
+                d * rows_local,
+                temperature=temperature,
+                log_q=lq,
+                weights_all=w_all if weights is not None else None,
+            )
+
+        per_example, correct, raw_diag = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(specs),
+            out_specs=(P(data_ax),) * 3,
+            check_rep=False,
+        )(*args)
+
+        wf = w.astype(jnp.float32)
+        denom = jnp.maximum(wf.sum(), 1.0)
+        loss_val = (per_example * wf).sum() / denom
+        metrics = {
+            "accuracy": (correct * wf).sum() / denom,
+            "logits_mean": (raw_diag * wf).sum() / denom,
+        }
+        return loss_val, metrics
+
+    return loss
+
+
 def make_sharded_train_step(
     config: Config,
     optimizer,
@@ -65,11 +151,19 @@ def make_sharded_train_step(
             item_tokens=item_tokens,
             donate=donate,
         )
-    # Dense GSPMD path. Pallas kernels only when the mesh is a single
-    # device: GSPMD cannot auto-partition pallas_call, and the in-batch loss
-    # needs the full batch.
+    # Dense GSPMD path. GSPMD cannot auto-partition pallas_call, so on a
+    # multi-device mesh the fused loss is injected as a shard_map island
+    # (make_mesh_loss) when the per-shard block shape is supported; the
+    # single-device mesh keeps the plain dispatcher.
+    mesh_loss = None
+    if mesh.devices.size > 1 and config.retrieval.candidate_sampling == "in_batch":
+        mesh_loss = make_mesh_loss(mesh, config)
     raw = make_step_fn(
-        config, optimizer, allow_pallas=mesh.devices.size == 1, num_items=num_items
+        config,
+        optimizer,
+        allow_pallas=mesh.devices.size == 1,
+        num_items=num_items,
+        loss_impl=mesh_loss,
     )
     st_sh = state_shardings(mesh, state_template, config.mesh)
     b_sh = batch_shardings(mesh, config.mesh)

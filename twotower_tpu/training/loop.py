@@ -33,7 +33,13 @@ Batch = dict[str, Array]
 TrainStepFn = Callable[[TrainState, Batch, Array], tuple[TrainState, dict[str, Array]]]
 
 
-def make_loss_fn(config: Config, *, allow_pallas: bool = True, num_items: int | None = None):
+def make_loss_fn(
+    config: Config,
+    *,
+    allow_pallas: bool = True,
+    num_items: int | None = None,
+    loss_impl: Callable | None = None,
+):
     """Build ``loss_fn(params, batch, dropout_rng, log_q, item_tokens)``.
 
     ``log_q`` / ``item_tokens`` are ARGUMENTS, not closures: closure-captured
@@ -96,10 +102,10 @@ def make_loss_fn(config: Config, *, allow_pallas: bool = True, num_items: int | 
                 neg_idx=neg_ids,
             )
         else:
-            loss_impl = (
+            impl = loss_impl or (
                 in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
             )
-            loss, metrics = loss_impl(
+            loss, metrics = impl(
                 user_emb,
                 item_emb,
                 batch["item_idx"],
@@ -127,12 +133,17 @@ def make_step_fn(
     *,
     allow_pallas: bool = True,
     num_items: int | None = None,
+    loss_impl: Callable | None = None,
 ) -> TrainStepFn:
     """The un-jitted step ``(state, batch, rng, log_q=None, item_tokens=None)``:
     grad -> optimizer update -> new state. Shared by the single-chip path
     (``make_train_step``) and the mesh path
-    (``parallel.spmd.make_sharded_train_step``)."""
-    loss_fn = make_loss_fn(config, allow_pallas=allow_pallas, num_items=num_items)
+    (``parallel.spmd.make_sharded_train_step``). ``loss_impl`` overrides the
+    in-batch loss implementation (the mesh path injects a shard_map-wrapped
+    Pallas block loss — ``parallel.spmd.make_mesh_loss``)."""
+    loss_fn = make_loss_fn(
+        config, allow_pallas=allow_pallas, num_items=num_items, loss_impl=loss_impl
+    )
 
     def step(
         state: TrainState,
