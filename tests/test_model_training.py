@@ -106,6 +106,6 @@ class TestTraining:
         es = EarlyStopping(patience=2)
         assert es.update(0.5, 1) is False
         assert es.update(0.4, 2) is False
-        assert es.update(0.4, 3) is False
-        assert es.update(0.3, 4) is True
+        # Keras convention: exactly `patience` non-improving rounds stop.
+        assert es.update(0.4, 3) is True
         assert es.best == 0.5 and es.best_step == 1

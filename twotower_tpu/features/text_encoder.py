@@ -7,8 +7,9 @@ metric parity). The TPU-native realization is a **hashed n-gram bag**:
 deterministic stable hashing of unigrams+bigrams into a fixed bucket space,
 emitted as a static-shape ``[N, max_tokens]`` int32 matrix. On device the
 model mean-pools a bucket-embedding lookup over these tokens (an
-embedding-bag — the op the Pallas fused gather+pool kernel accelerates,
-ops/pallas_gather.py). No vocabulary files, no OOV path, O(1) memory in
+embedding-bag, deliberately left to XLA's gather+reduce fusion — measured
+memory-bound-optimal; see the scope note in ops/pallas_kernels.py).
+No vocabulary files, no OOV path, O(1) memory in
 corpus size — the right text trade-off for retrieval towers at this scale.
 """
 

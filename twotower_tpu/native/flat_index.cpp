@@ -47,9 +47,12 @@ inline float dot(const float* __restrict a, const float* __restrict b, int d) {
 extern "C" {
 
 // Exact top-k over the full corpus for a batch of queries.
+// ABI precondition: 1 <= k <= n. out_scores/out_idx are caller-allocated
+// with row stride k, so clamping k here would silently change the write
+// stride under the caller; the Python binding (serving/cpu_index.py)
+// validates the range before calling.
 void flat_topk(const float* corpus, int32_t n, int32_t d, const float* queries,
                int32_t b, int32_t k, float* out_scores, int32_t* out_idx) {
-  if (k > n) k = n;
 #pragma omp parallel for schedule(dynamic, 1)
   for (int32_t q = 0; q < b; ++q) {
     const float* query = queries + static_cast<int64_t>(q) * d;

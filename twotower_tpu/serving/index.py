@@ -2,10 +2,14 @@
 
 Replaces the reference's declared FAISS/Annoy ANN layer (reference:
 pyproject.toml:38-39, README.md:54 "FAISS/Annoy for approximate nearest
-neighbor search") with exact on-TPU MIPS over the precomputed item-corpus
+neighbor search") with on-TPU MIPS over the precomputed item-corpus
 embeddings (``ops/topk.py``), plus a native C++ CPU fallback index
-(``serving/cpu_index.py``) for TPU-less deployments — both exact, so serving
-results match evaluation metrics bit-for-bit.
+(``serving/cpu_index.py``) for TPU-less deployments.
+
+Exactness: the DEFAULT ``serving.index_type="tpu_mips"`` dispatches
+``lax.approx_max_k`` (recall target 0.95 — the FAISS-equivalent ANN trade);
+choose ``tpu_mips_exact`` (chunked-scan MIPS) or ``cpu_flat`` when serving
+results must match evaluation metrics bit-for-bit.
 """
 
 from __future__ import annotations

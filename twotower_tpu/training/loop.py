@@ -216,7 +216,9 @@ class EarlyStopping:
             self.bad_rounds = 0
             return False
         self.bad_rounds += 1
-        return self.bad_rounds > self.patience
+        # Keras/TFRS convention: stop after exactly `patience` consecutive
+        # non-improving validations (reference schema patience 5).
+        return self.bad_rounds >= self.patience
 
 
 @dataclass
