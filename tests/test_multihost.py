@@ -1,0 +1,154 @@
+"""Multi-host input-path tests.
+
+Two layers: (a) pure host-shard slicing semantics of BatchPipeline, and
+(b) a REAL 2-process ``jax.distributed`` CPU run (localhost coordinator,
+2 virtual devices per process) training the sparse mesh path end-to-end
+where no process ever materializes the global batch — the per-process
+slices are assembled with ``jax.make_array_from_process_local_data``.
+The distributed loss must match a single-process run of the same
+configuration (the input path is a layout change, not a numerics change).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+class TestHostShardPipeline:
+    def _pipes(self, count):
+        from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+        from twotower_tpu.config import Config
+
+        cfg = Config().with_overrides(
+            {"preprocessing.min_interactions_per_user": 2,
+             "preprocessing.min_interactions_per_item": 2}
+        )
+        data = generate_interactions(num_users=100, num_items=50,
+                                     num_interactions=2000, noise=0.3)
+        pp = Preprocessor(cfg.preprocessing)
+        data = pp.process(data)
+        full = BatchPipeline(data, 32, seed=7)
+        shards = [
+            BatchPipeline(data, 32, seed=7, host_shard=(i, count))
+            for i in range(count)
+        ]
+        return full, shards
+
+    @pytest.mark.parametrize("count", [2, 4])
+    def test_shards_reassemble_global_batches(self, count):
+        full, shards = self._pipes(count)
+        for epoch in (0, 1):
+            iters = [p.epoch(epoch) for p in shards]
+            for ref_batch in full.epoch(epoch):
+                parts = [next(it) for it in iters]
+                for key in ("user_idx", "item_idx", "weight"):
+                    np.testing.assert_array_equal(
+                        np.concatenate([p[key] for p in parts]), ref_batch[key]
+                    )
+            for it in iters:
+                with pytest.raises(StopIteration):
+                    next(it)
+
+    def test_bad_shard_config_rejected(self):
+        from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+        from twotower_tpu.config import Config
+
+        cfg = Config().with_overrides(
+            {"preprocessing.min_interactions_per_user": 2,
+             "preprocessing.min_interactions_per_item": 2}
+        )
+        data = Preprocessor(cfg.preprocessing).process(
+            generate_interactions(num_users=50, num_items=30,
+                                  num_interactions=1000, noise=0.3)
+        )
+        with pytest.raises(ValueError):
+            BatchPipeline(data, 32, host_shard=(2, 2))
+        with pytest.raises(ValueError):
+            BatchPipeline(data, 30, host_shard=(0, 4))  # 30 % 4 != 0
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_training_matches_single_process():
+    """Spawn 2 real jax.distributed processes (2 CPU devices each) and train
+    one epoch; both processes and a single-process 4-device reference must
+    report the same final loss."""
+    port = _free_port()
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             str(port), str(pid), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=str(REPO),
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for w in workers:
+        out, _ = w.communicate(timeout=420)
+        assert w.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["pid"]] = r["loss"]
+    assert set(results) == {0, 1}
+    # Both processes compute the same (replicated) global loss.
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+    # Single-process reference on a 4-device mesh of the same shape.
+    import jax
+
+    from twotower_tpu.config import Config
+    from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+    from twotower_tpu.parallel import build_mesh
+    from twotower_tpu.training import Trainer
+
+    cfg = Config().with_overrides(
+        {
+            "model.embedding_dim": 16,
+            "model.user_tower_dims": [32, 16],
+            "model.item_tower_dims": [32, 16],
+            "model.dropout_rate": 0.0,
+            "training.batch_size": 32,
+            "training.epochs": 1,
+            "training.log_every_steps": 1000,
+            "mesh.num_model": 2,
+            "preprocessing.min_interactions_per_user": 2,
+            "preprocessing.min_interactions_per_item": 2,
+        }
+    )
+    data = generate_interactions(
+        num_users=200, num_items=100, num_interactions=3000, noise=0.2
+    )
+    pp = Preprocessor(cfg.preprocessing)
+    data = pp.process(data)
+    splits = pp.split_data(data)
+    mesh = build_mesh(cfg.mesh, jax.devices()[:4])
+    trainer = Trainer(
+        cfg, log_q=np.log(pp.vocab.items.frequencies + 1e-12), mesh=mesh
+    )
+    state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+    res = trainer.fit(
+        state, BatchPipeline(splits.train, cfg.training.batch_size,
+                             seed=cfg.training.seed)
+    )
+    ref_loss = res.history[-1].get("loss")
+    np.testing.assert_allclose(results[0], ref_loss, rtol=1e-4)

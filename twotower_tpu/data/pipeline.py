@@ -24,7 +24,16 @@ Batch = dict[str, Any]
 
 
 class BatchPipeline:
-    """Seeded, epoch-aware batch iterator over encoded interactions."""
+    """Seeded, epoch-aware batch iterator over encoded interactions.
+
+    ``host_shard=(process_index, process_count)`` enables the multi-host
+    input path: every process runs the SAME seeded permutation (so the
+    global batch composition is identical everywhere) but yields only its
+    contiguous ``batch_size / process_count`` slice of each global batch —
+    no process ever materializes the global batch. The trainer assembles
+    the sharded global array with ``jax.make_array_from_process_local_data``
+    (SURVEY.md §5.8; reference README.md:17 declares distributed training).
+    """
 
     def __init__(
         self,
@@ -33,6 +42,7 @@ class BatchPipeline:
         shuffle: bool = True,
         drop_remainder: bool = True,
         seed: int = 42,
+        host_shard: tuple[int, int] | None = None,
     ):
         if data.user_idx is None or data.item_idx is None:
             raise ValueError("data must be encoded (run Preprocessor.process first)")
@@ -42,6 +52,15 @@ class BatchPipeline:
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self.seed = seed
+        if host_shard is not None:
+            index, count = host_shard
+            if not 0 <= index < count:
+                raise ValueError(f"host_shard index {index} not in [0, {count})")
+            if self.batch_size % count:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by process count {count}"
+                )
+        self.host_shard = host_shard
 
     def __len__(self) -> int:
         n = len(self.user_idx)
@@ -61,6 +80,11 @@ class BatchPipeline:
         )
         bs = self.batch_size
         limit = (n // bs) * bs if self.drop_remainder else n
+        lo, hi = 0, bs
+        if self.host_shard is not None:
+            index, count = self.host_shard
+            per = bs // count
+            lo, hi = index * per, (index + 1) * per
         for start in range(0, limit, bs):
             sel = order[start : start + bs]
             pad = bs - len(sel)
@@ -69,10 +93,11 @@ class BatchPipeline:
                 # Static shape: pad with repeats of row 0, zero-weighted.
                 sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
                 weight[bs - pad :] = 0.0
+            sel = sel[lo:hi]
             yield {
                 "user_idx": self.user_idx[sel],
                 "item_idx": self.item_idx[sel],
-                "weight": weight,
+                "weight": weight[lo:hi],
             }
 
     def __iter__(self) -> Iterator[Batch]:

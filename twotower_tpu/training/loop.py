@@ -327,9 +327,20 @@ class Trainer:
 
         if self.mesh is not None:
             b_sh = self._batch_sharding
+            global_rows = self.config.training.batch_size
 
             def to_device(b):
-                return {k: jax.device_put(jnp.asarray(v), b_sh) for k, v in b.items()}
+                # Multi-host-correct batch assembly: each process supplies
+                # ONLY its addressable slice (BatchPipeline host_shard) and
+                # the runtime assembles the global sharded array — no
+                # process ever holds the global batch. Single-process this
+                # reduces to a plain sharded device_put.
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        b_sh, np.asarray(v), (global_rows,) + np.shape(v)[1:]
+                    )
+                    for k, v in b.items()
+                }
         else:
 
             def to_device(b):

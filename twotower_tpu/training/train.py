@@ -66,6 +66,16 @@ def build_argparser() -> argparse.ArgumentParser:
         help="train SPMD over ALL visible devices (data x model mesh from "
         "config.mesh) instead of single-device",
     )
+    # Multi-host (multi-controller) bring-up: every process runs this same
+    # CLI with its own --process-id; the mesh then spans all processes'
+    # devices and the input pipeline feeds per-process shards only.
+    p.add_argument(
+        "--coordinator", type=str, default=None,
+        help="multi-host coordinator address host:port "
+        "(jax.distributed.initialize); omit for single-process runs",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -172,8 +182,20 @@ def run(args, config: Config) -> dict:
             mesh=mesh,
             num_items=num_items,
         )
+        import jax
+
+        host_shard = None
+        if mesh is not None and jax.process_count() > 1:
+            host_shard = (jax.process_index(), jax.process_count())
+            logger.info(
+                "multi-host input: process %d/%d feeds %d of %d batch rows",
+                host_shard[0], host_shard[1],
+                config.training.batch_size // host_shard[1],
+                config.training.batch_size,
+            )
         train_input = BatchPipeline(
-            splits.train, config.training.batch_size, seed=config.training.seed
+            splits.train, config.training.batch_size, seed=config.training.seed,
+            host_shard=host_shard,
         )
     state = trainer.init_state(num_users, num_items)
     start_epoch = 0
@@ -218,6 +240,13 @@ def main(argv: list[str] | None = None) -> int:
     respect_env_platform()
     setup_logging()
     args = build_argparser().parse_args(argv)
+    if args.coordinator is not None:
+        # Must run before anything touches the JAX backend.
+        from twotower_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id
+        )
     config = load_config(args.config, parse_cli_overrides(args.override))
     summary = run(args, config)
     print(json.dumps(summary))
