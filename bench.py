@@ -6,7 +6,12 @@ towers [512,256,128] (reference: configs/data_config.yaml:54-66) — on
 synthetic interactions (zero-egress environment; data content does not affect
 step cost, shapes do).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+
+``--breakdown`` additionally times the step's phases (forward loss, +backward,
++dense Adam, table row scatter) with the same two-point-slope method and
+prints them as JSON lines on STDERR — the decomposition that justifies (or
+refutes) "nothing left to win" on each phase.
 
 Baseline derivation (BASELINE.md): the reference reports 2.3 h training time
 for its development run (reference README.md:80) under batch 1024 x 50 epochs
@@ -16,7 +21,9 @@ on the TF-CPU stack. vs_baseline = measured / 6000.
 
 from __future__ import annotations
 
+import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -96,6 +103,128 @@ def main() -> None:
             }
         )
     )
+
+    if "--breakdown" in sys.argv:
+        breakdown(cfg, state, batches, log_q, step_ms=step_s * 1e3)
+
+
+def _slope(fn, n1: int, n2: int) -> float:
+    """Per-call seconds via the two-run-length slope (fn must end in a hard
+    sync — a scalar fetch fed by the full computation)."""
+    fn(2)  # warm
+    t1_ = time.perf_counter()
+    fn(n1)
+    t1 = time.perf_counter() - t1_
+    t2_ = time.perf_counter()
+    fn(n2)
+    t2 = time.perf_counter() - t2_
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def breakdown(cfg, state, batches, log_q, *, step_ms: float) -> None:
+    """Phase decomposition of the sparse train step. Mirrors the production
+    ``training.sparse.make_sparse_step_fn`` structure: gathered-row diff,
+    fused in-batch loss, dense Adam, lazy-Adam row scatter."""
+    import jax
+    import jax.numpy as jnp
+
+    from twotower_tpu.models import two_tower
+    from twotower_tpu.ops.dispatch import in_batch_softmax_loss_auto
+    from twotower_tpu.training.sparse import split_params, sparse_table_updates
+    from twotower_tpu.training.state import TrainState
+
+    mcfg, rcfg = cfg.model, cfg.retrieval
+    tables, dense = split_params(state.params)
+
+    def build_loss(diff, batch, log_q):
+        u_emb = two_tower.apply_user_tower(diff["dense"], diff["u_rows"], mcfg)
+        i_emb = two_tower.apply_item_tower(diff["dense"], diff["i_rows"], mcfg)
+        loss, _ = in_batch_softmax_loss_auto(
+            u_emb, i_emb, batch["item_idx"],
+            temperature=rcfg.temperature, log_q=log_q, weights=batch["weight"],
+        )
+        return loss
+
+    def diff_of(params, batch):
+        t, d = split_params(params)
+        return {
+            "dense": d,
+            "u_rows": t["user_embedding"][batch["user_idx"]],
+            "i_rows": t["item_embedding"][batch["item_idx"]],
+        }
+
+    @jax.jit
+    def fwd(params, batch, log_q):
+        return build_loss(diff_of(params, batch), batch, log_q)
+
+    @jax.jit
+    def fwd_bwd(params, batch, log_q):
+        grads = jax.grad(
+            lambda diff: build_loss(diff, batch, log_q)
+        )(diff_of(params, batch))
+        # Scalar fed by EVERY gradient element (a cheaper scalar would let
+        # XLA dead-code-eliminate most of the backward).
+        return sum(
+            jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(grads)
+        )
+
+    # Scatter-only: a steady-state chained row update on the real tables.
+    rng = np.random.default_rng(3)
+    fake_grads = {
+        name: (
+            jnp.asarray(rng.integers(0, t.shape[0] - 1, BATCH), jnp.int32),
+            jnp.asarray(rng.normal(size=(BATCH, t.shape[1])) * 1e-3, jnp.float32),
+        )
+        for name, t in tables.items()
+    }
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter_only(st, row_grads):
+        # Donation is load-bearing: without it every call copies the full
+        # tables+moments (~GBs) instead of updating rows in place.
+        tbls, _ = split_params(st.params)
+        new_tables, new_tstate, norm_sq = sparse_table_updates(
+            tbls, st.table_state, row_grads, lr=jnp.float32(1e-3), step=st.step + 1
+        )
+        new_state = TrainState(
+            step=st.step + 1,
+            params={**st.params, **new_tables},
+            opt_state=st.opt_state,
+            table_state=new_tstate,
+        )
+        return new_state, norm_sq
+
+    def run_fwd(n):
+        for i in range(n):
+            out = fwd(state.params, batches[i % len(batches)], log_q)
+        _ = float(out)
+
+    def run_fwd_bwd(n):
+        for i in range(n):
+            out = fwd_bwd(state.params, batches[i % len(batches)], log_q)
+        _ = float(out)
+
+    st = state
+
+    def run_scatter(n):
+        nonlocal st
+        for _ in range(n):
+            st, norm = scatter_only(st, fake_grads)
+        _ = float(norm)
+
+    n1, n2 = 20, 80
+    fwd_ms = _slope(run_fwd, n1, n2) * 1e3
+    bwd_ms = _slope(run_fwd_bwd, n1, n2) * 1e3
+    scatter_ms = _slope(run_scatter, n1, n2) * 1e3
+    phases = {
+        "fwd_loss_ms": round(fwd_ms, 3),
+        "fwd_bwd_ms": round(bwd_ms, 3),
+        "bwd_only_ms": round(bwd_ms - fwd_ms, 3),
+        "table_scatter_ms": round(scatter_ms, 3),
+        "dense_adam_and_rest_ms": round(step_ms - bwd_ms - scatter_ms, 3),
+        "full_step_ms": round(step_ms, 3),
+    }
+    print(json.dumps({"breakdown": phases}), file=sys.stderr)
 
 
 if __name__ == "__main__":
