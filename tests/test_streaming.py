@@ -1,0 +1,143 @@
+"""Out-of-core preprocessing tests: the streaming pipeline must produce
+byte-identical artifacts to the in-memory ``Preprocessor`` while never
+buffering more than ``batch_rows`` rows (>10 chunks enforced)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from twotower_tpu.config import Config
+from twotower_tpu.data.preprocess import Preprocessor
+from twotower_tpu.data.streaming import StreamingPreprocessor
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    """Synthetic raw corpus with duplicates, bad ratings, short/long text,
+    and k-core-prunable tails, written as one parquet."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    users = np.array([f"u{i:04d}" for i in rng.integers(0, 220, n)], object)
+    items = np.array([f"i{i:04d}" for i in rng.integers(0, 140, n)], object)
+    rating = rng.integers(0, 7, n).astype(np.float32)  # some out of [1,5]
+    ts = rng.integers(1_500_000_000, 1_700_000_000, n).astype(np.int64)
+    texts = np.array(
+        [
+            ["short", "a perfectly reasonable review text", "x" * 2500,
+             "Great product! Works well and lasts long."][k]
+            for k in rng.integers(0, 4, n)
+        ],
+        object,
+    )
+    # Exact duplicates of some (user,item) pairs with differing timestamps.
+    users[100:130] = users[0:30]
+    items[100:130] = items[0:30]
+    df = pd.DataFrame(
+        {
+            "user_id": users,
+            "parent_asin": items,
+            "rating": rating,
+            "timestamp": ts,
+            "text": texts,
+            "title": np.array(["t " + str(i % 9) for i in range(n)], object),
+        }
+    )
+    path = tmp_path / "raw.parquet"
+    df.to_parquet(path)
+    return path, df
+
+
+def test_streaming_matches_in_memory(corpus, tmp_path):
+    path, df = corpus
+    cfg = Config().with_overrides(
+        {
+            "preprocessing.min_interactions_per_user": 3,
+            "preprocessing.min_interactions_per_item": 3,
+        }
+    ).preprocessing
+
+    from twotower_tpu.data import schema
+
+    ref_pp = Preprocessor(cfg)
+    ref = ref_pp.process(schema.from_dataframe(df))
+
+    out_dir = tmp_path / "out"
+    spp = StreamingPreprocessor(cfg, batch_rows=200)  # 3000 rows -> 15 chunks
+    stats = spp.process_parquet(path, out_dir)
+
+    # >10 bounded chunks actually streamed (the memory-cap contract).
+    assert stats["chunks_processed"] > 10 * 2  # two full passes minimum
+
+    got = pd.read_parquet(out_dir / "combined_interactions.parquet")
+    assert stats["num_interactions"] == len(ref) == len(got)
+    np.testing.assert_array_equal(got["user_id"].to_numpy(), ref.user_id.astype(str))
+    np.testing.assert_array_equal(got["parent_asin"].to_numpy(), ref.item_id.astype(str))
+    np.testing.assert_array_equal(got["user_idx"].to_numpy(), ref.user_idx)
+    np.testing.assert_array_equal(got["item_idx"].to_numpy(), ref.item_idx)
+    np.testing.assert_array_equal(got["timestamp"].to_numpy(), ref.timestamp)
+    np.testing.assert_allclose(got["rating"].to_numpy(), ref.rating)
+    np.testing.assert_array_equal(got["text"].to_numpy(), ref.text.astype(str))
+
+    # Vocab parity: same ids, same counts, same order.
+    assert ref_pp.vocab is not None and spp.vocab is not None
+    np.testing.assert_array_equal(
+        spp.vocab.users.ids.astype(str), ref_pp.vocab.users.ids.astype(str)
+    )
+    np.testing.assert_array_equal(spp.vocab.users.counts, ref_pp.vocab.users.counts)
+    np.testing.assert_array_equal(
+        spp.vocab.items.ids.astype(str), ref_pp.vocab.items.ids.astype(str)
+    )
+    np.testing.assert_array_equal(spp.vocab.items.counts, ref_pp.vocab.items.counts)
+
+    stats_file = json.loads((out_dir / "dataset_stats.json").read_text())
+    assert stats_file["num_users"] == len(ref_pp.vocab.users)
+    assert stats_file["num_items"] == len(ref_pp.vocab.items)
+
+
+def test_streaming_multiple_files(corpus, tmp_path):
+    """Several input shards stream as one concatenated corpus."""
+    path, df = corpus
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    df.iloc[:1500].to_parquet(a)
+    df.iloc[1500:].to_parquet(b)
+    cfg = Config().with_overrides(
+        {
+            "preprocessing.min_interactions_per_user": 3,
+            "preprocessing.min_interactions_per_item": 3,
+        }
+    ).preprocessing
+
+    out1 = tmp_path / "o1"
+    out2 = tmp_path / "o2"
+    s1 = StreamingPreprocessor(cfg, batch_rows=512).process_parquet(path, out1)
+    s2 = StreamingPreprocessor(cfg, batch_rows=512).process_parquet([a, b], out2)
+    assert s1["num_interactions"] == s2["num_interactions"]
+    g1 = pd.read_parquet(out1 / "combined_interactions.parquet")
+    g2 = pd.read_parquet(out2 / "combined_interactions.parquet")
+    np.testing.assert_array_equal(g1["user_idx"].to_numpy(), g2["user_idx"].to_numpy())
+    np.testing.assert_array_equal(g1["item_idx"].to_numpy(), g2["item_idx"].to_numpy())
+
+
+def test_prepare_cli_streaming(corpus, tmp_path):
+    path, _ = corpus
+    from twotower_tpu.data.prepare import main as prepare_main
+
+    data_dir = tmp_path / "raw_dir"
+    data_dir.mkdir()
+    (data_dir / "corpus.parquet").write_bytes(path.read_bytes())
+    out_dir = tmp_path / "prep_out"
+    rc = prepare_main(
+        [
+            "--data-dir", str(data_dir),
+            "--output-dir", str(out_dir),
+            "--streaming", "--batch-rows", "256",
+            "--override",
+            "preprocessing.min_interactions_per_user=3",
+            "preprocessing.min_interactions_per_item=3",
+        ]
+    )
+    assert rc == 0
+    assert (out_dir / "combined_interactions.parquet").exists()
+    assert (out_dir / "vocab" / "user_vocab.npz").exists()

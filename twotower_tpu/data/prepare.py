@@ -132,6 +132,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-balance", action="store_true")
     p.add_argument("--features", action="store_true",
                    help="attach engineered feature columns")
+    p.add_argument(
+        "--streaming", action="store_true",
+        help="out-of-core pipeline (bounded row buffers; corpora larger "
+        "than host RAM). Implies --no-balance; no category column.",
+    )
+    p.add_argument(
+        "--batch-rows", type=int, default=262_144,
+        help="row-buffer cap per streamed chunk (--streaming)",
+    )
     return p
 
 
@@ -139,6 +148,20 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging()
     args = build_argparser().parse_args(argv)
     config = load_config(args.config, parse_cli_overrides(args.override))
+
+    if args.streaming:
+        from twotower_tpu.data.streaming import StreamingPreprocessor
+
+        files = sorted(Path(args.data_dir).glob("*.parquet"))
+        if not files:
+            logger.error("no parquet files found under %s", args.data_dir)
+            return 1
+        spp = StreamingPreprocessor(
+            config.preprocessing, batch_rows=args.batch_rows
+        )
+        stats = spp.process_parquet(files, Path(args.output_dir))
+        print(json.dumps(stats))
+        return 0
 
     per_category = load_category_files(Path(args.data_dir))
     if not per_category:
