@@ -140,35 +140,3 @@ def test_dispatch_falls_back_off_tpu(rng):
         u, v, idx, temperature=0.1, log_q=log_q, weights=w
     )
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
-
-
-class TestScatterKernel:
-    def test_matches_xla_adam_row_update(self, rng):
-        from twotower_tpu.ops.pallas_scatter import fused_adam_row_update
-        from twotower_tpu.training.sparse import adam_row_update, dedup_rows
-
-        n, e, b = 512, 128, 128
-        table = jnp.asarray(rng.normal(size=(n, e)), jnp.float32)
-        mu = jnp.asarray(rng.normal(size=(n, e)) * 0.01, jnp.float32)
-        nu = jnp.asarray(np.abs(rng.normal(size=(n, e))) * 0.01, jnp.float32)
-        ids = jnp.asarray(rng.integers(0, n - 1, b), jnp.int32)
-        grads = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
-        targets, summed, valid = dedup_rows(ids, grads, n - 1)
-        kw = dict(lr=jnp.float32(1e-3), b1=0.9, b2=0.999, eps=1e-8,
-                  step=jnp.int32(3))
-        rt, rmu, rnu = adam_row_update(table, mu, nu, targets, summed, valid, **kw)
-        pt, pmu, pnu = fused_adam_row_update(table, mu, nu, targets, summed, valid, **kw)
-        np.testing.assert_allclose(np.asarray(pt), np.asarray(rt), rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(pmu), np.asarray(rmu), rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(pnu), np.asarray(rnu), rtol=1e-5, atol=1e-6)
-
-    def test_rejects_unaligned_rows(self, rng):
-        from twotower_tpu.ops.pallas_scatter import fused_adam_row_update
-
-        with pytest.raises(ValueError):
-            fused_adam_row_update(
-                jnp.zeros((256, 128)), jnp.zeros((256, 128)), jnp.zeros((256, 128)),
-                jnp.zeros((100,), jnp.int32), jnp.zeros((100, 128)),
-                jnp.ones((100,), bool),
-                lr=jnp.float32(1e-3), b1=0.9, b2=0.999, eps=1e-8, step=jnp.int32(1),
-            )

@@ -15,6 +15,18 @@ standard and empirically preferable convention for embedding tables).
 Duplicate/invalid scatter targets are aimed at the table's reserved dead row
 (``models.two_tower.dead_row``) with zero-masked updates, keeping every
 scatter target unique-or-harmless without dynamic shapes.
+
+Scatter implementation decision (measured on v5e, slope-timed, 4096 rows
+into 500k x 128 + packed [N,2E] moments, per update):
+  - XLA gather + scatter-ADD (this module):            0.94 ms
+  - gather rows + moments, scatter-SET both:           0.96 ms
+  - fully packed [N,3E] state, 1 gather + 1 SET:       1.08 ms
+  - Pallas per-row async-DMA kernel (128 in flight):   2.5-2.7 ms
+XLA's scatter-add pipeline wins outright: the update is bound by random
+row-access latency the hardware already hides as well as it can, NOT by
+transaction count (the [N,3E] repack REDUCES transactions 2.5x and still
+loses) nor bytes. The Pallas kernel scaffold was therefore deleted
+(round-2); the XLA path below is the production dispatch everywhere.
 """
 
 from __future__ import annotations
@@ -88,9 +100,9 @@ def adam_row_update(
 ) -> tuple[Array, Array, Array]:
     """Lazy-Adam update of the targeted rows only (scatter-add deltas).
 
-    Reference form with separate mu/nu arrays — the semantics twin that the
-    packed fast path (``adam_row_update_packed``) and the Pallas kernel
-    (``ops.pallas_scatter``) are golden-tested against."""
+    Reference form with separate mu/nu arrays — the semantics twin the
+    packed fast path (``adam_row_update_packed``) is golden-tested
+    against."""
     mask = valid.astype(table.dtype)[:, None]
     mu_rows = mu[targets]
     nu_rows = nu[targets]
