@@ -1,0 +1,78 @@
+"""10M-item serving latency on one chip (BASELINE config-5 catalog scale).
+
+Measures the production ANN path (``ops.topk.topk_mips_approx`` — TPU
+PartialReduce per 1M-row item block + exact cross-block merge) against the
+reference's 8-12 ms p95 target for 10M items (reference README.md:80), plus
+its recall@100 against the exact scan on the same corpus.
+
+Methodology (see docs/benchmarks in PARITY.md): the 5 GB corpus is generated
+ON DEVICE (host is throttled), passed as a jit argument (closure-captured
+buffers get re-shipped per call on this transport), and timed with the
+two-run-length slope where the only sync is a scalar fetch from the last
+call's scores — device execution is in-order, so that scalar completing
+implies every prior call completed.
+
+Prints JSON lines: {"batch", "latency_ms", "qps"} per batch size, then
+{"recall_at_100": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from twotower_tpu.ops.topk import topk_mips, topk_mips_approx
+
+N, D, K = 10_000_000, 128, 100
+GEN_BLOCKS = 20
+
+
+def main() -> None:
+    key = jax.random.PRNGKey(0)
+    corpus = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.fold_in(key, i), (N // GEN_BLOCKS, D), jnp.float32)
+            for i in range(GEN_BLOCKS)
+        ]
+    )
+    jax.block_until_ready(corpus)
+    print(f"# corpus resident: {corpus.nbytes / 1e9:.1f} GB", flush=True)
+
+    for batch in (1, 64, 256):
+        q = jax.random.normal(jax.random.fold_in(key, 1000 + batch), (batch, D))
+
+        def run(n_calls: int) -> float:
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                vals, _ = topk_mips_approx(q, corpus, K, query_chunk=64)
+            _ = float(vals[0, 0])  # hard sync: in-order device queue drains
+            return time.perf_counter() - t0
+
+        run(2)  # compile + warm
+        n1, n2 = 10, 40
+        t1, t2 = run(n1), run(n2)
+        lat = max((t2 - t1) / (n2 - n1), 1e-9)
+        print(
+            json.dumps(
+                {"batch": batch, "latency_ms": round(lat * 1e3, 2), "qps": round(batch / lat)}
+            ),
+            flush=True,
+        )
+
+    # Recall of the served path vs the exact scan, one 256-query batch.
+    q = jax.random.normal(jax.random.fold_in(key, 7), (256, D))
+    _, approx_idx = topk_mips_approx(q, corpus, K, query_chunk=64)
+    _, exact_idx = topk_mips(q, corpus, K)
+    hits = 0
+    a, e = jax.device_get(approx_idx), jax.device_get(exact_idx)
+    for row_a, row_e in zip(a, e):
+        hits += len(set(row_a.tolist()) & set(row_e.tolist()))
+    print(json.dumps({"recall_at_100": round(hits / (256 * K), 4)}), flush=True)
+    print("SERVING_10M_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,112 @@ class TestAiohttpApp:
         asyncio.run(go())
 
 
+class _CountingIndex:
+    """Index stub recording every device call (for coalescing asserts)."""
+
+    num_users, num_items = 1000, 500
+
+    def __init__(self, delay_s: float = 0.0):
+        self.calls: list[int] = []
+        self.delay_s = delay_s
+
+    def recommend(self, user_idx, k):
+        import time as _time
+
+        if self.delay_s:
+            _time.sleep(self.delay_s)
+        self.calls.append(len(user_idx))
+        b = len(user_idx)
+        # Deterministic per-user rows so waiters can verify their slice.
+        idx = (np.asarray(user_idx)[:, None] + np.arange(k)[None, :]) % self.num_items
+        return np.arange(k, 0, -1, dtype=np.float32)[None].repeat(b, 0), idx.astype(
+            np.int32
+        )
+
+
+class TestMicroBatcher:
+    def test_concurrent_requests_coalesce(self):
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        index = _CountingIndex(delay_s=0.01)
+        batcher = MicroBatcher(index, max_batch=256, window_ms=20.0)
+
+        async def go():
+            return await asyncio.gather(
+                *(batcher.recommend(np.array([u], np.int32), 5) for u in range(32))
+            )
+
+        results = asyncio.run(go())
+        assert len(results) == 32
+        for u, (scores, items) in enumerate(results):
+            assert scores.shape == (1, 5) and items.shape == (1, 5)
+            np.testing.assert_array_equal(
+                items[0], (u + np.arange(5)) % index.num_items
+            )
+        # 32 one-row requests must share device calls (first may go alone
+        # before the window opens; the rest coalesce).
+        assert len(index.calls) < 32
+        assert sum(index.calls) >= 32  # padding may add rows, never drops
+
+    def test_batch_shapes_bucketed(self):
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        index = _CountingIndex()
+        batcher = MicroBatcher(index, max_batch=256, window_ms=1.0)
+
+        async def go():
+            return await batcher.recommend(np.arange(3, dtype=np.int32), 4)
+
+        scores, items = asyncio.run(go())
+        assert scores.shape == (3, 4)
+        assert index.calls == [4]  # 3 rows padded to the 4-row bucket
+
+    def test_device_error_propagates(self):
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        class _Boom:
+            def recommend(self, user_idx, k):
+                raise RuntimeError("device on fire")
+
+        batcher = MicroBatcher(_Boom(), window_ms=1.0)
+
+        async def go():
+            await batcher.recommend(np.array([0], np.int32), 5)
+
+        with pytest.raises(RuntimeError, match="device on fire"):
+            asyncio.run(go())
+
+    def test_aiohttp_coalesced_end_to_end(self, service):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        async def go():
+            app = create_app(service, coalesce=True, window_ms=5.0)
+            async with TestClient(TestServer(app)) as client:
+                rs = await asyncio.gather(
+                    *(
+                        client.post("/recommend", json={"user_idx": [u], "k": 3})
+                        for u in range(8)
+                    )
+                )
+                assert all(r.status == 200 for r in rs)
+                bodies = await asyncio.gather(*(r.json() for r in rs))
+                for u, body in enumerate(bodies):
+                    assert body["results"][0]["user_idx"] == u
+                    assert len(body["results"][0]["items"]) == 3
+                h = await (await client.get("/health")).json()
+                assert h["coalesced_batches"] >= 1
+
+        asyncio.run(go())
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tiny_config_module, tmp_path):
         cfg = tiny_config_module

@@ -244,12 +244,18 @@ class ServingConfig:
     # tpu_mips_exact: exact chunked-scan MIPS; cpu_flat: native C++ fallback.
     index_type: str = "tpu_mips"
     recall_target: float = 0.95
+    # Micro-batch coalescing of concurrent /recommend requests (aiohttp
+    # front): wait up to coalesce_window_ms to merge waiters into one
+    # device call. 0 disables coalescing.
+    coalesce_window_ms: float = 2.0
 
     def __post_init__(self) -> None:
         if self.index_type not in ("tpu_mips", "tpu_mips_exact", "cpu_flat"):
             raise ValueError(f"unknown serving.index_type {self.index_type!r}")
         if not 0.0 < self.recall_target <= 1.0:
             raise ValueError("serving.recall_target must be in (0, 1]")
+        if self.coalesce_window_ms < 0:
+            raise ValueError("serving.coalesce_window_ms must be >= 0")
 
 
 # ---------------------------------------------------------------------------

@@ -15,8 +15,10 @@ both front the same handler core, which is framework-free and unit-testable.
 from __future__ import annotations
 
 import argparse
+import asyncio
 import json
 import sys
+import threading
 import time
 from typing import Any
 
@@ -45,7 +47,16 @@ class RecommendService:
         self.default_k = default_k
         self.max_batch = max_batch
         self.started = time.time()
-        self.requests = 0
+        self._requests = 0
+        self._lock = threading.Lock()  # FastAPI front runs handlers on threads
+
+    @property
+    def requests(self) -> int:
+        return self._requests
+
+    def _count_request(self) -> None:
+        with self._lock:
+            self._requests += 1
 
     # ------------------------------------------------------------------
 
@@ -92,17 +103,20 @@ class RecommendService:
             raise ServingError("user_idx out of range", status=404)
         return idx.astype(np.int32)
 
-    def recommend(self, payload: dict) -> dict[str, Any]:
-        """POST /recommend — {user_id|user_idx, k?} -> ranked items."""
-        self.requests += 1
+    def prepare_recommend(self, payload: dict) -> tuple[np.ndarray, int]:
+        """Validate a /recommend payload -> (user_idx [B], k). Raises
+        ServingError on client mistakes; counts the request."""
+        self._count_request()
         payload = self._check_payload(payload)
         k = self._get_k(payload)
         if not 1 <= k <= self.index.num_items:
             raise ServingError(f"k must be in [1, {self.index.num_items}]")
-        user_idx = self._resolve_users(payload)
-        t0 = time.perf_counter()
-        scores, items = self.index.recommend(user_idx, k)
-        latency_ms = (time.perf_counter() - t0) * 1000
+        return self._resolve_users(payload), k
+
+    def format_recommend(
+        self, user_idx: np.ndarray, scores: np.ndarray, items: np.ndarray,
+        k: int, latency_ms: float,
+    ) -> dict[str, Any]:
         return {
             "results": [
                 {
@@ -117,9 +131,21 @@ class RecommendService:
             "latency_ms": round(latency_ms, 3),
         }
 
+    def recommend(self, payload: dict) -> dict[str, Any]:
+        """POST /recommend — {user_id|user_idx, k?} -> ranked items.
+
+        Synchronous path (FastAPI front, unit tests, library callers); the
+        aiohttp front routes through ``MicroBatcher`` instead so concurrent
+        requests share device calls."""
+        user_idx, k = self.prepare_recommend(payload)
+        t0 = time.perf_counter()
+        scores, items = self.index.recommend(user_idx, k)
+        latency_ms = (time.perf_counter() - t0) * 1000
+        return self.format_recommend(user_idx, scores, items, k, latency_ms)
+
     def similar_items(self, payload: dict) -> dict[str, Any]:
         """POST /similar_items — {item_id|item_idx, k?} -> neighbours."""
-        self.requests += 1
+        self._count_request()
         payload = self._check_payload(payload)
         k = self._get_k(payload)
         # k+1 is searched (self-match removed), so k caps at num_items - 1
@@ -154,26 +180,134 @@ class RecommendService:
         }
 
 
+class MicroBatcher:
+    """Coalesces concurrent /recommend traffic into shared device calls.
+
+    Under concurrency, per-request device dispatch wastes the chip: a 1-row
+    and a 256-row query cost nearly the same (the corpus stream dominates —
+    see ``ops/topk.py``). Handlers enqueue ``(user_idx, k)`` and await a
+    future; a single worker task drains the queue for up to
+    ``window_ms`` (or until ``max_batch`` rows), issues ONE
+    ``index.recommend`` over the concatenated users in an executor thread
+    (the event loop stays free to accept requests), and scatters sliced
+    results back to each waiter. Batches are padded up to power-of-two
+    buckets so the jitted search compiles O(log max_batch) shapes, not one
+    per traffic pattern.
+    """
+
+    def __init__(self, index, *, max_batch: int = 256, window_ms: float = 2.0):
+        self.index = index
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self.batches = 0  # device calls issued (observability)
+        self._queue: asyncio.Queue | None = None
+        self._worker: asyncio.Task | None = None
+
+    async def recommend(self, user_idx: np.ndarray, k: int):
+        """Coalesced equivalent of ``index.recommend(user_idx, k)``."""
+        loop = asyncio.get_running_loop()
+        if self._worker is None or self._worker.done():
+            self._queue = asyncio.Queue()
+            self._worker = loop.create_task(self._run())
+        fut: asyncio.Future = loop.create_future()
+        self._queue.put_nowait((user_idx, k, fut))
+        return await fut
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _device_call(self, users: np.ndarray, k: int):
+        n = len(users)
+        padded = self._bucket(n)
+        if padded != n:  # pad with a valid row; sliced off below
+            users = np.concatenate([users, np.zeros(padded - n, users.dtype)])
+        scores, items = self.index.recommend(users, k)
+        return scores[:n], items[:n]
+
+    async def _run(self):
+        loop = asyncio.get_running_loop()
+        while True:
+            first = await self._queue.get()
+            group = [first]
+            total = len(first[0])
+            deadline = loop.time() + self.window_s
+            while total < self.max_batch:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = await asyncio.wait_for(self._queue.get(), timeout)
+                except asyncio.TimeoutError:
+                    break
+                group.append(nxt)
+                total += len(nxt[0])
+            users = np.concatenate([g[0] for g in group])
+            kmax = max(g[1] for g in group)
+            try:
+                scores, items = await loop.run_in_executor(
+                    None, self._device_call, users, kmax
+                )
+            except Exception as e:  # propagate to every waiter, keep serving
+                for _, _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self.batches += 1
+            off = 0
+            for u, k, fut in group:
+                n = len(u)
+                if not fut.done():
+                    fut.set_result((scores[off : off + n, :k], items[off : off + n, :k]))
+                off += n
+
+
 # ---------------------------------------------------------------------------
 # aiohttp front (default engine)
 # ---------------------------------------------------------------------------
 
 
-def create_app(service: RecommendService):
-    """Build the aiohttp application."""
+def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: float = 2.0):
+    """Build the aiohttp application.
+
+    ``coalesce`` routes /recommend through a :class:`MicroBatcher` so
+    concurrent requests share device calls; /similar_items and error paths
+    stay synchronous (they are host-bound, not device-bound)."""
     from aiohttp import web
 
+    batcher = (
+        MicroBatcher(service.index, max_batch=service.max_batch, window_ms=window_ms)
+        if coalesce
+        else None
+    )
+
     async def health(_request):
-        return web.json_response(service.health())
+        body = service.health()
+        if batcher is not None:
+            body["coalesced_batches"] = batcher.batches
+        return web.json_response(body)
+
+    async def recommend_coalesced(payload):
+        user_idx, k = service.prepare_recommend(payload)
+        t0 = time.perf_counter()
+        scores, items = await batcher.recommend(user_idx, k)
+        latency_ms = (time.perf_counter() - t0) * 1000
+        return service.format_recommend(user_idx, scores, items, k, latency_ms)
 
     def wrap(handler):
+        is_async = asyncio.iscoroutinefunction(handler)
+
         async def route(request):
             try:
                 payload = await request.json()
             except json.JSONDecodeError:
                 return web.json_response({"error": "invalid JSON body"}, status=400)
             try:
-                return web.json_response(handler(payload))
+                body = await handler(payload) if is_async else handler(payload)
+                return web.json_response(body)
             except ServingError as e:
                 return web.json_response({"error": str(e)}, status=e.status)
             except (TypeError, ValueError, KeyError) as e:
@@ -183,7 +317,10 @@ def create_app(service: RecommendService):
 
     app = web.Application()
     app.router.add_get("/health", health)
-    app.router.add_post("/recommend", wrap(service.recommend))
+    app.router.add_post(
+        "/recommend",
+        wrap(recommend_coalesced if batcher is not None else service.recommend),
+    )
     app.router.add_post("/similar_items", wrap(service.similar_items))
     return app
 
@@ -253,7 +390,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_argparser().parse_args(argv)
     config = load_config(args.config, parse_cli_overrides(args.override))
     service = build_service(config, args.checkpoint_dir)
-    app = create_app(service)
+    window = config.serving.coalesce_window_ms
+    app = create_app(service, coalesce=window > 0, window_ms=window)
     host = args.host or config.serving.host
     port = args.port or config.serving.port
     logger.info("serving on http://%s:%d", host, port)
