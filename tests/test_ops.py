@@ -216,8 +216,51 @@ class TestTopKApprox:
         q = rng.normal(size=(8, 16)).astype(np.float32)
         items = rng.normal(size=(1000, 16)).astype(np.float32)
         v1, i1 = topk_mips_approx(jnp.asarray(q), jnp.asarray(items), 10)
+        # query_chunk * item_chunk budget of 2048 < 8 * 1000 scores forces
+        # the blocked path (equal 128-multiple blocks + exact merge).
         v2, i2 = topk_mips_approx(
-            jnp.asarray(q), jnp.asarray(items), 10, item_chunk=256
+            jnp.asarray(q), jnp.asarray(items), 10, query_chunk=8, item_chunk=256
         )
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_num_valid_prepadded_matches(self, rng):
+        from twotower_tpu.ops.topk import topk_mips, topk_mips_approx
+
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        items = rng.normal(size=(900, 16)).astype(np.float32)
+        # 1024 = 4 blocks of 256 under item_chunk=256: a pre-padded corpus
+        # the blocked path reshapes for free (large values in the pad rows
+        # must never surface thanks to the num_valid mask).
+        padded = np.full((1024, 16), 100.0, np.float32)
+        padded[:900] = items
+        # Build-time padding + num_valid must reproduce the unpadded search
+        # on every path: approx single-shot, approx blocked, exact scan.
+        for kwargs in (
+            {},
+            {"query_chunk": 8, "item_chunk": 256},
+        ):
+            v_ref, i_ref = topk_mips_approx(jnp.asarray(q), jnp.asarray(items), 10, **kwargs)
+            v, i = topk_mips_approx(
+                jnp.asarray(q), jnp.asarray(padded), 10, num_valid=900, **kwargs
+            )
+            np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        v_ref, i_ref = topk_mips(jnp.asarray(q), jnp.asarray(items), 10, chunk_size=128)
+        v, i = topk_mips(
+            jnp.asarray(q), jnp.asarray(padded), 10, chunk_size=128, num_valid=900
+        )
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+    def test_num_valid_validation(self, rng):
+        import pytest
+
+        from twotower_tpu.ops.topk import topk_mips_approx
+
+        q = jnp.zeros((2, 8))
+        items = jnp.zeros((100, 8))
+        with pytest.raises(ValueError):
+            topk_mips_approx(q, items, 10, num_valid=200)
+        with pytest.raises(ValueError):
+            topk_mips_approx(q, items, 10, num_valid=5)  # k > num_valid

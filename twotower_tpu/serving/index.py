@@ -24,7 +24,12 @@ import numpy as np
 from twotower_tpu.config import Config
 from twotower_tpu.logging_utils import get_logger
 from twotower_tpu.models import two_tower
-from twotower_tpu.ops.topk import topk_mips, topk_mips_approx
+from twotower_tpu.ops.topk import (
+    ann_padded_rows,
+    exact_padded_rows,
+    topk_mips,
+    topk_mips_approx,
+)
 
 logger = get_logger(__name__)
 
@@ -48,24 +53,41 @@ class RetrievalIndex:
         self.num_items = num_items
         mcfg = config.model
         tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
+        # Resident precision: bf16 under the ANN index halves the HBM
+        # stream that dominates large-catalog search (serving.corpus_dtype).
+        corpus_dtype = jnp.dtype(config.serving.resolve_corpus_dtype())
+        exact = config.serving.index_type == "tpu_mips_exact"
+        # Pad the resident corpus ONCE to the search path's block layout so
+        # no jit ever re-pads a multi-GB buffer per request (padding rows
+        # are masked via num_valid and never surface).
+        padded_rows = (
+            exact_padded_rows(num_items) if exact else ann_padded_rows(num_items)
+        )
         self.corpus = jax.jit(
-            lambda p: two_tower.embed_item_table(p, mcfg, num_items, item_tokens=tokens)
+            lambda p: jnp.pad(
+                two_tower.embed_item_table(
+                    p, mcfg, num_items, item_tokens=tokens
+                ).astype(corpus_dtype),
+                ((0, padded_rows - num_items), (0, 0)),
+            )
         )(params)
         jax.block_until_ready(self.corpus)
         logger.info(
-            "retrieval index ready: %d items x %d dims on %s",
-            num_items, self.corpus.shape[1], jax.default_backend(),
+            "retrieval index ready: %d items (%d padded rows) x %d dims (%s) on %s",
+            num_items, padded_rows, self.corpus.shape[1], corpus_dtype.name,
+            jax.default_backend(),
         )
 
         # Serving search: approx_max_k ANN by default (the FAISS-equivalent;
         # serving.recall_target), exact scan on request.
-        exact = config.serving.index_type == "tpu_mips_exact"
         recall = config.serving.recall_target
 
         def search(emb, corpus, k):
             if exact:
-                return topk_mips(emb, corpus, k)
-            return topk_mips_approx(emb, corpus, k, recall_target=recall)
+                return topk_mips(emb, corpus, k, num_valid=num_items)
+            return topk_mips_approx(
+                emb, corpus, k, recall_target=recall, num_valid=num_items
+            )
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def _query_users(params, corpus, user_idx, k: int):
@@ -122,7 +144,9 @@ class RetrievalIndex:
         """Persist corpus embeddings (npz) for offline/CPU-index serving."""
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(path, corpus=np.asarray(self.corpus, np.float32))
+        np.savez_compressed(
+            path, corpus=np.asarray(self.corpus[: self.num_items], np.float32)
+        )
         logger.info("exported corpus embeddings -> %s", path)
 
     @classmethod
