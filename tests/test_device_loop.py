@@ -13,8 +13,11 @@ from twotower_tpu.training.state import make_optimizer
 @pytest.fixture(scope="module")
 def prepared(tiny_config_module):
     cfg = tiny_config_module
+    # affinity_scale=3 keeps the oracle recall@10 ceiling high (~0.68) under
+    # the honest mixture generator; see test_model_training._setup.
     data = generate_interactions(
-        num_users=300, num_items=120, num_interactions=8000, noise=0.2
+        num_users=300, num_items=120, num_interactions=8000, noise=0.2,
+        affinity_scale=3.0,
     )
     pp = Preprocessor(cfg.preprocessing)
     data = pp.process(data)
@@ -32,7 +35,7 @@ def tiny_config_module():
             "model.user_tower_dims": [32, 16],
             "model.item_tower_dims": [32, 16],
             "training.batch_size": 128,
-            "training.epochs": 3,
+            "training.epochs": 6,
             "preprocessing.min_interactions_per_user": 2,
             "preprocessing.min_interactions_per_item": 2,
         }

@@ -26,12 +26,16 @@ def generate_interactions(
 ) -> Interactions:
     """Sample interactions from a latent-factor model.
 
-    Users/items get latent vectors; each user interacts with items sampled
-    proportionally to softmax(affinity), mixed with popularity (power-law)
-    noise — so a two-tower model can recover structure and beat random
-    Recall@K by a wide margin. ``affinity_scale`` sharpens the softmax: at
-    large catalogs (10k+ items) raise it to ~3 so per-user mass concentrates
-    enough for a meaningful recall ceiling.
+    Users/items get latent vectors; each interaction draws its item from the
+    user's affinity softmax with probability ``1 - noise`` and from a global
+    power-law popularity distribution with probability ``noise`` — a true
+    component mixture, so the power-law head adds realistic skew without
+    multiplying into every affinity draw (an additive ``log(popularity)``
+    logit term lets one zipf-head item dominate the whole catalog at small
+    ``num_items``). A two-tower model can recover the latent structure and
+    beat random Recall@K by a wide margin. ``affinity_scale`` sharpens the
+    softmax: at large catalogs (10k+ items) raise it to ~3 so per-user mass
+    concentrates enough for a meaningful recall ceiling.
     """
     rng = np.random.default_rng(seed)
     u_lat = rng.normal(size=(num_users, latent_dim)).astype(np.float32)
@@ -42,7 +46,8 @@ def generate_interactions(
     users = rng.integers(0, num_users, size=num_interactions)
     items = np.empty(num_interactions, dtype=np.int64)
 
-    # Vectorized per-chunk sampling: affinity-driven with popularity mixture.
+    # Vectorized per-chunk sampling: gumbel-argmax over affinity logits,
+    # mixed per-row with popularity draws.
     chunk = 8192
     for start in range(0, num_interactions, chunk):
         end = min(start + chunk, num_interactions)
@@ -51,12 +56,13 @@ def generate_interactions(
             np.float32(affinity_scale) * (u_lat[uu] @ i_lat.T)
             / np.float32(np.sqrt(latent_dim))
         )
-        logits += (noise * rng.standard_normal(logits.shape, dtype=np.float32))
-        logits += np.log(popularity + 1e-12).astype(np.float32)[None, :]
         gumbel = -np.log(
             -np.log(rng.random(logits.shape, dtype=np.float32) + 1e-12) + 1e-12
         )
-        items[start:end] = np.argmax(logits + gumbel, axis=1)
+        aff_items = np.argmax(logits + gumbel, axis=1)
+        pop_items = rng.choice(num_items, size=end - start, p=popularity)
+        use_pop = rng.random(end - start) < noise
+        items[start:end] = np.where(use_pop, pop_items, aff_items)
 
     affinity = np.einsum("nd,nd->n", u_lat[users], i_lat[items]) / np.sqrt(latent_dim)
     rating = np.clip(np.round(3.0 + affinity + 0.5 * rng.normal(size=num_interactions)), 1, 5)
