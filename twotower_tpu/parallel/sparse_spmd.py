@@ -93,12 +93,19 @@ def make_sparse_sharded_train_step(
     item_tokens: Any = None,
     num_items: int | None = None,
     donate: bool = True,
+    return_raw: bool = False,
 ):
     """Build the jitted sharded sparse step ``(state, batch, rng)``.
 
     ``state_template`` must be a sparse TrainState (``table_state`` holds
     packed moments) sharded per ``sharding.state_shardings(...,
     sparse_mesh=True)``; batch arrays split over the data axis.
+
+    ``return_raw``: instead of the jitted step, return the unjitted
+    ``(mapped, fixed, st_spec, metrics_spec)`` — the shard_map'd body plus
+    its replicated side inputs and partition specs — so callers can embed
+    the step inside a larger jitted program (the device-resident epoch
+    loop, ``parallel.spmd.make_sharded_epoch_fn``).
     """
     del num_items  # in-batch sampling only (checked by use_sparse_mesh_path)
     from twotower_tpu.models import two_tower
@@ -350,6 +357,8 @@ def make_sparse_sharded_train_step(
         out_specs=(st_spec, metrics_spec),
         check_rep=False,
     )
+    if return_raw:
+        return mapped, fixed, st_spec, metrics_spec
     jitted = jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
     def step(state, batch, rng):

@@ -205,6 +205,122 @@ def make_sharded_train_step(
     return step
 
 
+def make_sharded_epoch_fn(
+    config: Config,
+    optimizer,
+    mesh: Mesh,
+    state_template: TrainState,
+    num_steps: int,
+    *,
+    num_items: int | None = None,
+    log_q: Any = None,
+    item_tokens: Any = None,
+    donate: bool = True,
+):
+    """Device-resident epoch program ON THE MESH: shuffle + ``num_steps``
+    sharded train steps under one jit (``training.device_loop`` semantics,
+    SPMD execution).
+
+    The host dispatches once per epoch; inside, a replicated on-device
+    permutation selects each step's batch from the replicated interaction
+    columns (int32 ids — a 50M-interaction epoch is ~600 MB/device), and the
+    per-step program is the SAME sharded step the host-loop mesh Trainer
+    runs: the shard_map sparse step (a2a lookups + distributed row scatter,
+    ``sparse_spmd``) when the config enables sparse updates, otherwise the
+    dense GSPMD step with the shard_map loss island. State stays sharded
+    across the scan carry; per-step metrics return as epoch means.
+
+    Single-controller meshes only: every process would need the full column
+    set, so multi-host runs should use the host-loop Trainer's per-process
+    input path instead.
+
+    Returns ``epoch_fn(state, columns, epoch_rng) -> (state, metrics)``.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from twotower_tpu.parallel.sparse_spmd import (
+        make_sparse_sharded_train_step,
+        use_sparse_mesh_path,
+    )
+
+    batch_size = config.training.batch_size
+    rep = replicated(mesh)
+
+    if use_sparse_mesh_path(config):
+        if state_template.table_state is None:
+            raise ValueError(
+                "sparse mesh epoch needs a sparse TrainState (shard with "
+                "state_shardings(..., sparse_mesh=True))"
+            )
+        mapped, fixed, st_spec, _ = make_sparse_sharded_train_step(
+            config,
+            optimizer,
+            mesh,
+            state_template,
+            log_q,
+            item_tokens=item_tokens,
+            return_raw=True,
+        )
+        st_sh = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(mesh, spec),
+            st_spec,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+        def step(state, batch, rng, fx):
+            return mapped(state, batch, rng, fx)
+
+    else:
+        mesh_loss = None
+        if mesh.devices.size > 1 and config.retrieval.candidate_sampling == "in_batch":
+            mesh_loss = make_mesh_loss(mesh, config)
+        raw = make_step_fn(
+            config,
+            optimizer,
+            allow_pallas=mesh.devices.size == 1,
+            num_items=num_items,
+            loss_impl=mesh_loss,
+        )
+        st_sh = state_shardings(mesh, state_template, config.mesh)
+        fixed = {}
+        if log_q is not None:
+            fixed["log_q"] = jax.device_put(jnp.asarray(log_q, jnp.float32), rep)
+        if item_tokens is not None:
+            fixed["item_tokens"] = jax.device_put(jnp.asarray(item_tokens), rep)
+
+        def step(state, batch, rng, fx):
+            return raw(state, batch, rng, fx.get("log_q"), fx.get("item_tokens"))
+
+    def epoch_raw(state, columns, epoch_rng, fx):
+        n = columns["user_idx"].shape[0]
+        perm = jax.random.permutation(epoch_rng, n)
+
+        def body(state, i):
+            sel = jax.lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+            batch = {k: v[sel] for k, v in columns.items()}
+            state, metrics = step(state, batch, epoch_rng, fx)
+            return state, metrics
+
+        state, stacked = jax.lax.scan(
+            body, state, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return state, {k: v.mean() for k, v in stacked.items()}
+
+    cols_sh = {k: rep for k in ("user_idx", "item_idx", "weight")}
+    jitted = jax.jit(
+        epoch_raw,
+        in_shardings=(st_sh, cols_sh, rep, {k: rep for k in fixed}),
+        out_shardings=(st_sh, None),
+        donate_argnums=(0,) if donate else (),
+    )
+
+    def epoch_fn(state, columns, epoch_rng):
+        return jitted(state, columns, epoch_rng, fixed)
+
+    return epoch_fn
+
+
 def make_sharded_eval_step(config: Config, mesh: Mesh, num_items: int, max_k: int):
     """Mesh-wide corpus encode + top-k + metrics.
 

@@ -59,7 +59,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device-loop", action="store_true",
         help="run whole epochs as one compiled device program (on-device "
-        "shuffle + lax.scan; removes the host from the hot path)",
+        "shuffle + lax.scan; removes the host from the hot path). Composes "
+        "with --mesh for SPMD epochs on a single-controller mesh",
     )
     p.add_argument(
         "--mesh", action="store_true",
@@ -153,8 +154,9 @@ def run(args, config: Config) -> dict:
         mesh = build_mesh(config.mesh)
     shutdown = GracefulShutdown().install()
     if args.device_loop:
-        if args.mesh:
-            raise SystemExit("--device-loop and --mesh are mutually exclusive")
+        # --device-loop composes with --mesh: the epoch program runs SPMD
+        # over the mesh (single-controller; multi-host uses the host loop's
+        # per-process input path).
         from twotower_tpu.training.device_loop import DeviceDataset, DeviceTrainer
 
         trainer = DeviceTrainer(
@@ -166,6 +168,7 @@ def run(args, config: Config) -> dict:
             writers=writers,
             checkpoint_manager=manager,
             shutdown=shutdown,
+            mesh=mesh,
         )
         train_input = DeviceDataset.from_interactions(
             splits.train, config.training.batch_size
