@@ -228,6 +228,22 @@ class MicroBatcher:
         scores, items = self.index.recommend(users, k)
         return scores[:n], items[:n]
 
+    def warmup(self, k: int) -> int:
+        """Compile every power-of-two bucket shape up front (``k`` fixed).
+
+        Without this the first request to hit each bucket pays a jit
+        compile (hundreds of ms) in live traffic — measured as a p99 spike
+        in ``benchmarks/serving_http.py``. Call at server startup (the
+        aiohttp front does, via ``on_startup``). Returns the number of
+        shapes compiled. Non-default ``k`` values still compile lazily.
+        """
+        b, shapes = 1, 0
+        while b <= self.max_batch:
+            self._device_call(np.zeros(b, np.int32), k)
+            shapes += 1
+            b *= 2
+        return shapes
+
     async def _run(self):
         loop = asyncio.get_running_loop()
         while True:
@@ -322,6 +338,17 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
         wrap(recommend_coalesced if batcher is not None else service.recommend),
     )
     app.router.add_post("/similar_items", wrap(service.similar_items))
+
+    if batcher is not None:
+
+        async def _warm(_app):
+            loop = asyncio.get_running_loop()
+            shapes = await loop.run_in_executor(
+                None, batcher.warmup, service.default_k
+            )
+            logger.info("serving warmup: %d bucket shapes compiled", shapes)
+
+        app.on_startup.append(_warm)
     return app
 
 
