@@ -120,3 +120,16 @@ def test_unknown_keys_tolerated():
     assert not hasattr(cfg.model, "future_field") or isinstance(
         dataclasses.asdict(cfg.model), dict
     )
+
+
+def test_platform_cpu_only_parsing():
+    """JAX_PLATFORMS="tpu,cpu" is fallback ordering (prefer TPU) and must
+    not be treated as a cpu-only request by the CLI platform guard."""
+    from twotower_tpu.utils.platform import _is_cpu_only
+
+    assert _is_cpu_only("cpu")
+    assert _is_cpu_only(" CPU ")
+    assert not _is_cpu_only("tpu,cpu")
+    assert not _is_cpu_only("cpu,tpu")
+    assert not _is_cpu_only("tpu")
+    assert not _is_cpu_only("")

@@ -264,3 +264,11 @@ class TestTopKApprox:
             topk_mips_approx(q, items, 10, num_valid=200)
         with pytest.raises(ValueError):
             topk_mips_approx(q, items, 10, num_valid=5)  # k > num_valid
+
+    def test_empty_query_batch(self):
+        """b=0 must return empty results, not divide by zero (reachable from
+        the serving layer before its validation was added)."""
+        from twotower_tpu.ops.topk import topk_mips_approx
+
+        v, i = topk_mips_approx(jnp.zeros((0, 8)), jnp.zeros((100, 8)), 10)
+        assert v.shape == (0, 10) and i.shape == (0, 10)

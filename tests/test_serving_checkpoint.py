@@ -127,6 +127,12 @@ class TestRecommendService:
         with pytest.raises(ServingError):
             service.recommend({"k": 5})
 
+    def test_empty_batch_400(self, service):
+        with pytest.raises(ServingError, match="non-empty"):
+            service.recommend({"user_idx": [], "k": 5})
+        with pytest.raises(ServingError, match="non-empty"):
+            service.similar_items({"item_idx": [], "k": 5})
+
     def test_similar_items(self, service):
         out = service.similar_items({"item_id": "I5", "k": 4})
         assert len(out["results"][0]["items"]) == 4
@@ -240,6 +246,71 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError, match="device on fire"):
             asyncio.run(go())
 
+    def test_group_never_exceeds_max_batch(self):
+        """Coalescing must not overflow max_batch: the padded shape would be
+        an unwarmed 2*max_batch bucket that jit-compiles in live traffic."""
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        index = _CountingIndex(delay_s=0.01)
+        batcher = MicroBatcher(index, max_batch=8, window_ms=50.0)
+
+        async def go():
+            return await asyncio.gather(
+                batcher.recommend(np.array([0], np.int32), 5),
+                batcher.recommend(np.arange(8, dtype=np.int32), 5),
+                batcher.recommend(np.arange(3, dtype=np.int32), 5),
+            )
+
+        results = asyncio.run(go())
+        assert all(r[0].shape[1] == 5 for r in results)
+        assert max(index.calls) <= 8  # no call above the warmed buckets
+        # the 8-row request was carried to its own group, not merged
+        assert len(index.calls) >= 2
+
+    def test_warmup_clamps_k_to_catalog(self):
+        """Startup warmup must not crash when default_k > num_items."""
+        from twotower_tpu.serving.api import MicroBatcher
+
+        class _TinyCatalog(_CountingIndex):
+            num_items = 7
+
+            def recommend(self, user_idx, k):
+                if k > self.num_items:
+                    raise ValueError(f"k={k} exceeds corpus size {self.num_items}")
+                return super().recommend(user_idx, k)
+
+        batcher = MicroBatcher(_TinyCatalog(), max_batch=4, window_ms=1.0)
+        shapes = batcher.warmup(100)  # service.default_k = 100 > 7
+        assert shapes == 3  # buckets 1, 2, 4
+
+    def test_worker_cancellation_fails_waiters(self):
+        """Killing the worker task must fail queued waiters, not hang them."""
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        index = _CountingIndex(delay_s=0.2)
+        batcher = MicroBatcher(index, max_batch=4, window_ms=1.0)
+
+        async def go():
+            t1 = asyncio.ensure_future(
+                batcher.recommend(np.array([0], np.int32), 5)
+            )
+            await asyncio.sleep(0.05)  # worker now busy in the executor
+            t2 = asyncio.ensure_future(
+                batcher.recommend(np.array([1], np.int32), 5)
+            )
+            await asyncio.sleep(0.01)
+            batcher._worker.cancel()
+            r1, r2 = await asyncio.gather(t1, t2, return_exceptions=True)
+            return r1, r2
+
+        r1, r2 = asyncio.run(go())
+        assert isinstance(r1, (RuntimeError, asyncio.CancelledError))
+        assert isinstance(r2, (RuntimeError, asyncio.CancelledError))
+
     def test_aiohttp_coalesced_end_to_end(self, service):
         import asyncio
 
@@ -330,12 +401,48 @@ class TestCliE2E:
 
         assert eval_main(common) == 0
 
-        # Serving from the same checkpoint.
-        from twotower_tpu.config import load_config
-        from twotower_tpu.config import parse_cli_overrides
+        # Checkpoint consumers rebuild the trained shape from the snapshot
+        # alone — NO overrides re-passed (train-model wrote config.json).
+        no_override = [a for a in common if a not in ("--override", *overrides)]
+        assert eval_main(no_override) == 0
+
+        # Serving from the same checkpoint, config from the snapshot.
+        from twotower_tpu.config import load_config_for_checkpoint
         from twotower_tpu.serving.api import build_service
 
-        cfg = load_config(None, parse_cli_overrides(overrides))
+        cfg = load_config_for_checkpoint(ckpt)
+        assert cfg.model.embedding_dim == 16  # snapshot, not defaults
         svc = build_service(cfg, str(ckpt))
         out = svc.recommend({"user_idx": [0], "k": 5})
         assert len(out["results"][0]["items"]) == 5
+
+    def test_config_snapshot_precedence(self, tmp_path):
+        """Snapshot is the base; explicit --config replaces it; dotted
+        overrides always win."""
+        import yaml
+
+        from twotower_tpu.config import Config, load_config_for_checkpoint
+
+        ckpt = tmp_path / "ckpt"
+        ckpt.mkdir()
+        snap = Config().with_overrides({"model.embedding_dim": 16})
+        (ckpt / "config.json").write_text(snap.to_json())
+
+        assert load_config_for_checkpoint(ckpt).model.embedding_dim == 16
+        got = load_config_for_checkpoint(
+            ckpt, overrides={"model.embedding_dim": 24}
+        )
+        assert got.model.embedding_dim == 24
+
+        explicit = tmp_path / "other.yaml"
+        explicit.write_text(yaml.safe_dump({"model": {"embedding_dim": 48}}))
+        assert (
+            load_config_for_checkpoint(ckpt, path=explicit).model.embedding_dim == 48
+        )
+        # No snapshot -> plain defaults path.
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert (
+            load_config_for_checkpoint(empty).model.embedding_dim
+            == Config().model.embedding_dim
+        )

@@ -402,6 +402,28 @@ def load_config(
     return cfg
 
 
+def load_config_for_checkpoint(
+    checkpoint_dir: str | Path,
+    path: str | Path | None = None,
+    overrides: dict[str, Any] | None = None,
+) -> Config:
+    """Config resolution for checkpoint consumers (serve/evaluate CLIs).
+
+    Base = the resolved-config snapshot train-model saved next to the
+    checkpoint (``config.json``), so consumers rebuild the exact trained
+    model shape without re-passing every override. An explicit ``--config``
+    path replaces the snapshot; dotted overrides always apply last.
+    """
+    if path is None:
+        snap = Path(checkpoint_dir) / "config.json"
+        if snap.exists():
+            cfg = Config.from_dict(json.loads(snap.read_text()))
+            if overrides:
+                cfg = cfg.with_overrides(overrides)
+            return cfg
+    return load_config(path, overrides)
+
+
 def parse_cli_overrides(pairs: list[str]) -> dict[str, Any]:
     """Parse ``key=value`` CLI override strings with YAML-typed values."""
     out: dict[str, Any] = {}

@@ -16,7 +16,7 @@ from pathlib import Path
 
 import jax
 
-from twotower_tpu.config import Config, load_config, parse_cli_overrides
+from twotower_tpu.config import Config, load_config_for_checkpoint, parse_cli_overrides
 from twotower_tpu.logging_utils import get_logger, setup_logging
 
 logger = get_logger(__name__)
@@ -118,7 +118,9 @@ def main(argv: list[str] | None = None) -> int:
     respect_env_platform()
     setup_logging()
     args = build_argparser().parse_args(argv)
-    config = load_config(args.config, parse_cli_overrides(args.override))
+    config = load_config_for_checkpoint(
+        args.checkpoint_dir, args.config, parse_cli_overrides(args.override)
+    )
     result = run(args, config)
     print(json.dumps(result))
     return 0

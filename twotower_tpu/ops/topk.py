@@ -192,6 +192,8 @@ def topk_mips_approx(
     if k > n_valid:
         raise ValueError(f"k={k} exceeds corpus size {n_valid}")
     b = query_emb.shape[0]
+    if b == 0:  # empty query batch — nothing to search (shape is static)
+        return jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
     chunk = min(query_chunk, b)
     padded_b = -(-b // chunk) * chunk
     if padded_b != b:

@@ -106,6 +106,90 @@ def make_mesh_loss(mesh: Mesh, config: Config, *, force_pallas: bool | None = No
     return loss
 
 
+def _build_mesh_step(
+    config: Config,
+    optimizer,
+    mesh: Mesh,
+    state_template: TrainState,
+    *,
+    log_q: Any = None,
+    item_tokens: Any = None,
+    num_items: int | None = None,
+):
+    """Shared sparse/dense dispatch for the host-loop step and the
+    device-resident epoch (the single place the rule lives — both public
+    builders embed what this returns).
+
+    Returns ``(raw, fixed, st_sh, sparse)``: an unjitted
+    ``raw(state, batch, rng, fixed)`` step, its replicated device-resident
+    side inputs (``log_q`` / ``item_tokens``), the state shardings, and
+    whether the sparse path was selected.
+
+    Dispatch: when the config enables sparse table updates (and the model/
+    sampling combination supports them — ``use_sparse_mesh_path``), the
+    shard_map-based sparse step (parallel/sparse_spmd.py: a2a lookups +
+    distributed gradient scatter, tables sharded over the combined mesh);
+    otherwise the dense GSPMD step. GSPMD cannot auto-partition
+    ``pallas_call``, so on a multi-device dense mesh the fused loss is
+    injected as a shard_map island (``make_mesh_loss``) when the per-shard
+    block shape is supported; the single-device mesh keeps the plain
+    dispatcher.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from twotower_tpu.parallel.sparse_spmd import (
+        make_sparse_sharded_train_step,
+        use_sparse_mesh_path,
+    )
+
+    rep = replicated(mesh)
+    if use_sparse_mesh_path(config):
+        if state_template.table_state is None:
+            raise ValueError(
+                "config enables sparse mesh training but the state has no "
+                "table_state — build it with TrainState.for_config and shard "
+                "with state_shardings(..., sparse_mesh=True)"
+            )
+        raw, fixed, st_spec, _ = make_sparse_sharded_train_step(
+            config,
+            optimizer,
+            mesh,
+            state_template,
+            log_q,
+            item_tokens=item_tokens,
+            return_raw=True,
+        )
+        st_sh = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(mesh, spec),
+            st_spec,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        return raw, fixed, st_sh, True
+
+    mesh_loss = None
+    if mesh.devices.size > 1 and config.retrieval.candidate_sampling == "in_batch":
+        mesh_loss = make_mesh_loss(mesh, config)
+    step5 = make_step_fn(
+        config,
+        optimizer,
+        allow_pallas=mesh.devices.size == 1,
+        num_items=num_items,
+        loss_impl=mesh_loss,
+    )
+    st_sh = state_shardings(mesh, state_template, config.mesh)
+    fixed = {}
+    if log_q is not None:
+        fixed["log_q"] = jax.device_put(jnp.asarray(log_q, jnp.float32), rep)
+    if item_tokens is not None:
+        fixed["item_tokens"] = jax.device_put(jnp.asarray(item_tokens), rep)
+
+    def raw(state, batch, rng, fx):
+        return step5(state, batch, rng, fx.get("log_q"), fx.get("item_tokens"))
+
+    return raw, fixed, st_sh, False
+
+
 def make_sharded_train_step(
     config: Config,
     optimizer,
@@ -122,85 +206,44 @@ def make_sharded_train_step(
     ``state_template`` supplies the pytree structure for sharding inference
     (abstract shapes suffice — pass the real state or ``jax.eval_shape``
     output). Returns a step callable with state donated, batch split on
-    ``data``, and replicated metrics out.
-
-    Dispatch: when the config enables sparse table updates (and the model/
-    sampling combination supports them — ``use_sparse_mesh_path``), this
-    builds the shard_map-based sparse step (parallel/sparse_spmd.py: a2a
-    lookups + distributed gradient scatter, tables sharded over the combined
-    mesh); otherwise the dense GSPMD step below.
+    ``data``, and replicated metrics out. Sparse/dense dispatch lives in
+    ``_build_mesh_step`` (shared with ``make_sharded_epoch_fn``).
     """
-    from twotower_tpu.parallel.sparse_spmd import (
-        make_sparse_sharded_train_step,
-        use_sparse_mesh_path,
-    )
-
-    if use_sparse_mesh_path(config):
-        if state_template.table_state is None:
-            raise ValueError(
-                "config enables sparse mesh training but the state has no "
-                "table_state — build it with TrainState.for_config and shard "
-                "with state_shardings(..., sparse_mesh=True)"
-            )
-        return make_sparse_sharded_train_step(
-            config,
-            optimizer,
-            mesh,
-            state_template,
-            log_q,
-            item_tokens=item_tokens,
-            donate=donate,
-        )
-    # Dense GSPMD path. GSPMD cannot auto-partition pallas_call, so on a
-    # multi-device mesh the fused loss is injected as a shard_map island
-    # (make_mesh_loss) when the per-shard block shape is supported; the
-    # single-device mesh keeps the plain dispatcher.
-    mesh_loss = None
-    if mesh.devices.size > 1 and config.retrieval.candidate_sampling == "in_batch":
-        mesh_loss = make_mesh_loss(mesh, config)
-    raw = make_step_fn(
+    raw, fixed, st_sh, sparse = _build_mesh_step(
         config,
         optimizer,
-        allow_pallas=mesh.devices.size == 1,
+        mesh,
+        state_template,
+        log_q=log_q,
+        item_tokens=item_tokens,
         num_items=num_items,
-        loss_impl=mesh_loss,
     )
-    st_sh = state_shardings(mesh, state_template, config.mesh)
-    b_sh = batch_shardings(mesh, config.mesh)
-    rep = replicated(mesh)
-    metrics_sh = {
-        "accuracy": rep,
-        "logits_mean": rep,
-        "loss": rep,
-        "grad_norm": rep,
-    }
-    import jax.numpy as jnp
-
-    lq = (
-        jax.device_put(jnp.asarray(log_q, jnp.float32), rep)
-        if log_q is not None
-        else None
-    )
-    tok = (
-        jax.device_put(jnp.asarray(item_tokens), rep)
-        if item_tokens is not None
-        else None
-    )
-    jitted = jax.jit(
-        raw,
-        in_shardings=(
-            st_sh,
-            {"user_idx": b_sh, "item_idx": b_sh, "weight": b_sh},
-            rep,
-            None if lq is None else rep,
-            None if tok is None else rep,
-        ),
-        out_shardings=(st_sh, metrics_sh),
-        donate_argnums=(0,) if donate else (),
-    )
+    if sparse:
+        # shard_map body: specs are carried by the shard_map itself.
+        jitted = jax.jit(raw, donate_argnums=(0,) if donate else ())
+    else:
+        b_sh = batch_shardings(mesh, config.mesh)
+        rep = replicated(mesh)
+        metrics_sh = {
+            "accuracy": rep,
+            "logits_mean": rep,
+            "loss": rep,
+            "grad_norm": rep,
+        }
+        jitted = jax.jit(
+            raw,
+            in_shardings=(
+                st_sh,
+                {"user_idx": b_sh, "item_idx": b_sh, "weight": b_sh},
+                rep,
+                {k: rep for k in fixed},
+            ),
+            out_shardings=(st_sh, metrics_sh),
+            donate_argnums=(0,) if donate else (),
+        )
 
     def step(state, batch, rng):
-        return jitted(state, batch, rng, lq, tok)
+        return jitted(state, batch, rng, fixed)
 
     return step
 
@@ -237,60 +280,18 @@ def make_sharded_epoch_fn(
     Returns ``epoch_fn(state, columns, epoch_rng) -> (state, metrics)``.
     """
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from twotower_tpu.parallel.sparse_spmd import (
-        make_sparse_sharded_train_step,
-        use_sparse_mesh_path,
-    )
 
     batch_size = config.training.batch_size
     rep = replicated(mesh)
-
-    if use_sparse_mesh_path(config):
-        if state_template.table_state is None:
-            raise ValueError(
-                "sparse mesh epoch needs a sparse TrainState (shard with "
-                "state_shardings(..., sparse_mesh=True))"
-            )
-        mapped, fixed, st_spec, _ = make_sparse_sharded_train_step(
-            config,
-            optimizer,
-            mesh,
-            state_template,
-            log_q,
-            item_tokens=item_tokens,
-            return_raw=True,
-        )
-        st_sh = jax.tree_util.tree_map(
-            lambda spec: NamedSharding(mesh, spec),
-            st_spec,
-            is_leaf=lambda x: isinstance(x, P),
-        )
-
-        def step(state, batch, rng, fx):
-            return mapped(state, batch, rng, fx)
-
-    else:
-        mesh_loss = None
-        if mesh.devices.size > 1 and config.retrieval.candidate_sampling == "in_batch":
-            mesh_loss = make_mesh_loss(mesh, config)
-        raw = make_step_fn(
-            config,
-            optimizer,
-            allow_pallas=mesh.devices.size == 1,
-            num_items=num_items,
-            loss_impl=mesh_loss,
-        )
-        st_sh = state_shardings(mesh, state_template, config.mesh)
-        fixed = {}
-        if log_q is not None:
-            fixed["log_q"] = jax.device_put(jnp.asarray(log_q, jnp.float32), rep)
-        if item_tokens is not None:
-            fixed["item_tokens"] = jax.device_put(jnp.asarray(item_tokens), rep)
-
-        def step(state, batch, rng, fx):
-            return raw(state, batch, rng, fx.get("log_q"), fx.get("item_tokens"))
+    step, fixed, st_sh, _sparse = _build_mesh_step(
+        config,
+        optimizer,
+        mesh,
+        state_template,
+        log_q=log_q,
+        item_tokens=item_tokens,
+        num_items=num_items,
+    )
 
     def epoch_raw(state, columns, epoch_rng, fx):
         n = columns["user_idx"].shape[0]

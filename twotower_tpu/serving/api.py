@@ -24,7 +24,7 @@ from typing import Any
 
 import numpy as np
 
-from twotower_tpu.config import Config, load_config, parse_cli_overrides
+from twotower_tpu.config import Config, load_config_for_checkpoint, parse_cli_overrides
 from twotower_tpu.logging_utils import get_logger, setup_logging
 
 logger = get_logger(__name__)
@@ -44,7 +44,10 @@ class RecommendService:
     def __init__(self, index, vocab, *, default_k: int = 100, max_batch: int = 256):
         self.index = index
         self.vocab = vocab
-        self.default_k = default_k
+        # Clamp to the catalog: a default wider than the corpus would 400
+        # every k-less request on small deployments. Explicit k still
+        # validates against the true corpus size.
+        self.default_k = max(1, min(default_k, index.num_items))
         self.max_batch = max_batch
         self.started = time.time()
         self._requests = 0
@@ -97,6 +100,8 @@ class RecommendService:
             idx = idx.astype(np.int64)
         else:
             raise ServingError("payload must contain user_id or user_idx")
+        if len(idx) == 0:
+            raise ServingError("user batch must be non-empty")
         if len(idx) > self.max_batch:
             raise ServingError(f"batch too large: {len(idx)} > {self.max_batch}")
         if (idx < 0).any() or (idx >= self.index.num_users).any():
@@ -164,6 +169,8 @@ class RecommendService:
                 raise ServingError("unknown item ids", status=404)
         else:
             raise ServingError("payload must contain item_id or item_idx")
+        if len(idx) == 0:
+            raise ServingError("item batch must be non-empty")
         if (idx < 0).any() or (idx >= self.index.num_items).any():
             raise ServingError("item_idx out of range", status=404)
         scores, items = self.index.similar_items(idx.astype(np.int32), k)
@@ -208,7 +215,7 @@ class MicroBatcher:
         loop = asyncio.get_running_loop()
         if self._worker is None or self._worker.done():
             self._queue = asyncio.Queue()
-            self._worker = loop.create_task(self._run())
+            self._worker = loop.create_task(self._run(self._queue))
         fut: asyncio.Future = loop.create_future()
         self._queue.put_nowait((user_idx, k, fut))
         return await fut
@@ -237,6 +244,9 @@ class MicroBatcher:
         aiohttp front does, via ``on_startup``). Returns the number of
         shapes compiled. Non-default ``k`` values still compile lazily.
         """
+        # Clamp to what the index can actually answer: default_k may exceed
+        # a small catalog, and per-request validation is bypassed here.
+        k = max(1, min(k, self.index.num_items))
         b, shapes = 1, 0
         while b <= self.max_batch:
             self._device_call(np.zeros(b, np.int32), k)
@@ -244,41 +254,64 @@ class MicroBatcher:
             b *= 2
         return shapes
 
-    async def _run(self):
+    async def _run(self, queue: asyncio.Queue):
+        # ``queue`` is this worker's own (recommend() may install a fresh one
+        # for a replacement worker; the shutdown drain below must not touch it)
         loop = asyncio.get_running_loop()
-        while True:
-            first = await self._queue.get()
-            group = [first]
-            total = len(first[0])
-            deadline = loop.time() + self.window_s
-            while total < self.max_batch:
-                timeout = deadline - loop.time()
-                if timeout <= 0:
-                    break
+        carry = None  # request that would overflow the current group
+        group: list = []  # current group (function scope: drained on exit)
+        try:
+            while True:
+                first = carry if carry is not None else await queue.get()
+                carry = None
+                group = [first]
+                total = len(first[0])
+                deadline = loop.time() + self.window_s
+                while total < self.max_batch:
+                    timeout = deadline - loop.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        nxt = await asyncio.wait_for(queue.get(), timeout)
+                    except asyncio.TimeoutError:
+                        break
+                    if total + len(nxt[0]) > self.max_batch:
+                        # Would exceed max_batch — the padded shape would be an
+                        # unwarmed 2*max_batch bucket (a live-traffic compile).
+                        # Start the next group with it instead.
+                        carry = nxt
+                        break
+                    group.append(nxt)
+                    total += len(nxt[0])
                 try:
-                    nxt = await asyncio.wait_for(self._queue.get(), timeout)
-                except asyncio.TimeoutError:
-                    break
-                group.append(nxt)
-                total += len(nxt[0])
-            users = np.concatenate([g[0] for g in group])
-            kmax = max(g[1] for g in group)
-            try:
-                scores, items = await loop.run_in_executor(
-                    None, self._device_call, users, kmax
-                )
-            except Exception as e:  # propagate to every waiter, keep serving
-                for _, _, fut in group:
-                    if not fut.done():
-                        fut.set_exception(e)
-                continue
-            self.batches += 1
-            off = 0
-            for u, k, fut in group:
-                n = len(u)
+                    users = np.concatenate([g[0] for g in group])
+                    kmax = max(g[1] for g in group)
+                    scores, items = await loop.run_in_executor(
+                        None, self._device_call, users, kmax
+                    )
+                    self.batches += 1
+                    off = 0
+                    for u, k, fut in group:
+                        n = len(u)
+                        if not fut.done():
+                            fut.set_result(
+                                (scores[off : off + n, :k], items[off : off + n, :k])
+                            )
+                        off += n
+                except Exception as e:  # propagate to every waiter, keep serving
+                    for _, _, fut in group:
+                        if not fut.done():
+                            fut.set_exception(e)
+        finally:
+            # Worker is exiting (cancellation at app teardown, or a bug): fail
+            # the in-flight group and every still-queued waiter so no HTTP
+            # request hangs forever. Completed futures are skipped.
+            leftovers = list(group) + ([carry] if carry is not None else [])
+            while not queue.empty():
+                leftovers.append(queue.get_nowait())
+            for _, _, fut in leftovers:
                 if not fut.done():
-                    fut.set_result((scores[off : off + n, :k], items[off : off + n, :k]))
-                off += n
+                    fut.set_exception(RuntimeError("serving batcher stopped"))
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +448,9 @@ def main(argv: list[str] | None = None) -> int:
     respect_env_platform()
     setup_logging()
     args = build_argparser().parse_args(argv)
-    config = load_config(args.config, parse_cli_overrides(args.override))
+    config = load_config_for_checkpoint(
+        args.checkpoint_dir, args.config, parse_cli_overrides(args.override)
+    )
     service = build_service(config, args.checkpoint_dir)
     window = config.serving.coalesce_window_ms
     app = create_app(service, coalesce=window > 0, window_ms=window)

@@ -117,6 +117,11 @@ def run(args, config: Config) -> dict:
     ckpt_dir = Path(args.checkpoint_dir or config.training.checkpoint_dir)
     manager = CheckpointManager(ckpt_dir, keep=config.training.keep_checkpoints)
     writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
+    # Snapshot the RESOLVED config with the checkpoint: serve-model and
+    # evaluate-model rebuild the exact trained model shape from it without
+    # the operator re-passing every --override (load_config_for_checkpoint).
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    (ckpt_dir / "config.json").write_text(config.to_json())
 
     # Optional hashed n-gram item text tower (model.text_buckets > 0).
     item_tokens = None

@@ -12,12 +12,17 @@ from __future__ import annotations
 import os
 
 
+def _is_cpu_only(plats: str) -> bool:
+    """True only for a bare ``cpu`` request. ``tpu,cpu`` is fallback
+    ordering (prefer TPU) and must not be collapsed to CPU."""
+    return [p.strip() for p in plats.lower().split(",")] == ["cpu"]
+
+
 def respect_env_platform() -> None:
     """Re-assert the environment's ``JAX_PLATFORMS`` choice over any
     programmatic override. No-op when the env var is unset or the backend
     is already initialized (then the first-touch winner stands)."""
-    plats = os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" not in plats:
+    if not _is_cpu_only(os.environ.get("JAX_PLATFORMS", "")):
         return
     import jax
 
