@@ -13,9 +13,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "intra_op_parallelism_threads" not in flags:
+    # 8 virtual devices on a small shared host: each device's collective
+    # participates from its own Eigen worker, and XLA's in-process
+    # rendezvous aborts the process if any participant is starved > 40 s
+    # (rendezvous.cc "Termination timeout ... Exiting to ensure a
+    # consistent program state"). Single-threaded intra-op keeps 8 device
+    # threads schedulable on 4 cores even under compile-thread load.
+    flags += " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
