@@ -38,42 +38,92 @@ def main() -> None:
             for i in range(GEN_BLOCKS)
         ]
     )
-    # Production serving layout (serving.corpus_dtype auto -> bfloat16 under
-    # the ANN index): halves the dominant HBM stream.
-    corpus = corpus_f32.astype(jnp.bfloat16)
-    jax.block_until_ready(corpus)
-    print(f"# corpus resident: {corpus.nbytes / 1e9:.1f} GB bf16", flush=True)
+    # Production serving layouts (serving.corpus_dtype): bfloat16 halves the
+    # dominant HBM stream vs f32; int8 (global-scale quantization) halves
+    # it again and scores via native s8 x s8 MXU matmuls with no epilogue
+    # pass; int8_rowscale trades a full-matrix scale multiply for tighter
+    # quantization.
+    corpus_bf16 = corpus_f32.astype(jnp.bfloat16)
+    # Chunked quantization with corpus-wide scales (matching what
+    # quantize_corpus computes over the full table): a whole-corpus
+    # quantize materializes 5 GB f32 temps next to the resident corpora
+    # and can exhaust HBM, so quantize 500k rows at a time.
+    chunk = N // GEN_BLOCKS
+    g_scale = jnp.max(jnp.abs(corpus_f32)) / 127.0
+    row_scale = jnp.max(jnp.abs(corpus_f32), axis=1) / 127.0
 
-    for batch in (1, 64, 256):
-        q = jax.random.normal(jax.random.fold_in(key, 1000 + batch), (batch, D))
+    @jax.jit
+    def _quant(x, scale_rows):
+        inv = jnp.where(scale_rows > 0, 1.0 / jnp.maximum(scale_rows, 1e-30), 0.0)
+        return jnp.clip(jnp.round(x * inv[:, None]), -127, 127).astype(jnp.int8)
 
-        def run(n_calls: int) -> float:
-            t0 = time.perf_counter()
-            for _ in range(n_calls):
-                vals, _ = topk_mips_approx(q, corpus, K)
-            _ = float(vals[0, 0])  # hard sync: in-order device queue drains
-            return time.perf_counter() - t0
-
-        run(2)  # compile + warm
-        n1, n2 = 10, 40
-        t1, t2 = run(n1), run(n2)
-        lat = max((t2 - t1) / (n2 - n1), 1e-9)
-        print(
-            json.dumps(
-                {"batch": batch, "latency_ms": round(lat * 1e3, 2), "qps": round(batch / lat)}
-            ),
-            flush=True,
+    def quant_chunks(scales):
+        return jnp.concatenate(
+            [
+                _quant(
+                    corpus_f32[i : i + chunk],
+                    jnp.broadcast_to(scales[i : i + chunk] if scales.ndim else scales, (chunk,)),
+                )
+                for i in range(0, N, chunk)
+            ]
         )
 
-    # Recall of the served path (bf16 ANN) vs the exact f32 scan.
-    q = jax.random.normal(jax.random.fold_in(key, 7), (256, D))
-    _, approx_idx = topk_mips_approx(q, corpus, K)
-    _, exact_idx = topk_mips(q, corpus_f32, K)
-    hits = 0
-    a, e = jax.device_get(approx_idx), jax.device_get(exact_idx)
-    for row_a, row_e in zip(a, e):
-        hits += len(set(row_a.tolist()) & set(row_e.tolist()))
-    print(json.dumps({"recall_at_100": round(hits / (256 * K), 4)}), flush=True)
+    corpus_i8 = quant_chunks(g_scale)
+    corpus_i8r = quant_chunks(row_scale)
+    jax.block_until_ready((corpus_bf16, corpus_i8, corpus_i8r, g_scale, row_scale))
+    print(
+        f"# corpus resident: {corpus_bf16.nbytes / 1e9:.1f} GB bf16, "
+        f"{corpus_i8.nbytes / 1e9:.2f} GB per int8 variant",
+        flush=True,
+    )
+
+    _, exact_idx = topk_mips(
+        jax.random.normal(jax.random.fold_in(key, 7), (256, D)), corpus_f32, K
+    )
+
+    for dtype, corpus, item_scale in (
+        ("bf16", corpus_bf16, None),
+        ("int8", corpus_i8, g_scale),
+        ("int8_rowscale", corpus_i8r, row_scale),
+    ):
+        for batch in (1, 64, 256):
+            q = jax.random.normal(jax.random.fold_in(key, 1000 + batch), (batch, D))
+
+            def run(n_calls: int) -> float:
+                t0 = time.perf_counter()
+                for _ in range(n_calls):
+                    vals, _ = topk_mips_approx(q, corpus, K, item_scale=item_scale)
+                _ = float(vals[0, 0])  # hard sync: in-order device queue drains
+                return time.perf_counter() - t0
+
+            run(4)
+            run(4)  # two warm rounds: queue depth + autotuning settle
+            n1, n2 = 10, 40
+            t1, t2 = run(n1), run(n2)
+            lat = max((t2 - t1) / (n2 - n1), 1e-9)
+            print(
+                json.dumps(
+                    {
+                        "dtype": dtype,
+                        "batch": batch,
+                        "latency_ms": round(lat * 1e3, 2),
+                        "qps": round(batch / lat),
+                    }
+                ),
+                flush=True,
+            )
+
+        # Recall of the served path vs the exact f32 scan (same queries).
+        q = jax.random.normal(jax.random.fold_in(key, 7), (256, D))
+        _, approx_idx = topk_mips_approx(q, corpus, K, item_scale=item_scale)
+        hits = 0
+        a, e = jax.device_get(approx_idx), jax.device_get(exact_idx)
+        for row_a, row_e in zip(a, e):
+            hits += len(set(row_a.tolist()) & set(row_e.tolist()))
+        print(
+            json.dumps({"dtype": dtype, "recall_at_100": round(hits / (256 * K), 4)}),
+            flush=True,
+        )
     print("SERVING_10M_OK", flush=True)
 
 

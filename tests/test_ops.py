@@ -224,6 +224,53 @@ class TestTopKApprox:
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    @pytest.mark.parametrize("per_row", [False, True])
+    def test_int8_quantized_matches_float(self, rng, per_row):
+        from twotower_tpu.ops.topk import quantize_corpus, topk_mips_approx
+
+        q = rng.normal(size=(17, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        items = rng.normal(size=(2000, 32)).astype(np.float32)
+        items /= np.linalg.norm(items, axis=1, keepdims=True)
+        qc, scale = quantize_corpus(jnp.asarray(items), per_row=per_row)
+        assert np.asarray(qc).dtype == np.int8
+        assert scale.shape == ((2000,) if per_row else ())
+        # Round-trip: dequantized rows are within half an LSB per element.
+        scale_np = np.asarray(scale)
+        deq = np.asarray(qc, np.float32) * (
+            scale_np[:, None] if per_row else scale_np
+        )
+        assert np.max(np.abs(deq - items)) <= np.max(scale_np) * 0.5 + 1e-7
+        ref_idx = np.argsort(-(q @ items.T), axis=1)[:, :20]
+        for kwargs in ({}, {"query_chunk": 8, "item_chunk": 512}):
+            vals, idx = topk_mips_approx(
+                jnp.asarray(q), qc, 20, item_scale=scale, **kwargs
+            )
+            overlap = np.mean([
+                len(set(np.asarray(idx[b]).tolist()) & set(ref_idx[b].tolist())) / 20
+                for b in range(17)
+            ])
+            assert overlap >= 0.9
+            ref_scores = np.take_along_axis(q @ items.T, np.asarray(idx), axis=1)
+            np.testing.assert_allclose(np.asarray(vals), ref_scores, atol=0.02)
+
+    def test_int8_zero_rows_and_validation(self, rng):
+        from twotower_tpu.ops.topk import quantize_corpus, topk_mips_approx
+
+        items = rng.normal(size=(100, 8)).astype(np.float32)
+        items[50:] = 0.0  # e.g. layout padding rows
+        qc, scale = quantize_corpus(jnp.asarray(items), per_row=True)
+        assert (np.asarray(scale)[50:] == 0).all()
+        assert (np.asarray(qc)[50:] == 0).all()
+        q = rng.normal(size=(4, 8)).astype(np.float32)
+        with pytest.raises(ValueError, match="int8"):
+            topk_mips_approx(jnp.asarray(q), jnp.asarray(items), 5, item_scale=scale)
+        with pytest.raises(ValueError, match="item_scale shape"):
+            topk_mips_approx(jnp.asarray(q), qc, 5, item_scale=scale[:10])
+        # All-zero corpus quantizes to zeros with a zero global scale.
+        qz, sz = quantize_corpus(jnp.zeros((16, 8)))
+        assert float(sz) == 0.0 and (np.asarray(qz) == 0).all()
+
     def test_num_valid_prepadded_matches(self, rng):
         from twotower_tpu.ops.topk import topk_mips, topk_mips_approx
 

@@ -58,6 +58,54 @@ class TestRetrievalIndex:
         with pytest.raises(ValueError):
             small_index.recommend(np.array([1000]), k=5)
 
+    @pytest.mark.parametrize("dtype", ["int8", "int8_rowscale"])
+    def test_int8_corpus_matches_float(self, small_index, tiny_config_module, dtype):
+        cfg = tiny_config_module.with_overrides({"serving.corpus_dtype": dtype})
+        q_index = RetrievalIndex(cfg, small_index.params, 100, 60)
+        assert np.asarray(q_index.corpus).dtype == np.int8
+        users = np.arange(20, dtype=np.int32)
+        _, idx_f = small_index.recommend(users, k=10)
+        scores_q, idx_q = q_index.recommend(users, k=10)
+        overlap = np.mean(
+            [len(set(idx_f[b]) & set(idx_q[b])) / 10 for b in range(len(users))]
+        )
+        assert overlap >= 0.9  # quantization noise is below the ANN's own slack
+        # Dequantized scores track the float scores closely.
+        u_emb = np.asarray(
+            two_tower.embed_users(q_index.params, users, cfg.model)
+        )
+        scale = np.asarray(q_index.corpus_scale)
+        corpus = np.asarray(q_index.corpus, np.float32) * (
+            scale[:, None] if scale.ndim else scale
+        )
+        want = np.take_along_axis(u_emb @ corpus.T, idx_q, axis=1)
+        np.testing.assert_allclose(scores_q, want, atol=0.02)
+
+    @pytest.mark.parametrize("dtype", ["int8", "int8_rowscale"])
+    def test_int8_similar_items_and_export(self, tiny_config_module, tmp_path, dtype):
+        cfg = tiny_config_module.with_overrides({"serving.corpus_dtype": dtype})
+        params = two_tower.init_params(jax.random.PRNGKey(1), cfg.model, 50, 40)
+        index = RetrievalIndex(cfg, params, 50, 40)
+        _, idx = index.similar_items(np.array([3]), k=5)
+        assert 3 not in idx[0]
+        index.export_corpus(tmp_path / "corpus.npz")
+        with np.load(tmp_path / "corpus.npz") as data:
+            exported = data["corpus"]
+        full = np.asarray(
+            two_tower.embed_item_table(params, cfg.model, 40), np.float32
+        )
+        # Export dequantizes: rows match the float corpus to int8 precision.
+        np.testing.assert_allclose(exported, full, atol=2.5 / 127)
+
+    def test_int8_requires_ann_index(self, tiny_config_module):
+        with pytest.raises(ValueError, match="int8"):
+            tiny_config_module.with_overrides(
+                {
+                    "serving.corpus_dtype": "int8",
+                    "serving.index_type": "tpu_mips_exact",
+                }
+            )
+
 
 class TestCpuFlatIndex:
     def test_native_matches_numpy(self, rng):

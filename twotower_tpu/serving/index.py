@@ -9,7 +9,11 @@ embeddings (``ops/topk.py``), plus a native C++ CPU fallback index
 Exactness: the DEFAULT ``serving.index_type="tpu_mips"`` dispatches
 ``lax.approx_max_k`` (recall target 0.95 — the FAISS-equivalent ANN trade);
 choose ``tpu_mips_exact`` (chunked-scan MIPS) or ``cpu_flat`` when serving
-results must match evaluation metrics bit-for-bit.
+results must match evaluation metrics bit-for-bit. The resident corpus
+precision is a further latency/recall dial (``serving.corpus_dtype``):
+bfloat16 (auto default), or int8 with a global (``"int8"``) or per-row
+(``"int8_rowscale"``) dequantization scale — see docs/serving.md for the
+measured v5e latency/recall table.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from twotower_tpu.models import two_tower
 from twotower_tpu.ops.topk import (
     ann_padded_rows,
     exact_padded_rows,
+    quantize_corpus,
     topk_mips,
     topk_mips_approx,
 )
@@ -54,8 +59,13 @@ class RetrievalIndex:
         mcfg = config.model
         tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
         # Resident precision: bf16 under the ANN index halves the HBM
-        # stream that dominates large-catalog search (serving.corpus_dtype).
-        corpus_dtype = jnp.dtype(config.serving.resolve_corpus_dtype())
+        # stream that dominates large-catalog search; int8 (per-row-scale
+        # symmetric quantization) halves it again and runs the score matmul
+        # as native s8 x s8 on the MXU (serving.corpus_dtype).
+        resolved_dtype = config.serving.resolve_corpus_dtype()
+        quantized = resolved_dtype.startswith("int8")
+        per_row = resolved_dtype == "int8_rowscale"
+        corpus_dtype = jnp.dtype("int8" if quantized else resolved_dtype)
         exact = config.serving.index_type == "tpu_mips_exact"
         # Pad the resident corpus ONCE to the search path's block layout so
         # no jit ever re-pads a multi-GB buffer per request (padding rows
@@ -63,14 +73,16 @@ class RetrievalIndex:
         padded_rows = (
             exact_padded_rows(num_items) if exact else ann_padded_rows(num_items)
         )
-        self.corpus = jax.jit(
-            lambda p: jnp.pad(
-                two_tower.embed_item_table(
-                    p, mcfg, num_items, item_tokens=tokens
-                ).astype(corpus_dtype),
-                ((0, padded_rows - num_items), (0, 0)),
-            )
-        )(params)
+
+        @jax.jit
+        def _build(p):
+            emb = two_tower.embed_item_table(p, mcfg, num_items, item_tokens=tokens)
+            emb = jnp.pad(emb, ((0, padded_rows - num_items), (0, 0)))
+            if quantized:
+                return quantize_corpus(emb, per_row=per_row)
+            return emb.astype(corpus_dtype), None
+
+        self.corpus, self.corpus_scale = _build(params)
         jax.block_until_ready(self.corpus)
         logger.info(
             "retrieval index ready: %d items (%d padded rows) x %d dims (%s) on %s",
@@ -82,27 +94,33 @@ class RetrievalIndex:
         # serving.recall_target), exact scan on request.
         recall = config.serving.recall_target
 
-        def search(emb, corpus, k):
+        def search(emb, corpus, scale, k):
             if exact:
                 return topk_mips(emb, corpus, k, num_valid=num_items)
             return topk_mips_approx(
-                emb, corpus, k, recall_target=recall, num_valid=num_items
+                emb, corpus, k, recall_target=recall, num_valid=num_items,
+                item_scale=scale,
             )
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def _query_users(params, corpus, user_idx, k: int):
+        def _query_users(params, corpus, scale, user_idx, k: int):
             emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
-            return search(emb, corpus, k)
+            return search(emb, corpus, scale, k)
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def _query_emb(corpus, emb, k: int):
-            return search(emb, corpus, k)
+        def _query_emb(corpus, scale, emb, k: int):
+            return search(emb, corpus, scale, k)
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def _query_items(corpus, item_idx, k: int):
+        def _query_items(corpus, scale, item_idx, k: int):
             emb = corpus[item_idx]
+            if quantized:
+                # Dequantize the query rows; the search path re-quantizes
+                # them dynamically (round-trip stable to +-1 LSB).
+                emb = emb.astype(jnp.float32)
+                emb = emb * (scale[item_idx][:, None] if scale.ndim else scale)
             # k+1: the item itself always ranks first in its own neighborhood
-            return search(emb, corpus, k + 1)
+            return search(emb, corpus, scale, k + 1)
 
         self._query_users = _query_users
         self._query_emb = _query_emb
@@ -115,12 +133,16 @@ class RetrievalIndex:
         user_idx = np.atleast_1d(np.asarray(user_idx, np.int32))
         if (user_idx < 0).any() or (user_idx >= self.num_users).any():
             raise ValueError("user_idx out of range")
-        vals, idx = self._query_users(self.params, self.corpus, jnp.asarray(user_idx), k)
+        vals, idx = self._query_users(
+            self.params, self.corpus, self.corpus_scale, jnp.asarray(user_idx), k
+        )
         return np.asarray(vals), np.asarray(idx)
 
     def recommend_by_embedding(self, emb: np.ndarray, k: int = 100):
         """Top-k for externally-computed query embeddings [B, D]."""
-        vals, idx = self._query_emb(self.corpus, jnp.asarray(emb, jnp.float32), k)
+        vals, idx = self._query_emb(
+            self.corpus, self.corpus_scale, jnp.asarray(emb, jnp.float32), k
+        )
         return np.asarray(vals), np.asarray(idx)
 
     def similar_items(self, item_idx: np.ndarray, k: int = 100):
@@ -128,7 +150,9 @@ class RetrievalIndex:
         item_idx = np.atleast_1d(np.asarray(item_idx, np.int32))
         if (item_idx < 0).any() or (item_idx >= self.num_items).any():
             raise ValueError("item_idx out of range")
-        vals, idx = self._query_items(self.corpus, jnp.asarray(item_idx), k)
+        vals, idx = self._query_items(
+            self.corpus, self.corpus_scale, jnp.asarray(item_idx), k
+        )
         vals, idx = np.asarray(vals), np.asarray(idx)
         out_v = np.empty((len(item_idx), k), np.float32)
         out_i = np.empty((len(item_idx), k), np.int32)
@@ -144,9 +168,11 @@ class RetrievalIndex:
         """Persist corpus embeddings (npz) for offline/CPU-index serving."""
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(
-            path, corpus=np.asarray(self.corpus[: self.num_items], np.float32)
-        )
+        corpus = np.asarray(self.corpus[: self.num_items], np.float32)
+        if self.corpus_scale is not None:
+            scale = np.asarray(self.corpus_scale)
+            corpus *= scale[: self.num_items, None] if scale.ndim else scale
+        np.savez_compressed(path, corpus=corpus)
         logger.info("exported corpus embeddings -> %s", path)
 
     @classmethod
