@@ -181,6 +181,83 @@ class TestTopKMips:
         )
 
 
+    @pytest.mark.parametrize("quant", ["none", "global", "per_row"])
+    def test_approx_sharded_matches_global(self, rng, quant):
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from twotower_tpu.ops.topk import (
+            quantize_corpus,
+            topk_mips_approx,
+            topk_mips_approx_sharded,
+        )
+
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("model",))
+        b, d, n, k = 4, 8, 64 * 8, 5
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        items = rng.normal(size=(n, d)).astype(np.float32)
+        if quant == "none":
+            corpus, scale = jnp.asarray(items), None
+            in_specs = (P(), P("model", None))
+            args = (jnp.asarray(q), corpus)
+        else:
+            corpus, scale = quantize_corpus(
+                jnp.asarray(items), per_row=quant == "per_row"
+            )
+            scale_spec = P("model") if quant == "per_row" else P()
+            in_specs = (P(), P("model", None), scale_spec)
+            args = (jnp.asarray(q), corpus, scale)
+
+        def body(qq, ii, ss=None):
+            return topk_mips_approx_sharded(
+                qq, ii, k, axis_name="model", item_scale_shard=ss
+            )
+
+        fn = shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+            check_rep=False,
+        )
+        vals, idx = fn(*args)
+        ref_vals, ref_idx = topk_mips_approx(
+            jnp.asarray(q), corpus, k, item_scale=scale
+        )
+        # CPU approx_max_k is exact, so shard + merge reproduces the
+        # single-device result bit-for-bit (same quantization on both).
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_vals), rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+    def test_approx_sharded_masks_shard_padding(self, rng):
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from twotower_tpu.ops.topk import topk_mips, topk_mips_approx_sharded
+
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("model",))
+        b, d, k = 3, 8, 4
+        num_items = 100  # not divisible by 8 -> shards pad to 13 rows
+        rows = -(-num_items // 8) * 8
+        items = rng.normal(size=(num_items, d)).astype(np.float32)
+        padded = np.full((rows, d), 50.0, np.float32)  # poison pad rows
+        padded[:num_items] = items
+        q = rng.normal(size=(b, d)).astype(np.float32)
+
+        fn = shard_map(
+            lambda qq, ii: topk_mips_approx_sharded(
+                qq, ii, k, axis_name="model", num_items=num_items
+            ),
+            mesh=mesh, in_specs=(P(), P("model", None)),
+            out_specs=(P(), P()), check_rep=False,
+        )
+        vals, idx = fn(jnp.asarray(q), jnp.asarray(padded))
+        assert (np.asarray(idx) < num_items).all()
+        ref_vals, _ = topk_mips(jnp.asarray(q), jnp.asarray(items), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+
+
 class TestTopKApprox:
     def test_matches_exact_on_cpu(self, rng):
         from twotower_tpu.ops.topk import topk_mips_approx

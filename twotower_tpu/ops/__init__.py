@@ -9,12 +9,19 @@ from twotower_tpu.ops.losses import (
     l2_penalty,
     uniform_sampled_softmax_loss,
 )
-from twotower_tpu.ops.topk import topk_mips, topk_mips_sharded
+from twotower_tpu.ops.topk import (
+    topk_mips,
+    topk_mips_approx,
+    topk_mips_approx_sharded,
+    topk_mips_sharded,
+)
 
 __all__ = [
     "in_batch_softmax_loss",
     "l2_penalty",
     "uniform_sampled_softmax_loss",
     "topk_mips",
+    "topk_mips_approx",
+    "topk_mips_approx_sharded",
     "topk_mips_sharded",
 ]

@@ -405,3 +405,70 @@ def topk_mips_sharded(
     vals, sel = jax.lax.top_k(all_vals, k)
     idx = jnp.take_along_axis(all_idx, sel, axis=1)
     return vals, idx
+
+
+def topk_mips_approx_sharded(
+    query_emb: Array,
+    item_emb_shard: Array,
+    k: int,
+    *,
+    axis_name: str,
+    recall_target: float = 0.95,
+    query_chunk: int = 256,
+    item_chunk: int = 1 << 21,
+    num_items: int | None = None,
+    item_scale_shard: Array | None = None,
+) -> tuple[Array, Array]:
+    """Cross-shard ANN top-k: the serving search for a row-sharded corpus.
+
+    The multi-chip counterpart of ``topk_mips_approx`` for catalogs sharded
+    over ``axis_name`` (BASELINE configs 4-5: 10M+ items spread over the
+    model axis). Runs inside ``shard_map``: each device searches its local
+    shard with ``approx_max_k`` (int8-quantized shards supported via
+    ``item_scale_shard`` — per-row ``[rows]`` slices or the replicated
+    scalar global scale), local candidates are offset to global ids and
+    all-gathered along ``axis_name`` (k*S rows per query ride ICI, never
+    the corpus), and the union is merged with an exact ``top_k`` — so the
+    only approximation is each shard's own recall target, exactly like the
+    single-device path's per-block approximation.
+
+    ``num_items``: real (unpadded) global corpus size. Shard-padding rows
+    (global index >= num_items) are zeroed before the local search (so
+    stale buffer contents can never outrank real items) and masked to
+    ``-inf`` after it, mirroring ``topk_mips_sharded``. Caveat shared with
+    that path: a shard holding P pad rows surfaces P fewer *negative*-
+    scoring candidates from its local top-k (zeroed rows score 0);
+    irrelevant for L2-normalized corpora unless a query's global top-k
+    reaches into negative scores — pre-pad the catalog to a multiple of
+    the shard count at build time to avoid the case entirely.
+    """
+    shard_id = jax.lax.axis_index(axis_name)
+    num_shards = jax.lax.axis_size(axis_name)
+    rows = item_emb_shard.shape[0]
+    offset = shard_id * rows
+    if num_items is not None:
+        row_ok = (jax.lax.iota(jnp.int32, rows) + offset) < num_items
+        item_emb_shard = jnp.where(
+            row_ok[:, None], item_emb_shard, jnp.zeros((), item_emb_shard.dtype)
+        )
+    local_vals, local_idx = topk_mips_approx(
+        query_emb,
+        item_emb_shard,
+        k,
+        recall_target=recall_target,
+        query_chunk=query_chunk,
+        item_chunk=item_chunk,
+        item_scale=item_scale_shard,
+    )
+    local_idx = local_idx + offset
+    if num_items is not None:
+        pad = local_idx >= num_items
+        local_vals = jnp.where(pad, -jnp.inf, local_vals)
+    all_vals = jax.lax.all_gather(local_vals, axis_name)
+    all_idx = jax.lax.all_gather(local_idx, axis_name)
+    b = query_emb.shape[0]
+    all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, num_shards * k)
+    all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, num_shards * k)
+    vals, sel = jax.lax.top_k(all_vals, k)
+    idx = jnp.take_along_axis(all_idx, sel, axis=1)
+    return vals, idx
