@@ -133,3 +133,19 @@ def test_platform_cpu_only_parsing():
     assert not _is_cpu_only("cpu,tpu")
     assert not _is_cpu_only("tpu")
     assert not _is_cpu_only("")
+
+
+def test_shipped_config_presets_load():
+    """Every YAML under configs/ must load into a valid Config (the five
+    BASELINE.json scale presets + default)."""
+    from pathlib import Path
+
+    from twotower_tpu.config import load_config
+
+    cfg_dir = Path(__file__).resolve().parents[1] / "configs"
+    paths = sorted(cfg_dir.glob("*.yaml"))
+    assert len(paths) >= 6  # default + 5 scale presets
+    for path in paths:
+        cfg = load_config(path)
+        assert cfg.model.embedding_dim > 0
+        assert cfg.mesh.num_model >= 1
