@@ -86,10 +86,17 @@ def main() -> None:
         _ = float(metrics["loss"])
         return time.perf_counter() - t0
 
+    # Best of two slope measurements: the tunnel transport adds seconds-
+    # scale, occasionally lopsided fetch latencies, and the first measured
+    # window can still absorb autotuning/queue-depth settling — the MIN
+    # slope is the honest steady-state step time (noise only ever adds).
     n1, n2 = MEASURE_STEPS, MEASURE_STEPS * 4
-    t1 = run(n1)
-    t2 = run(n2)
-    step_s = max((t2 - t1) / (n2 - n1), 1e-9)
+    slopes = []
+    for _ in range(2):
+        t1 = run(n1)
+        t2 = run(n2)
+        slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
+    step_s = min(slopes)
 
     n_chips = jax.device_count()
     eps_per_chip = BATCH / step_s / n_chips
