@@ -97,6 +97,38 @@ class TestRetrievalIndex:
         # Export dequantizes: rows match the float corpus to int8 precision.
         np.testing.assert_allclose(exported, full, atol=2.5 / 127)
 
+    @pytest.mark.parametrize(
+        "overrides",
+        [
+            {},
+            {"serving.corpus_dtype": "int8"},
+            {"serving.corpus_dtype": "int8_rowscale"},
+            {"serving.index_type": "tpu_mips_exact"},
+        ],
+        ids=["bf16", "int8", "int8_rowscale", "exact"],
+    )
+    def test_mesh_sharded_index_matches_single(
+        self, small_index, tiny_config_module, overrides
+    ):
+        import jax
+        from jax.sharding import Mesh
+
+        cfg = tiny_config_module.with_overrides(overrides)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+        sharded = RetrievalIndex(cfg, small_index.params, 100, 60, mesh=mesh)
+        single = RetrievalIndex(cfg, small_index.params, 100, 60)
+        users = np.arange(25, dtype=np.int32)
+        v_s, i_s = sharded.recommend(users, k=7)
+        v_1, i_1 = single.recommend(users, k=7)
+        # CPU approx_max_k is exact -> shard+merge must reproduce the
+        # single-device search exactly (same quantization both sides).
+        np.testing.assert_array_equal(i_s, i_1)
+        np.testing.assert_allclose(v_s, v_1, rtol=1e-5)
+        # similar_items exercises the sharded-gather query path.
+        _, sim = sharded.similar_items(np.array([3, 9]), k=5)
+        assert sim.shape == (2, 5)
+        assert 3 not in sim[0] and 9 not in sim[1]
+
     def test_int8_requires_ann_index(self, tiny_config_module):
         with pytest.raises(ValueError, match="int8"):
             tiny_config_module.with_overrides(

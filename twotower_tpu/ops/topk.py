@@ -388,20 +388,24 @@ def topk_mips_sharded(
     """
     shard_id = jax.lax.axis_index(axis_name)
     num_shards = jax.lax.axis_size(axis_name)
+    # k may exceed one shard's row count (small catalogs over many shards):
+    # each shard contributes its top-min(k, rows) — the union still
+    # contains the global top-k (k <= num_items <= shards * rows).
+    local_k = min(k, item_emb_shard.shape[0])
     local_vals, local_idx = topk_mips(
-        query_emb, item_emb_shard, k, chunk_size=chunk_size
+        query_emb, item_emb_shard, local_k, chunk_size=chunk_size
     )
     offset = shard_id * item_emb_shard.shape[0]
     local_idx = local_idx + offset
     if num_items is not None:
         pad = local_idx >= num_items
         local_vals = jnp.where(pad, -jnp.inf, local_vals)
-    # [S, B, k] along the model axis — rides ICI.
+    # [S, B, local_k] along the model axis — rides ICI.
     all_vals = jax.lax.all_gather(local_vals, axis_name)
     all_idx = jax.lax.all_gather(local_idx, axis_name)
     b = query_emb.shape[0]
-    all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, num_shards * k)
-    all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, num_shards * k)
+    all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, num_shards * local_k)
+    all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, num_shards * local_k)
     vals, sel = jax.lax.top_k(all_vals, k)
     idx = jnp.take_along_axis(all_idx, sel, axis=1)
     return vals, idx
@@ -451,10 +455,14 @@ def topk_mips_approx_sharded(
         item_emb_shard = jnp.where(
             row_ok[:, None], item_emb_shard, jnp.zeros((), item_emb_shard.dtype)
         )
+    # k may exceed one shard's row count (small catalogs over many shards):
+    # each shard contributes its top-min(k, rows); the union still contains
+    # the global top-k.
+    local_k = min(k, rows)
     local_vals, local_idx = topk_mips_approx(
         query_emb,
         item_emb_shard,
-        k,
+        local_k,
         recall_target=recall_target,
         query_chunk=query_chunk,
         item_chunk=item_chunk,
@@ -467,8 +475,8 @@ def topk_mips_approx_sharded(
     all_vals = jax.lax.all_gather(local_vals, axis_name)
     all_idx = jax.lax.all_gather(local_idx, axis_name)
     b = query_emb.shape[0]
-    all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, num_shards * k)
-    all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, num_shards * k)
+    all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, num_shards * local_k)
+    all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, num_shards * local_k)
     vals, sel = jax.lax.top_k(all_vals, k)
     idx = jnp.take_along_axis(all_idx, sel, axis=1)
     return vals, idx

@@ -427,13 +427,30 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", type=str, required=True)
     p.add_argument("--host", type=str, default=None)
     p.add_argument("--port", type=int, default=None)
+    p.add_argument(
+        "--shard-corpus", action="store_true",
+        help="row-shard the item corpus over all local devices (catalogs "
+        "past one chip's HBM; cross-shard ANN merge per query)",
+    )
     return p
 
 
-def build_service(config: Config, checkpoint_dir: str) -> RecommendService:
+def build_service(
+    config: Config, checkpoint_dir: str, shard_corpus: bool = False
+) -> RecommendService:
     from twotower_tpu.serving.index import RetrievalIndex
 
-    index = RetrievalIndex.from_checkpoint(config, checkpoint_dir)
+    mesh = None
+    if shard_corpus:
+        import jax
+        from jax.sharding import Mesh
+
+        import numpy as _np
+
+        mesh = Mesh(
+            _np.asarray(jax.devices()), (config.mesh.model_axis,)
+        )
+    index = RetrievalIndex.from_checkpoint(config, checkpoint_dir, mesh=mesh)
     return RecommendService(
         index,
         index.vocab,
@@ -451,7 +468,7 @@ def main(argv: list[str] | None = None) -> int:
     config = load_config_for_checkpoint(
         args.checkpoint_dir, args.config, parse_cli_overrides(args.override)
     )
-    service = build_service(config, args.checkpoint_dir)
+    service = build_service(config, args.checkpoint_dir, shard_corpus=args.shard_corpus)
     window = config.serving.coalesce_window_ms
     app = create_app(service, coalesce=window > 0, window_ms=window)
     host = args.host or config.serving.host

@@ -43,19 +43,26 @@ class RetrievalIndex:
     """User/query -> top-k item retrieval over a frozen model.
 
     The item corpus is encoded once at construction (chunked, on device) and
-    kept resident; queries run a jitted user-tower -> exact top-k pipeline.
+    kept resident; queries run a jitted user-tower -> top-k pipeline.
     Supports id-based queries (known users), embedding-based queries
     (cold-start / external towers), and item-to-item similarity.
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` — row-shards the resident
+    corpus and embedding tables over its devices for catalogs past one
+    chip's HBM; queries run the cross-shard merge search
+    (``ops.topk.topk_mips_*_sharded``). Results match the single-device
+    index (the only approximation remains each shard's ANN recall target).
     """
 
     def __init__(
         self, config: Config, params, num_users: int, num_items: int,
-        item_tokens=None,
+        item_tokens=None, mesh=None,
     ):
         self.config = config
         self.params = params
         self.num_users = num_users
         self.num_items = num_items
+        self.mesh = mesh
         mcfg = config.model
         tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
         # Resident precision: bf16 under the ANN index halves the HBM
@@ -67,40 +74,122 @@ class RetrievalIndex:
         per_row = resolved_dtype == "int8_rowscale"
         corpus_dtype = jnp.dtype("int8" if quantized else resolved_dtype)
         exact = config.serving.index_type == "tpu_mips_exact"
-        # Pad the resident corpus ONCE to the search path's block layout so
-        # no jit ever re-pads a multi-GB buffer per request (padding rows
-        # are masked via num_valid and never surface).
-        padded_rows = (
-            exact_padded_rows(num_items) if exact else ann_padded_rows(num_items)
-        )
+        num_shards = 1
+        if mesh is not None:
+            # Mesh serving: corpus row-sharded over a 1-D mesh (catalogs
+            # past one chip's HBM — BASELINE configs 4-5). Queries search
+            # their local shard and exact-merge k candidates per shard
+            # (ops.topk.topk_mips_*_sharded).
+            if len(mesh.axis_names) != 1:
+                raise ValueError(
+                    f"serving mesh must be 1-D, got axes {mesh.axis_names}"
+                )
+            num_shards = mesh.devices.size
+        if mesh is not None:
+            # Equal shards: each shard's rows stay copy-free in its local
+            # search (single-shot ANN path / chunk-multiple exact path).
+            local = -(-num_items // num_shards)
+            if exact:
+                local = exact_padded_rows(local)
+            padded_rows = local * num_shards
+        else:
+            # Pad the resident corpus ONCE to the search path's block
+            # layout so no jit ever re-pads a multi-GB buffer per request
+            # (padding rows are masked via num_valid and never surface).
+            padded_rows = (
+                exact_padded_rows(num_items) if exact else ann_padded_rows(num_items)
+            )
 
-        @jax.jit
-        def _build(p):
+        def _build_fn(p):
             emb = two_tower.embed_item_table(p, mcfg, num_items, item_tokens=tokens)
             emb = jnp.pad(emb, ((0, padded_rows - num_items), (0, 0)))
             if quantized:
                 return quantize_corpus(emb, per_row=per_row)
             return emb.astype(corpus_dtype), None
 
-        self.corpus, self.corpus_scale = _build(params)
+        if mesh is None:
+            self.corpus, self.corpus_scale = jax.jit(_build_fn)(params)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = mesh.axis_names[0]
+            # Checkpoint-restored params arrive committed to one device;
+            # distribute them over the serving mesh — embedding tables
+            # row-sharded (they dominate; GSPMD turns tower gathers into
+            # collectives), dense tower weights replicated.
+            params = jax.device_put(
+                params,
+                {
+                    name: NamedSharding(
+                        mesh, P(ax, None) if name.endswith("_embedding") else P()
+                    )
+                    for name in params
+                },
+            )
+            self.params = params
+            sh_corpus = NamedSharding(mesh, P(ax, None))
+            if quantized:
+                sh_scale = NamedSharding(mesh, P(ax) if per_row else P())
+                build = jax.jit(_build_fn, out_shardings=(sh_corpus, sh_scale))
+                self.corpus, self.corpus_scale = build(params)
+            else:
+                build = jax.jit(lambda p: _build_fn(p)[0], out_shardings=sh_corpus)
+                self.corpus, self.corpus_scale = build(params), None
         jax.block_until_ready(self.corpus)
         logger.info(
-            "retrieval index ready: %d items (%d padded rows) x %d dims (%s) on %s",
+            "retrieval index ready: %d items (%d padded rows) x %d dims (%s) "
+            "on %s%s",
             num_items, padded_rows, self.corpus.shape[1], corpus_dtype.name,
             jax.default_backend(),
+            f", {num_shards}-way sharded" if mesh is not None else "",
         )
 
         # Serving search: approx_max_k ANN by default (the FAISS-equivalent;
         # serving.recall_target), exact scan on request.
         recall = config.serving.recall_target
 
-        def search(emb, corpus, scale, k):
-            if exact:
-                return topk_mips(emb, corpus, k, num_valid=num_items)
-            return topk_mips_approx(
-                emb, corpus, k, recall_target=recall, num_valid=num_items,
-                item_scale=scale,
+        if mesh is None:
+
+            def search(emb, corpus, scale, k):
+                if exact:
+                    return topk_mips(emb, corpus, k, num_valid=num_items)
+                return topk_mips_approx(
+                    emb, corpus, k, recall_target=recall, num_valid=num_items,
+                    item_scale=scale,
+                )
+
+        else:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from twotower_tpu.ops.topk import (
+                topk_mips_approx_sharded,
+                topk_mips_sharded,
             )
+
+            ax = mesh.axis_names[0]
+            scale_spec = P(ax) if per_row else P()
+
+            def search(emb, corpus, scale, k):
+                def body(e, c, s=None):
+                    if exact:
+                        return topk_mips_sharded(
+                            e, c, k, axis_name=ax, num_items=num_items
+                        )
+                    return topk_mips_approx_sharded(
+                        e, c, k, axis_name=ax, recall_target=recall,
+                        num_items=num_items, item_scale_shard=s,
+                    )
+
+                in_specs = (P(), P(ax, None))
+                args = (emb, corpus)
+                if scale is not None:
+                    in_specs += (scale_spec,)
+                    args += (scale,)
+                return shard_map(
+                    body, mesh=mesh, in_specs=in_specs,
+                    out_specs=(P(), P()), check_rep=False,
+                )(*args)
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def _query_users(params, corpus, scale, user_idx, k: int):
@@ -176,7 +265,9 @@ class RetrievalIndex:
         logger.info("exported corpus embeddings -> %s", path)
 
     @classmethod
-    def from_checkpoint(cls, config: Config, checkpoint_dir: str | Path) -> "RetrievalIndex":
+    def from_checkpoint(
+        cls, config: Config, checkpoint_dir: str | Path, mesh=None
+    ) -> "RetrievalIndex":
         """Load params + vocab from a training checkpoint directory."""
         from twotower_tpu.data.vocab import VocabPair
         from twotower_tpu.evaluation.evaluate import restore_params
@@ -190,6 +281,9 @@ class RetrievalIndex:
         if tokens_path.exists():
             with np.load(tokens_path) as data:
                 item_tokens = data["tokens"]
-        index = cls(config, params, num_users, num_items, item_tokens=item_tokens)
+        index = cls(
+            config, params, num_users, num_items, item_tokens=item_tokens,
+            mesh=mesh,
+        )
         index.vocab = vocab
         return index
