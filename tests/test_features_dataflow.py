@@ -297,3 +297,21 @@ class TestDataCLIs:
         assert (tmp_path / "dl" / "combined_5core.parquet").exists()
         report = json.loads((tmp_path / "dl" / "download_report.json").read_text())
         assert report["All_Beauty"]["rows"] == 9
+
+    def test_download_discover_mocked(self, capsys):
+        from twotower_tpu.data.download import main as download_main
+
+        sib = lambda name: MagicMock(rfilename=name)  # noqa: E731
+        info = MagicMock(
+            siblings=[
+                sib("raw/review_categories/All_Beauty.jsonl"),
+                sib("raw/review_categories/Video_Games.jsonl"),
+                sib("raw/meta_categories/All_Beauty.jsonl"),  # not a review cat
+            ]
+        )
+        with patch("huggingface_hub.HfApi") as api:
+            api.return_value.dataset_info.return_value = info
+            rc = download_main(["--discover"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["categories"] == ["All_Beauty", "Video_Games"]

@@ -44,6 +44,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="also write one combined parquet with a category column")
     p.add_argument("--with-meta", action="store_true",
                    help="raw mode: also download item metadata")
+    p.add_argument("--discover", action="store_true",
+                   help="list the categories available on the Hub and exit "
+                   "(reference: amazon_loader.py:295-320 discovery)")
     return p
 
 
@@ -109,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging()
     args = build_argparser().parse_args(argv)
     config = load_config(args.config, parse_cli_overrides(args.override))
+    if args.discover:
+        loader = AmazonReviewsLoader(config.dataset)
+        categories = loader.get_available_categories()
+        print(json.dumps({"categories": categories}))
+        return 0 if categories else 1
     categories = args.categories or (
         DEFAULT_KCORE_CATEGORIES if args.mode == "kcore" else config.dataset.categories
     )
