@@ -14,6 +14,59 @@ import numpy as np
 from twotower_tpu.data.schema import Interactions
 
 
+def _affinity_items_np(u_lat, i_lat, users, affinity_scale, rng):
+    """Chunked numpy gumbel-argmax (small workloads / no accelerator)."""
+    latent_dim = u_lat.shape[1]
+    items = np.empty(len(users), dtype=np.int64)
+    chunk = 8192
+    for start in range(0, len(users), chunk):
+        end = min(start + chunk, len(users))
+        uu = users[start:end]
+        logits = (
+            np.float32(affinity_scale) * (u_lat[uu] @ i_lat.T)
+            / np.float32(np.sqrt(latent_dim))
+        )
+        gumbel = -np.log(
+            -np.log(rng.random(logits.shape, dtype=np.float32) + 1e-12) + 1e-12
+        )
+        items[start:end] = np.argmax(logits + gumbel, axis=1)
+    return items
+
+
+def _affinity_items_jax(u_lat, i_lat, users, affinity_scale, seed):
+    """Device-side gumbel-argmax: the [chunk, num_items] logits live in
+    accelerator HBM and the matmul runs on the MXU; only the winning item
+    ids come back to the host. Deterministic for a fixed seed (its own
+    PRNG stream — values differ from the numpy path, the distribution is
+    identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    latent_dim = u_lat.shape[1]
+    chunk = 8192
+    n = len(users)
+    padded = -(-n // chunk) * chunk
+    users_p = np.pad(users, (0, padded - n)).reshape(padded // chunk, chunk)
+
+    @jax.jit
+    def sample_chunk(key, uu, u_lat_d, i_lat_d):
+        logits = (
+            jnp.float32(affinity_scale)
+            * (u_lat_d[uu] @ i_lat_d.T)
+            / jnp.sqrt(jnp.float32(latent_dim))
+        )
+        gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
+        return jnp.argmax(logits + gumbel, axis=1)
+
+    u_lat_d, i_lat_d = jnp.asarray(u_lat), jnp.asarray(i_lat)
+    root = jax.random.PRNGKey(seed)
+    out = [
+        sample_chunk(jax.random.fold_in(root, i), jnp.asarray(row), u_lat_d, i_lat_d)
+        for i, row in enumerate(users_p)
+    ]
+    return np.asarray(jnp.concatenate(out))[:n].astype(np.int64)
+
+
 def generate_interactions(
     num_users: int = 1000,
     num_items: int = 500,
@@ -44,25 +97,19 @@ def generate_interactions(
     popularity /= popularity.sum()
 
     users = rng.integers(0, num_users, size=num_interactions)
-    items = np.empty(num_interactions, dtype=np.int64)
 
-    # Vectorized per-chunk sampling: gumbel-argmax over affinity logits,
-    # mixed per-row with popularity draws.
-    chunk = 8192
-    for start in range(0, num_interactions, chunk):
-        end = min(start + chunk, num_interactions)
-        uu = users[start:end]
-        logits = (
-            np.float32(affinity_scale) * (u_lat[uu] @ i_lat.T)
-            / np.float32(np.sqrt(latent_dim))
-        )
-        gumbel = -np.log(
-            -np.log(rng.random(logits.shape, dtype=np.float32) + 1e-12) + 1e-12
-        )
-        aff_items = np.argmax(logits + gumbel, axis=1)
-        pop_items = rng.choice(num_items, size=end - start, p=popularity)
-        use_pop = rng.random(end - start) < noise
-        items[start:end] = np.where(use_pop, pop_items, aff_items)
+    # Gumbel-argmax over the full [chunk, num_items] affinity logits is the
+    # FLOP/bandwidth hot spot (it IS a softmax sample, exactly): at 1M
+    # interactions x 100k items it streams hundreds of GB, minutes-to-hours
+    # on a throttled host but milliseconds on an accelerator's MXU — so the
+    # affinity draw dispatches to JAX past a size threshold.
+    if num_interactions * num_items >= 1 << 28:
+        aff_items = _affinity_items_jax(u_lat, i_lat, users, affinity_scale, seed)
+    else:
+        aff_items = _affinity_items_np(u_lat, i_lat, users, affinity_scale, rng)
+    pop_items = rng.choice(num_items, size=num_interactions, p=popularity)
+    use_pop = rng.random(num_interactions) < noise
+    items = np.where(use_pop, pop_items, aff_items).astype(np.int64)
 
     affinity = np.einsum("nd,nd->n", u_lat[users], i_lat[items]) / np.sqrt(latent_dim)
     rating = np.clip(np.round(3.0 + affinity + 0.5 * rng.normal(size=num_interactions)), 1, 5)
