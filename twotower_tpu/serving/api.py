@@ -445,11 +445,7 @@ def build_service(
         import jax
         from jax.sharding import Mesh
 
-        import numpy as _np
-
-        mesh = Mesh(
-            _np.asarray(jax.devices()), (config.mesh.model_axis,)
-        )
+        mesh = Mesh(np.asarray(jax.devices()), (config.mesh.model_axis,))
     index = RetrievalIndex.from_checkpoint(config, checkpoint_dir, mesh=mesh)
     return RecommendService(
         index,

@@ -204,6 +204,7 @@ class DeviceTrainer:
             columns = jax.device_put(columns, replicated(self.mesh))
             base_rng = jax.device_put(base_rng, replicated(self.mesh))
         t_start = time.perf_counter()
+        train_time = 0.0
 
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()
@@ -216,6 +217,7 @@ class DeviceTrainer:
                 )
             host = {k: float(v) for k, v in jax.device_get(metrics).items()}
             epoch_time = time.perf_counter() - t_epoch
+            train_time += epoch_time
             eps = dataset.num_examples / max(epoch_time, 1e-9)
             record = {"epoch": float(epoch), "examples_per_sec": eps, **host}
 
@@ -269,7 +271,7 @@ class DeviceTrainer:
         result.state = state
         result.best_metric = stopper.best
         result.best_step = stopper.best_step
-        result.examples_per_sec = (
-            len(result.history) * dataset.num_examples / max(total, 1e-9)
+        result.finalize_throughput(
+            len(result.history) * dataset.num_examples, train_time, total
         )
         return result

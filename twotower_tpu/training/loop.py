@@ -227,7 +227,25 @@ class TrainResult:
     history: list[dict[str, float]] = field(default_factory=list)
     best_metric: float = -np.inf
     best_step: int = 0
+    # End-to-end: examples / total wall time in fit() — includes first-step
+    # compilation, validation and checkpoint saves. The honest "how long did
+    # training take" number.
     examples_per_sec: float = 0.0
+    # Training-phase only: examples / time inside the epoch loops (eval and
+    # checkpointing excluded; compile still included in epoch 0).
+    train_examples_per_sec: float = 0.0
+    # Steady state: the fastest single epoch — what the pipeline sustains
+    # once compilation is amortized. This is the number to compare against
+    # device-capability benchmarks (bench.py).
+    steady_examples_per_sec: float = 0.0
+
+    def finalize_throughput(self, examples_seen: int, train_time: float, total_time: float) -> None:
+        self.examples_per_sec = examples_seen / max(total_time, 1e-9)
+        self.train_examples_per_sec = examples_seen / max(train_time, 1e-9)
+        self.steady_examples_per_sec = max(
+            (r["examples_per_sec"] for r in self.history if "examples_per_sec" in r),
+            default=self.train_examples_per_sec,
+        )
 
 
 class Trainer:
@@ -346,6 +364,7 @@ class Trainer:
             def to_device(b):
                 return {k: jnp.asarray(v) for k, v in b.items()}
 
+        train_time = 0.0
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()
             steps = 0
@@ -367,6 +386,7 @@ class Trainer:
                     )
                 pending = metrics
             epoch_time = time.perf_counter() - t_epoch
+            train_time += epoch_time
             eps = steps * cfg.batch_size / max(epoch_time, 1e-9)
             record: dict[str, float] = {"epoch": float(epoch), "examples_per_sec": eps}
             record.update(timer.summary())
@@ -421,5 +441,5 @@ class Trainer:
         result.state = state
         result.best_metric = stopper.best
         result.best_step = stopper.best_step
-        result.examples_per_sec = examples_seen / max(total_time, 1e-9)
+        result.finalize_throughput(examples_seen, train_time, total_time)
         return result

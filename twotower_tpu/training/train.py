@@ -232,6 +232,8 @@ def run(args, config: Config) -> dict:
         "best_val_metric": result.best_metric,
         "best_step": result.best_step,
         "examples_per_sec": result.examples_per_sec,
+        "train_examples_per_sec": result.train_examples_per_sec,
+        "steady_examples_per_sec": result.steady_examples_per_sec,
         "epochs_run": len(result.history),
         "test": test_metrics,
         "checkpoint_dir": str(ckpt_dir),
