@@ -108,6 +108,28 @@ class TestTraining:
         # (deterministic seed; measured 0.195 vs the 0.167 bar)
         random_recall = 10 / len(pp.vocab.items)
         assert res.best_metric > 2 * random_recall
+        # Throughput decomposition: e2e <= train-phase (train time excludes
+        # eval/checkpoint), and steady-state is the best epoch's rate.
+        assert 0 < res.examples_per_sec <= res.train_examples_per_sec
+        per_epoch = [h["examples_per_sec"] for h in res.history]
+        assert res.steady_examples_per_sec == pytest.approx(max(per_epoch))
+
+    def test_finalize_throughput(self):
+        from twotower_tpu.training.loop import TrainResult
+
+        res = TrainResult(state=None)
+        res.history = [
+            {"epoch": 0.0, "examples_per_sec": 100.0},
+            {"epoch": 1.0, "examples_per_sec": 400.0},
+        ]
+        res.finalize_throughput(examples_seen=1000, train_time=4.0, total_time=10.0)
+        assert res.examples_per_sec == pytest.approx(100.0)
+        assert res.train_examples_per_sec == pytest.approx(250.0)
+        assert res.steady_examples_per_sec == pytest.approx(400.0)
+        # No per-epoch records -> steady falls back to the train-phase rate.
+        empty = TrainResult(state=None)
+        empty.finalize_throughput(examples_seen=1000, train_time=4.0, total_time=10.0)
+        assert empty.steady_examples_per_sec == pytest.approx(250.0)
 
     @pytest.mark.slow
     def test_golden_seeded_recall_band(self):

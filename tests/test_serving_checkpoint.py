@@ -496,6 +496,48 @@ class TestCliE2E:
         out = svc.recommend({"user_idx": [0], "k": 5})
         assert len(out["results"][0]["items"]) == 5
 
+    def test_resume_continues_from_checkpoint(self, tmp_path):
+        """--resume picks up the epoch cursor and optimizer state: a run
+        killed after 2 epochs and resumed to 4 covers exactly the remaining
+        epochs and keeps the global step monotonic (failure-recovery row,
+        SURVEY §5.3)."""
+        from twotower_tpu.training.train import main as train_main
+
+        ckpt = tmp_path / "run"
+        common = [
+            "--synthetic", "--synthetic-users", "200", "--synthetic-items", "100",
+            "--synthetic-interactions", "5000", "--checkpoint-dir", str(ckpt),
+            "--override",
+            "training.batch_size=64", "model.embedding_dim=16",
+            "model.user_tower_dims=[32,16]", "model.item_tower_dims=[32,16]",
+            "preprocessing.min_interactions_per_user=2",
+            "preprocessing.min_interactions_per_item=2",
+        ]
+        assert train_main(common + ["training.epochs=2"]) == 0
+        first = json.loads((ckpt / "train_summary.json").read_text())
+
+        # The latest checkpoint records the next epoch to run (1 or 2,
+        # depending on which validation improved) and the step to resume at.
+        from twotower_tpu.utils.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(ckpt)
+        saved_step = manager.latest_step()
+        assert saved_step is not None and saved_step > 0
+        meta = json.loads(
+            (ckpt / f"step_{saved_step:010d}" / "meta.json").read_text()
+        )
+        start_epoch = int(meta["epoch"])
+        assert 1 <= start_epoch <= 2
+
+        assert train_main(common + ["training.epochs=4", "--resume"]) == 0
+        resumed = json.loads((ckpt / "train_summary.json").read_text())
+        # Resumed run covers exactly the remaining epochs...
+        assert resumed["epochs_run"] == 4 - start_epoch
+        # ...continues the global step rather than restarting at 0...
+        assert resumed["best_step"] >= saved_step
+        # ...and its quality does not regress vs the interrupted run.
+        assert resumed["best_val_metric"] >= first["best_val_metric"]
+
     def test_config_snapshot_precedence(self, tmp_path):
         """Snapshot is the base; explicit --config replaces it; dotted
         overrides always win."""
