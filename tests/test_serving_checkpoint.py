@@ -496,6 +496,32 @@ class TestCliE2E:
         out = svc.recommend({"user_idx": [0], "k": 5})
         assert len(out["results"][0]["items"]) == 5
 
+    def test_no_eval_summary_is_strict_json(self, tmp_path):
+        """With --no-eval there is no best metric; the summary must emit
+        JSON null, not Python's non-standard ``-Infinity`` literal."""
+        from twotower_tpu.training.train import main as train_main
+
+        ckpt = tmp_path / "run"
+        assert train_main([
+            "--synthetic", "--synthetic-users", "200", "--synthetic-items",
+            "100", "--synthetic-interactions", "3000", "--no-eval",
+            "--checkpoint-dir", str(ckpt),
+            "--override", "training.epochs=1", "training.batch_size=64",
+            "model.embedding_dim=16", "model.user_tower_dims=[32,16]",
+            "model.item_tower_dims=[32,16]",
+            "preprocessing.min_interactions_per_user=2",
+            "preprocessing.min_interactions_per_item=2",
+        ]) == 0
+
+        def reject_constant(name):
+            raise ValueError(f"non-standard JSON constant: {name}")
+
+        summary = json.loads(
+            (ckpt / "train_summary.json").read_text(),
+            parse_constant=reject_constant,
+        )
+        assert summary["best_val_metric"] is None
+
     def test_resume_continues_from_checkpoint(self, tmp_path):
         """--resume picks up the epoch cursor and optimizer state: a run
         killed after 2 epochs and resumed to 4 covers exactly the remaining

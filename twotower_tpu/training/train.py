@@ -229,7 +229,12 @@ def run(args, config: Config) -> dict:
         w.close()
 
     summary = {
-        "best_val_metric": result.best_metric,
+        # None (JSON null) when no validation ran (--no-eval / empty val
+        # split): json.dumps would otherwise emit the non-standard
+        # ``-Infinity`` literal, which strict JSON parsers reject.
+        "best_val_metric": (
+            result.best_metric if np.isfinite(result.best_metric) else None
+        ),
         "best_step": result.best_step,
         "examples_per_sec": result.examples_per_sec,
         "train_examples_per_sec": result.train_examples_per_sec,
