@@ -93,6 +93,39 @@ class TestTextProcessor:
         out = tp.clean_array(np.array(["A B", None, "C"], dtype=object))
         assert list(out) == ["a b", "", "c"]
 
+    def test_clean_array_matches_per_row(self):
+        """The joined-corpus fast path is bit-identical to clean_text per
+        row, including on sentinel-hostile inputs (config-combo coverage
+        lives in the implementation's build-time validation script)."""
+        texts = np.array(
+            [
+                "", None, "plain text", "  spaced   out  ",
+                "<b>Bold</b> and <i>italic</i>", "<unclosed tag never ends",
+                "ends with open <", "starts with close > here",
+                "R&D department", "&amp; escaped &lt;tag&gt;",
+                "&amp no semicolon", "&#38; numeric", "&#0; null charref",
+                "visit https://example.com/path?q=1&r=2 now",
+                "UPPER Case MiXeD", "special $#@%^&*()[]{} chars",
+                "keep .,!?'- these", "tab\there\nnewline\r\nmix",
+                "unicode café naïve 日本語", "a<b and c>d math",
+                "trailing space ", " leading", "nbsp\xa0here",
+                "\t\n  ", "x",
+            ],
+            dtype=object,
+        )
+        tp = TextProcessor()
+        batch = tp.clean_array(texts)
+        per_row = np.array(
+            [tp.clean_text(t) if t else "" for t in texts], dtype=object
+        )
+        assert list(batch) == list(per_row)
+        assert tp.clean_array(np.array([], dtype=object)).shape == (0,)
+        # Inputs that alias the sentinel take the per-row fallback.
+        hostile = np.array(["literal \x00 inside", "ok"], dtype=object)
+        assert list(tp.clean_array(hostile)) == [
+            tp.clean_text(hostile[0]), "ok"
+        ]
+
 
 # ---------------------------------------------------------------------------
 # k-core filtering (reference: preprocessor.py:192-211 semantics)
