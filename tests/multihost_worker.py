@@ -15,6 +15,11 @@ import sys
 
 def main() -> int:
     port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    # Mesh model-axis size: 2 = the standard split (data shards host-local);
+    # 4 = every device replicates the batch rows, so each data shard's
+    # replica group SPANS both processes — the topology a contiguous
+    # per-process slice assumption breaks on.
+    num_model = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
@@ -43,7 +48,7 @@ def main() -> int:
             "training.batch_size": 32,
             "training.epochs": 1,
             "training.log_every_steps": 1000,
-            "mesh.num_model": 2,
+            "mesh.num_model": num_model,
             "preprocessing.min_interactions_per_user": 2,
             "preprocessing.min_interactions_per_item": 2,
         }
@@ -61,11 +66,15 @@ def main() -> int:
         cfg, log_q=np.log(pp.vocab.items.frequencies + 1e-12), mesh=mesh
     )
     state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
+    from twotower_tpu.parallel.sharding import batch_shardings, process_row_spans
+
     pipe = BatchPipeline(
         splits.train,
         cfg.training.batch_size,
         seed=cfg.training.seed,
-        host_shard=(jax.process_index(), jax.process_count()),
+        host_spans=process_row_spans(
+            batch_shardings(mesh, cfg.mesh), cfg.training.batch_size
+        ),
     )
     res = trainer.fit(state, pipe)
     loss = res.history[-1].get("loss")

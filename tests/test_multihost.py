@@ -81,11 +81,59 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+class TestProcessRowSpans:
+    """Span derivation from the batch sharding (single-process: all devices
+    are addressable, so the spans must tile the batch exactly)."""
+
+    def _spans(self, num_data, num_model, batch):
+        import jax
+
+        from twotower_tpu.config import MeshConfig
+        from twotower_tpu.parallel import build_mesh
+        from twotower_tpu.parallel.sharding import batch_shardings, process_row_spans
+
+        n = num_data * num_model
+        mesh = build_mesh(
+            MeshConfig(num_data=num_data, num_model=num_model),
+            jax.devices()[:n],
+        )
+        return process_row_spans(batch_shardings(mesh, MeshConfig()), batch)
+
+    def test_data_sharded_spans_tile_batch(self):
+        assert self._spans(4, 2, 32) == [(0, 8), (8, 16), (16, 24), (24, 32)]
+
+    def test_fully_replicated_single_span(self):
+        assert self._spans(1, 8, 32) == [(0, 32)]
+
+    def test_spans_feed_pipeline(self):
+        from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
+        from twotower_tpu.config import Config
+
+        cfg = Config().with_overrides(
+            {"preprocessing.min_interactions_per_user": 2,
+             "preprocessing.min_interactions_per_item": 2}
+        )
+        data = Preprocessor(cfg.preprocessing).process(
+            generate_interactions(num_users=60, num_items=40,
+                                  num_interactions=1200, noise=0.3)
+        )
+        full = BatchPipeline(data, 32, seed=3)
+        spans = BatchPipeline(data, 32, seed=3, host_spans=[(0, 8), (24, 32)])
+        for ref, part in zip(full.epoch(0), spans.epoch(0)):
+            for key in ("user_idx", "item_idx", "weight"):
+                np.testing.assert_array_equal(
+                    part[key], np.concatenate([ref[key][0:8], ref[key][24:32]])
+                )
+
+
 @pytest.mark.slow
-def test_two_process_distributed_training_matches_single_process():
+@pytest.mark.parametrize("num_model", [2, 4])
+def test_two_process_distributed_training_matches_single_process(num_model):
     """Spawn 2 real jax.distributed processes (2 CPU devices each) and train
     one epoch; both processes and a single-process 4-device reference must
-    report the same final loss."""
+    report the same final loss. num_model=4 makes every data shard's replica
+    group span both processes — the topology where a contiguous per-process
+    slice assumption breaks."""
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
@@ -95,7 +143,7 @@ def test_two_process_distributed_training_matches_single_process():
     workers = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
-             str(port), str(pid), "2"],
+             str(port), str(pid), "2", str(num_model)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=str(REPO),
         )
@@ -130,7 +178,7 @@ def test_two_process_distributed_training_matches_single_process():
             "training.batch_size": 32,
             "training.epochs": 1,
             "training.log_every_steps": 1000,
-            "mesh.num_model": 2,
+            "mesh.num_model": num_model,
             "preprocessing.min_interactions_per_user": 2,
             "preprocessing.min_interactions_per_item": 2,
         }

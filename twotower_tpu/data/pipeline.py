@@ -26,13 +26,17 @@ Batch = dict[str, Any]
 class BatchPipeline:
     """Seeded, epoch-aware batch iterator over encoded interactions.
 
-    ``host_shard=(process_index, process_count)`` enables the multi-host
-    input path: every process runs the SAME seeded permutation (so the
-    global batch composition is identical everywhere) but yields only its
-    contiguous ``batch_size / process_count`` slice of each global batch —
-    no process ever materializes the global batch. The trainer assembles
-    the sharded global array with ``jax.make_array_from_process_local_data``
-    (SURVEY.md §5.8; reference README.md:17 declares distributed training).
+    ``host_spans=[(lo, hi), ...]`` enables the multi-host input path: every
+    process runs the SAME seeded permutation (so the global batch
+    composition is identical everywhere) but yields only the rows in its
+    spans — the ascending union of its addressable devices' global batch
+    slices, computed from the actual batch sharding by
+    ``parallel.sharding.process_row_spans`` — so no process ever
+    materializes the global batch. The trainer assembles the sharded global
+    array with ``jax.make_array_from_process_local_data`` (SURVEY.md §5.8;
+    reference README.md:17 declares distributed training).
+    ``host_shard=(process_index, process_count)`` is shorthand for the
+    contiguous equal split (valid only when data shards never span hosts).
     """
 
     def __init__(
@@ -43,6 +47,7 @@ class BatchPipeline:
         drop_remainder: bool = True,
         seed: int = 42,
         host_shard: tuple[int, int] | None = None,
+        host_spans: list[tuple[int, int]] | None = None,
     ):
         if data.user_idx is None or data.item_idx is None:
             raise ValueError("data must be encoded (run Preprocessor.process first)")
@@ -52,6 +57,8 @@ class BatchPipeline:
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self.seed = seed
+        if host_shard is not None and host_spans is not None:
+            raise ValueError("pass host_shard or host_spans, not both")
         if host_shard is not None:
             index, count = host_shard
             if not 0 <= index < count:
@@ -60,7 +67,19 @@ class BatchPipeline:
                 raise ValueError(
                     f"batch_size {batch_size} must divide by process count {count}"
                 )
+            per = self.batch_size // count
+            host_spans = [(index * per, (index + 1) * per)]
         self.host_shard = host_shard
+        self._span_rows: np.ndarray | None = None
+        if host_spans is not None:
+            for lo, hi in host_spans:
+                if not 0 <= lo < hi <= self.batch_size:
+                    raise ValueError(
+                        f"span ({lo}, {hi}) outside batch [0, {self.batch_size})"
+                    )
+            self._span_rows = np.concatenate(
+                [np.arange(lo, hi, dtype=np.int64) for lo, hi in host_spans]
+            )
 
     def __len__(self) -> int:
         n = len(self.user_idx)
@@ -80,11 +99,7 @@ class BatchPipeline:
         )
         bs = self.batch_size
         limit = (n // bs) * bs if self.drop_remainder else n
-        lo, hi = 0, bs
-        if self.host_shard is not None:
-            index, count = self.host_shard
-            per = bs // count
-            lo, hi = index * per, (index + 1) * per
+        rows = self._span_rows
         for start in range(0, limit, bs):
             sel = order[start : start + bs]
             pad = bs - len(sel)
@@ -93,11 +108,12 @@ class BatchPipeline:
                 # Static shape: pad with repeats of row 0, zero-weighted.
                 sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
                 weight[bs - pad :] = 0.0
-            sel = sel[lo:hi]
+            if rows is not None:
+                sel, weight = sel[rows], weight[rows]
             yield {
                 "user_idx": self.user_idx[sel],
                 "item_idx": self.item_idx[sel],
-                "weight": weight[lo:hi],
+                "weight": weight,
             }
 
     def __iter__(self) -> Iterator[Batch]:

@@ -85,6 +85,34 @@ def batch_shardings(mesh: Mesh, config: MeshConfig) -> Any:
     return NamedSharding(mesh, P(config.data_axis))
 
 
+def process_row_spans(sharding: Any, global_rows: int) -> list[tuple[int, int]]:
+    """Ascending ``[lo, hi)`` spans of batch rows THIS process must supply.
+
+    ``jax.make_array_from_process_local_data`` maps the process-local array
+    onto the union of the process's addressable global slices in ascending
+    order (replica devices must be fed identical data). Deriving the spans
+    from the sharding itself — instead of assuming process ``p`` owns the
+    contiguous ``[p*B/P, (p+1)*B/P)`` slice — stays correct on topologies
+    where a data shard's model-replica group spans hosts (e.g. num_model
+    larger than the per-host device count)."""
+    idx_map = sharding.addressable_devices_indices_map((global_rows,))
+    spans = sorted(
+        {
+            (
+                (idx[0].start or 0),
+                global_rows if idx[0].stop is None else idx[0].stop,
+            )
+            for idx in idx_map.values()
+        }
+    )
+    for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]):
+        if b_lo < a_hi:
+            raise ValueError(
+                f"non-uniform batch sharding: overlapping row spans {spans}"
+            )
+    return spans
+
+
 def shard_state(
     mesh: Mesh, state: Any, config: MeshConfig, *, sparse_mesh: bool = False
 ) -> Any:

@@ -192,18 +192,26 @@ def run(args, config: Config) -> dict:
         )
         import jax
 
-        host_shard = None
+        host_spans = None
         if mesh is not None and jax.process_count() > 1:
-            host_shard = (jax.process_index(), jax.process_count())
+            # Derive this process's batch rows from the ACTUAL sharding
+            # (union of its addressable devices' global slices) — correct
+            # even when a data shard's model-replica group spans hosts.
+            from twotower_tpu.parallel.sharding import (
+                batch_shardings, process_row_spans,
+            )
+
+            host_spans = process_row_spans(
+                batch_shardings(mesh, config.mesh), config.training.batch_size
+            )
             logger.info(
-                "multi-host input: process %d/%d feeds %d of %d batch rows",
-                host_shard[0], host_shard[1],
-                config.training.batch_size // host_shard[1],
+                "multi-host input: process %d/%d feeds rows %s of %d",
+                jax.process_index(), jax.process_count(), host_spans,
                 config.training.batch_size,
             )
         train_input = BatchPipeline(
             splits.train, config.training.batch_size, seed=config.training.seed,
-            host_shard=host_shard,
+            host_spans=host_spans,
         )
     state = trainer.init_state(num_users, num_items)
     start_epoch = 0
