@@ -96,6 +96,44 @@ def test_streaming_matches_in_memory(corpus, tmp_path):
     assert stats_file["num_items"] == len(ref_pp.vocab.items)
 
 
+def test_dedupe_tie_breaking_matches_in_memory(tmp_path):
+    """Equal-timestamp duplicates: the later row wins, exactly as the
+    in-memory stable-argsort dedupe decides — through both the in-RAM and
+    the hash-partitioned spill dedupe paths."""
+    n = 400
+    users = np.array([f"u{i % 40:03d}" for i in range(n)], object)
+    items = np.array([f"i{i % 10:03d}" for i in range(n)], object)  # heavy dups
+    rating = np.full(n, 4.0, np.float32)
+    ts = np.full(n, 1_600_000_000, np.int64)  # ALL timestamps tie
+    ts[::7] = 1_650_000_000  # some pairs get a strict max
+    df = pd.DataFrame(
+        {"user_id": users, "parent_asin": items, "rating": rating,
+         "timestamp": ts,
+         # Row fingerprint: makes WHICH duplicate won observable.
+         "title": np.array([f"row{i}" for i in range(n)], object)}
+    )
+    path = tmp_path / "ties.parquet"
+    df.to_parquet(path)
+    cfg = Config().with_overrides(
+        {"preprocessing.min_interactions_per_user": 1,
+         "preprocessing.min_interactions_per_item": 1}
+    ).preprocessing
+
+    from twotower_tpu.data import schema
+
+    ref = Preprocessor(cfg).process(schema.from_dataframe(df))
+    for batch_rows in (50, 100_000):  # spill path / in-RAM path
+        out = tmp_path / f"out_{batch_rows}"
+        StreamingPreprocessor(cfg, batch_rows=batch_rows).process_parquet(path, out)
+        got = pd.read_parquet(out / "combined_interactions.parquet")
+        assert len(got) == len(ref)
+        np.testing.assert_array_equal(
+            got["user_id"].to_numpy(), ref.user_id.astype(str)
+        )
+        np.testing.assert_array_equal(got["timestamp"].to_numpy(), ref.timestamp)
+        np.testing.assert_array_equal(got["title"].to_numpy(), ref.title.astype(str))
+
+
 def test_streaming_multiple_files(corpus, tmp_path):
     """Several input shards stream as one concatenated corpus."""
     path, df = corpus
