@@ -61,6 +61,19 @@ class TestHashedNgramEncoder:
         slow = enc.encode_per_item_slow(item_idx, texts, num_items, titles=titles)
         np.testing.assert_array_equal(fast, slow)
 
+    def test_per_item_falsy_non_strings_skip_row(self):
+        """Falsy non-string cells (0, False from a malformed column) must
+        not consume an item's slot with PAD tokens — the item fills from
+        the next row with real text, matching the per-row reference."""
+        enc = HashedNgramEncoder(num_buckets=512, max_tokens=6)
+        texts = np.array([0, False, "real text", ""], object)
+        titles = np.array([None, 0.0, None, "title"], object)
+        item_idx = np.array([5, 5, 5, 6], np.int32)
+        fast = enc.encode_per_item(item_idx, texts, 8, titles=titles)
+        slow = enc.encode_per_item_slow(item_idx, texts, 8, titles=titles)
+        np.testing.assert_array_equal(fast, slow)
+        assert (fast[5] != enc.encode_one(None)).any()  # filled from row 2
+
     def test_encode_batch_matches_per_row(self):
         enc = HashedNgramEncoder(num_buckets=512, max_tokens=6)
         texts = np.array(

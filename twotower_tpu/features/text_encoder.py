@@ -91,9 +91,12 @@ class HashedNgramEncoder:
     def _truthy(col: np.ndarray | None, n: int) -> np.ndarray:
         if col is None:
             return np.zeros(n, bool)
-        # Elementwise object comparisons (C loop) — matches `bool(x)` for
-        # the str/None/NaN values this column carries.
-        return np.not_equal(col, None) & np.not_equal(col, "")
+        # Exact Python truthiness in one C-dispatched pass (object-array
+        # np.not_equal is also a per-element Python loop, so this costs the
+        # same and cannot diverge from the per-row fallback's `if col[row]:`
+        # — e.g. a falsy non-string like 0 or False must NOT claim an
+        # item's slot with PAD tokens).
+        return np.frompyfunc(bool, 1, 1)(col).astype(bool)
 
     def encode_per_item(
         self,

@@ -136,7 +136,6 @@ def _build_mesh_step(
     dispatcher.
     """
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from twotower_tpu.parallel.sparse_spmd import (
         make_sparse_sharded_train_step,
@@ -151,7 +150,7 @@ def _build_mesh_step(
                 "table_state — build it with TrainState.for_config and shard "
                 "with state_shardings(..., sparse_mesh=True)"
             )
-        raw, fixed, st_spec, _ = make_sparse_sharded_train_step(
+        raw, fixed, _, _ = make_sparse_sharded_train_step(
             config,
             optimizer,
             mesh,
@@ -160,11 +159,9 @@ def _build_mesh_step(
             item_tokens=item_tokens,
             return_raw=True,
         )
-        st_sh = jax.tree_util.tree_map(
-            lambda spec: NamedSharding(mesh, spec),
-            st_spec,
-            is_leaf=lambda x: isinstance(x, P),
-        )
+        # Same spec source as the step's shard_map (state_pspecs with
+        # sparse_mesh=True), via the one shared spec->sharding mapper.
+        st_sh = state_shardings(mesh, state_template, config.mesh, sparse_mesh=True)
         return raw, fixed, st_sh, True
 
     mesh_loss = None

@@ -86,11 +86,14 @@ class RetrievalIndex:
                 )
             num_shards = mesh.devices.size
         if mesh is not None:
-            # Equal shards: each shard's rows stay copy-free in its local
-            # search (single-shot ANN path / chunk-multiple exact path).
+            # Equal shards, each padded to its local search's copy-free
+            # layout (blocked ANN path / chunk-multiple exact path) — the
+            # global corpus stays contiguous (row < num_items is real, the
+            # pad is one global tail), so the sharded searches' num_items
+            # masking is unchanged while no per-request re-pad of a
+            # multi-GB shard ever happens inside the jit.
             local = -(-num_items // num_shards)
-            if exact:
-                local = exact_padded_rows(local)
+            local = exact_padded_rows(local) if exact else ann_padded_rows(local)
             padded_rows = local * num_shards
         else:
             # Pad the resident corpus ONCE to the search path's block

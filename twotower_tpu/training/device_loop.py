@@ -157,22 +157,11 @@ class DeviceTrainer:
         self._epoch_fns: dict[int, Any] = {}
 
     def init_state(self, num_users: int, num_items: int) -> TrainState:
-        from twotower_tpu.models import two_tower
+        from twotower_tpu.training.state import init_train_state
 
-        rng = jax.random.PRNGKey(self.config.training.seed)
-        params = two_tower.init_params(rng, self.config.model, num_users, num_items)
-        if self.mesh is not None:
-            from twotower_tpu.parallel.sharding import shard_state
-            from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path
-
-            if use_sparse_mesh_path(self.config):
-                state = TrainState.for_config(params, self.optimizer, self.config)
-                return shard_state(
-                    self.mesh, state, self.config.mesh, sparse_mesh=True
-                )
-            state = TrainState.create(params, self.optimizer)
-            return shard_state(self.mesh, state, self.config.mesh)
-        return TrainState.for_config(params, self.optimizer, self.config)
+        return init_train_state(
+            self.config, self.optimizer, num_users, num_items, mesh=self.mesh
+        )
 
     def _epoch_fn(self, state: TrainState, num_steps: int):
         if num_steps not in self._epoch_fns:

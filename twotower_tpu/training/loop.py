@@ -291,22 +291,11 @@ class Trainer:
         self.shutdown = shutdown
 
     def init_state(self, num_users: int, num_items: int) -> TrainState:
-        rng = jax.random.PRNGKey(self.config.training.seed)
-        params = two_tower.init_params(rng, self.config.model, num_users, num_items)
-        if self.mesh is not None:
-            from twotower_tpu.parallel.sharding import shard_state
-            from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path
+        from twotower_tpu.training.state import init_train_state
 
-            # Sparse mesh path: sparse TrainState + tables sharded over the
-            # combined axis. Dense GSPMD path: dense state, model-axis rows.
-            if use_sparse_mesh_path(self.config):
-                state = TrainState.for_config(params, self.optimizer, self.config)
-                return shard_state(
-                    self.mesh, state, self.config.mesh, sparse_mesh=True
-                )
-            state = TrainState.create(params, self.optimizer)
-            return shard_state(self.mesh, state, self.config.mesh)
-        return TrainState.for_config(params, self.optimizer, self.config)
+        return init_train_state(
+            self.config, self.optimizer, num_users, num_items, mesh=self.mesh
+        )
 
     def _ensure_step(self, state: TrainState) -> None:
         if self.train_step is None:

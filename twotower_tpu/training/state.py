@@ -72,6 +72,38 @@ class TrainState:
         )
 
 
+def init_train_state(
+    config: Any,
+    optimizer: optax.GradientTransformation,
+    num_users: int,
+    num_items: int,
+    mesh: Any = None,
+) -> TrainState:
+    """Fresh seeded state for a trainer, placed for its execution mode.
+
+    The ONE builder both trainers (host loop and device loop) share, so a
+    state-layout or sharding-rule change cannot ship in one trainer and not
+    the other. On a mesh: sparse mesh path -> sparse TrainState with tables
+    (and their moments) sharded over the combined axis; dense GSPMD path ->
+    dense state with model-axis table rows. Single device: layout per
+    ``training.sparse_table_updates``.
+    """
+    from twotower_tpu.models import two_tower
+
+    rng = jax.random.PRNGKey(config.training.seed)
+    params = two_tower.init_params(rng, config.model, num_users, num_items)
+    if mesh is not None:
+        from twotower_tpu.parallel.sharding import shard_state
+        from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path
+
+        if use_sparse_mesh_path(config):
+            state = TrainState.for_config(params, optimizer, config)
+            return shard_state(mesh, state, config.mesh, sparse_mesh=True)
+        state = TrainState.create(params, optimizer)
+        return shard_state(mesh, state, config.mesh)
+    return TrainState.for_config(params, optimizer, config)
+
+
 def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
     """Build the optimizer chain from config (reference schema:
     optimizer adam, lr 0.001 — configs/data_config.yaml:62-63)."""
