@@ -22,6 +22,17 @@ if "intra_op_parallelism_threads" not in flags:
     # consistent program state"). Single-threaded intra-op keeps 8 device
     # threads schedulable on 4 cores even under compile-thread load.
     flags += " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # Belt for the braces above: even single-threaded participants can be
+    # starved past the default ~40 s termination window when the whole
+    # suite shares 4 throttled cores — warn at 1 min, abort only at 3
+    # (not higher: a genuinely livelocked rendezvous would stall the whole
+    # suite for the full window before XLA kills it).
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=180"
+        " --xla_cpu_collective_timeout_seconds=180"
+    )
 os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
