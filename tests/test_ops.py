@@ -229,6 +229,52 @@ class TestTopKMips:
         )
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
 
+    def test_exact_sharded_pad_rows_cannot_displace_negative_scores(self, rng):
+        """Zero-filled shard padding must not displace real negative-scoring
+        items from a shard's local top-k: tpu_mips_exact promises bit parity
+        with the single-device exact search."""
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("model",))
+        b, d, k = 3, 8, 6
+        num_items = 100  # not divisible by 8 -> last shard holds pad rows
+        rows = -(-num_items // 8) * 8
+        # All-positive queries x all-negative items -> every score negative:
+        # zero pad rows (score 0) would win every local top-k slot if not
+        # masked before the local search.
+        q = np.abs(rng.normal(size=(b, d))).astype(np.float32) + 0.1
+        items = -(np.abs(rng.normal(size=(num_items, d))).astype(np.float32) + 0.1)
+        padded = np.zeros((rows, d), np.float32)  # build-time zero fill
+        padded[:num_items] = items
+
+        fn = shard_map(
+            lambda qq, ii: topk_mips_sharded(
+                qq, ii, k, axis_name="model", chunk_size=128, num_items=num_items
+            ),
+            mesh=mesh, in_specs=(P(), P("model", None)),
+            out_specs=(P(), P()), check_rep=False,
+        )
+        vals, idx = fn(jnp.asarray(q), jnp.asarray(padded))
+        assert (np.asarray(idx) < num_items).all()
+        ref_vals, ref_idx = topk_mips(jnp.asarray(q), jnp.asarray(items), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+    def test_int8_corpus_without_scale_raises(self, rng):
+        """Silently casting float queries to an int8 corpus zeroes every
+        score; both search paths must reject the call instead."""
+        from twotower_tpu.ops.topk import quantize_corpus, topk_mips_approx
+
+        items = rng.normal(size=(64, 8)).astype(np.float32)
+        q8, _ = quantize_corpus(jnp.asarray(items))
+        q = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+        with pytest.raises(ValueError, match="item_scale"):
+            topk_mips_approx(q, q8, 4)
+        with pytest.raises(TypeError, match="int8"):
+            topk_mips(q, q8, 4)
+
     def test_approx_sharded_masks_shard_padding(self, rng):
         from jax.sharding import Mesh, PartitionSpec as P
         from jax.experimental.shard_map import shard_map

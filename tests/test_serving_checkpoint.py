@@ -222,6 +222,32 @@ class TestRecommendService:
         h = service.health()
         assert h["status"] == "ok" and h["num_items"] == 60
 
+    def test_default_k_clamps_for_similar_items_on_tiny_catalog(self):
+        """A default k wider than the catalog must not 400 k-less requests
+        on EITHER endpoint: /similar_items caps at num_items - 1 (self
+        removed), one tighter than /recommend."""
+
+        class _Tiny:
+            num_users, num_items = 10, 5
+
+            def recommend(self, user_idx, k):
+                b = len(user_idx)
+                idx = np.tile(np.arange(k, dtype=np.int32), (b, 1))
+                return np.ones((b, k), np.float32), idx
+
+            def similar_items(self, item_idx, k):
+                b = len(item_idx)
+                idx = (item_idx[:, None] + 1 + np.arange(k)[None]) % self.num_items
+                return np.ones((b, k), np.float32), idx.astype(np.int32)
+
+        svc = RecommendService(_Tiny(), _FakeVocab(10, 5), default_k=100)
+        out = svc.recommend({"user_idx": [0]})
+        assert len(out["results"][0]["items"]) == 5  # clamped to num_items
+        out = svc.similar_items({"item_idx": [2]})
+        assert len(out["results"][0]["items"]) == 4  # num_items - 1
+        with pytest.raises(ServingError):  # explicit k still strict
+            svc.similar_items({"item_idx": [2], "k": 5})
+
 
 class TestAiohttpApp:
     def test_routes(self, service):
@@ -325,6 +351,28 @@ class TestMicroBatcher:
 
         with pytest.raises(RuntimeError, match="device on fire"):
             asyncio.run(go())
+
+    def test_non_power_of_two_max_batch_never_compiles_past_it(self):
+        """A 65..100-row group under max_batch=100 must pad to the 100-row
+        clamp bucket (warmed at startup), not round up to an unwarmed 128."""
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        index = _CountingIndex()
+        batcher = MicroBatcher(index, max_batch=100, window_ms=1.0)
+        shapes = batcher.warmup(5)
+        warmed = set(index.calls)
+        assert 100 in warmed and shapes == len(warmed)
+        index.calls.clear()
+
+        async def go():
+            return await batcher.recommend(np.arange(70, dtype=np.int32), 5)
+
+        scores, _items = asyncio.run(go())
+        assert scores.shape == (70, 5)
+        assert index.calls == [100]  # the clamp bucket, not 128
+        assert set(index.calls) <= warmed  # every live shape was warmed
 
     def test_group_never_exceeds_max_batch(self):
         """Coalescing must not overflow max_batch: the padded shape would be

@@ -79,38 +79,20 @@ def exact_padded_rows(n: int, *, chunk_size: int = 8192) -> int:
     return -(-n // chunk_size) * chunk_size
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "num_valid"))
-def topk_mips(
-    query_emb: Array,
-    item_emb: Array,
-    k: int,
-    *,
-    chunk_size: int = 8192,
-    num_valid: int | None = None,
+def _topk_mips_scan(
+    query_emb: Array, item_emb: Array, k: int, chunk_size: int, n_real
 ) -> tuple[Array, Array]:
-    """Exact top-k inner-product search.
-
-    Args:
-      query_emb: ``[B, D]`` queries.
-      item_emb: ``[N, D]`` corpus (padded internally to a chunk multiple;
-        padding rows score ``-inf`` and never surface).
-      k: number of neighbours.
-      chunk_size: items per scan step — bounds peak memory at
-        ``B * chunk_size`` scores; keep it a multiple of 128 for MXU tiling.
-      num_valid: real corpus rows when ``item_emb`` was pre-padded by the
-        caller (resident serving indexes pad once at build time so no
-        per-call pad copy happens here); rows at index >= num_valid are
-        masked to ``-inf``.
-
-    Returns:
-      (scores ``[B, k]`` float32 descending, indices ``[B, k]`` int32).
-    """
+    """Exact chunked-scan core. ``n_real`` bounds the valid corpus rows and
+    may be a TRACED scalar (the sharded search bounds each shard's valid
+    rows dynamically — the bound only feeds a ``jnp.where`` column mask);
+    columns at index >= n_real score ``-inf`` and never surface."""
+    if item_emb.dtype == jnp.int8:
+        raise TypeError(
+            "exact MIPS is the float path; int8 corpora are searched by "
+            "topk_mips_approx with item_scale= (see quantize_corpus) — "
+            "casting float queries to int8 would zero every score"
+        )
     n = item_emb.shape[0]
-    n_real = n if num_valid is None else num_valid
-    if not 0 < n_real <= n:
-        raise ValueError(f"num_valid={num_valid} out of range for corpus size {n}")
-    if k > n_real:
-        raise ValueError(f"k={k} exceeds corpus size {n_real}")
     chunk_size = min(chunk_size, -(-n // 128) * 128)
     # each scan step takes a top-k over one chunk: the chunk must hold >= k
     chunk_size = max(chunk_size, -(-k // 128) * 128)
@@ -151,6 +133,41 @@ def topk_mips(
         step, init, (chunks, jnp.arange(num_chunks, dtype=jnp.int32))
     )
     return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "num_valid"))
+def topk_mips(
+    query_emb: Array,
+    item_emb: Array,
+    k: int,
+    *,
+    chunk_size: int = 8192,
+    num_valid: int | None = None,
+) -> tuple[Array, Array]:
+    """Exact top-k inner-product search.
+
+    Args:
+      query_emb: ``[B, D]`` queries.
+      item_emb: ``[N, D]`` corpus (padded internally to a chunk multiple;
+        padding rows score ``-inf`` and never surface).
+      k: number of neighbours.
+      chunk_size: items per scan step — bounds peak memory at
+        ``B * chunk_size`` scores; keep it a multiple of 128 for MXU tiling.
+      num_valid: real corpus rows when ``item_emb`` was pre-padded by the
+        caller (resident serving indexes pad once at build time so no
+        per-call pad copy happens here); rows at index >= num_valid are
+        masked to ``-inf``.
+
+    Returns:
+      (scores ``[B, k]`` float32 descending, indices ``[B, k]`` int32).
+    """
+    n = item_emb.shape[0]
+    n_real = n if num_valid is None else num_valid
+    if not 0 < n_real <= n:
+        raise ValueError(f"num_valid={num_valid} out of range for corpus size {n}")
+    if k > n_real:
+        raise ValueError(f"k={k} exceeds corpus size {n_real}")
+    return _topk_mips_scan(query_emb, item_emb, k, chunk_size, n_real)
 
 
 def quantize_corpus(item_emb: Array, *, per_row: bool = False) -> tuple[Array, Array]:
@@ -248,15 +265,56 @@ def topk_mips_approx(
         raise ValueError(f"num_valid={num_valid} out of range for corpus size {n}")
     if k > n_valid:
         raise ValueError(f"k={k} exceeds corpus size {n_valid}")
-    quantized = item_scale is not None
-    per_row_scale = quantized and item_scale.ndim == 1
-    if quantized:
+    if item_scale is not None:
         if item_emb.dtype != jnp.int8:
             raise ValueError("item_scale given but item_emb is not int8")
         if item_scale.shape not in ((), (n,)):
             raise ValueError(
                 f"item_scale shape {item_scale.shape} must be () or ({n},)"
             )
+    elif item_emb.dtype == jnp.int8:
+        raise ValueError(
+            "int8 corpus requires item_scale= (from quantize_corpus) — "
+            "casting float queries to int8 would zero every score"
+        )
+    return _topk_mips_approx_impl(
+        query_emb,
+        item_emb,
+        k,
+        recall_target=recall_target,
+        query_chunk=query_chunk,
+        item_chunk=item_chunk,
+        n_valid=n_valid,
+        mask_pad=n_valid != n,
+        item_scale=item_scale,
+    )
+
+
+def _topk_mips_approx_impl(
+    query_emb: Array,
+    item_emb: Array,
+    k: int,
+    *,
+    recall_target: float,
+    query_chunk: int,
+    item_chunk: int,
+    n_valid,
+    mask_pad: bool,
+    item_scale: Array | None,
+) -> tuple[Array, Array]:
+    """ANN search core. ``n_valid`` bounds the valid corpus rows and may be
+    a TRACED scalar (the sharded search bounds each shard's valid rows
+    dynamically); ``mask_pad`` statically gates the single-shot branch's
+    column mask (the blocked branch always masks — it needs the bound for
+    its own layout padding anyway)."""
+    n = item_emb.shape[0]
+    quantized = item_scale is not None
+    if not quantized and item_emb.dtype == jnp.int8:
+        raise ValueError(
+            "int8 corpus requires item_scale= (from quantize_corpus) — "
+            "casting float queries to int8 would zero every score"
+        )
+    per_row_scale = quantized and item_scale.ndim == 1
     b = query_emb.shape[0]
     if b == 0:  # empty query batch — nothing to search (shape is static)
         return jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
@@ -303,7 +361,7 @@ def topk_mips_approx(
         def block(q_and_scale):
             q, qs = q_and_scale
             s = scores_for(q, item_emb, qs, item_scale)
-            if n_valid != n:
+            if mask_pad:
                 s = mask_cols(s, 0, n)
             v, i = jax.lax.approx_max_k(s, k, recall_target=recall_target)
             return v, i.astype(jnp.int32)
@@ -383,21 +441,30 @@ def topk_mips_sharded(
     because the global top-k is contained in the union of per-shard top-ks.
 
     ``num_items``: real (unpadded) corpus size — rows at global index >=
-    num_items are shard padding and get masked to -inf so they never
-    surface (equal shards require padding whenever S does not divide N).
+    num_items are shard padding and get masked to ``-inf`` INSIDE the local
+    search (each shard bounds its own valid rows dynamically), so zero-
+    filled pad rows can never displace real negative-scoring candidates
+    from a shard's local top-k (equal shards require padding whenever S
+    does not divide N).
     """
     shard_id = jax.lax.axis_index(axis_name)
     num_shards = jax.lax.axis_size(axis_name)
+    rows = item_emb_shard.shape[0]
+    offset = shard_id * rows
     # k may exceed one shard's row count (small catalogs over many shards):
     # each shard contributes its top-min(k, rows) — the union still
     # contains the global top-k (k <= num_items <= shards * rows).
-    local_k = min(k, item_emb_shard.shape[0])
-    local_vals, local_idx = topk_mips(
-        query_emb, item_emb_shard, local_k, chunk_size=chunk_size
+    local_k = min(k, rows)
+    valid_local = (
+        jnp.clip(num_items - offset, 0, rows) if num_items is not None else rows
     )
-    offset = shard_id * item_emb_shard.shape[0]
+    local_vals, local_idx = _topk_mips_scan(
+        query_emb, item_emb_shard, local_k, chunk_size, valid_local
+    )
     local_idx = local_idx + offset
     if num_items is not None:
+        # Belt over the in-search mask: -inf anything pointing past the real
+        # corpus (pad-slot indices from all--inf shards are arbitrary).
         pad = local_idx >= num_items
         local_vals = jnp.where(pad, -jnp.inf, local_vals)
     # [S, B, local_k] along the model axis — rides ICI.
@@ -437,39 +504,39 @@ def topk_mips_approx_sharded(
     single-device path's per-block approximation.
 
     ``num_items``: real (unpadded) global corpus size. Shard-padding rows
-    (global index >= num_items) are zeroed before the local search (so
-    stale buffer contents can never outrank real items) and masked to
-    ``-inf`` after it, mirroring ``topk_mips_sharded``. Caveat shared with
-    that path: a shard holding P pad rows surfaces P fewer *negative*-
-    scoring candidates from its local top-k (zeroed rows score 0);
-    irrelevant for L2-normalized corpora unless a query's global top-k
-    reaches into negative scores — pre-pad the catalog to a multiple of
-    the shard count at build time to avoid the case entirely.
+    (global index >= num_items) are masked to ``-inf`` INSIDE the local
+    search — each shard passes its dynamic valid-row bound down to the
+    score mask, so pad rows can neither outrank real items nor displace
+    negative-scoring candidates, and no per-request pass over the resident
+    shard is ever made (the column mask fuses into the score epilogue;
+    the shard itself is streamed exactly once).
     """
     shard_id = jax.lax.axis_index(axis_name)
     num_shards = jax.lax.axis_size(axis_name)
     rows = item_emb_shard.shape[0]
     offset = shard_id * rows
-    if num_items is not None:
-        row_ok = (jax.lax.iota(jnp.int32, rows) + offset) < num_items
-        item_emb_shard = jnp.where(
-            row_ok[:, None], item_emb_shard, jnp.zeros((), item_emb_shard.dtype)
-        )
     # k may exceed one shard's row count (small catalogs over many shards):
     # each shard contributes its top-min(k, rows); the union still contains
     # the global top-k.
     local_k = min(k, rows)
-    local_vals, local_idx = topk_mips_approx(
+    valid_local = (
+        jnp.clip(num_items - offset, 0, rows) if num_items is not None else rows
+    )
+    local_vals, local_idx = _topk_mips_approx_impl(
         query_emb,
         item_emb_shard,
         local_k,
         recall_target=recall_target,
         query_chunk=query_chunk,
         item_chunk=item_chunk,
+        n_valid=valid_local,
+        mask_pad=num_items is not None,
         item_scale=item_scale_shard,
     )
     local_idx = local_idx + offset
     if num_items is not None:
+        # Belt over the in-search mask: -inf anything pointing past the real
+        # corpus (pad-slot indices from all--inf shards are arbitrary).
         pad = local_idx >= num_items
         local_vals = jnp.where(pad, -jnp.inf, local_vals)
     all_vals = jax.lax.all_gather(local_vals, axis_name)

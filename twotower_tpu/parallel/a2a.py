@@ -62,11 +62,12 @@ def psum_lookup(table_shard: Array, ids: Array, *, axis_name: str) -> Array:
 def _bucket_by_owner(ids: Array, rows_per_shard: int, num_shards: int, cap: int):
     """Stable group-by-owner with static-capacity buckets.
 
-    Returns ``(sorted_ids, sorted_owner, dest, slot, order, dropped)``:
-    ``dest``/``slot`` address a ``[num_shards + 1, cap]`` send buffer where
-    bucket ``num_shards`` is the trash row for overflow entries (so an
-    overflowing bucket can never clobber another id's valid slot), and
-    ``dropped`` counts entries beyond capacity.
+    Returns ``(sorted_ids, sorted_owner, dest, slot, order, bucket_pos,
+    dropped)``: ``dest``/``slot`` address a ``[num_shards + 1, cap]`` send
+    buffer where bucket ``num_shards`` is the trash row for overflow entries
+    (so an overflowing bucket can never clobber another id's valid slot),
+    ``bucket_pos`` is each entry's position within its owner's bucket
+    (pre-clamp), and ``dropped`` counts entries beyond capacity.
     """
     b = ids.shape[0]
     owner = jnp.clip(ids // rows_per_shard, 0, num_shards - 1)

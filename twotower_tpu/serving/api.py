@@ -153,9 +153,14 @@ class RecommendService:
         self._count_request()
         payload = self._check_payload(payload)
         k = self._get_k(payload)
-        # k+1 is searched (self-match removed), so k caps at num_items - 1
-        if not 1 <= k <= self.index.num_items - 1:
-            raise ServingError(f"k must be in [1, {self.index.num_items - 1}]")
+        # k+1 is searched (self-match removed), so k caps at num_items - 1.
+        # The k-less default gets the same small-catalog clamp /recommend
+        # gets (one item tighter); an explicit k still validates strictly.
+        limit = self.index.num_items - 1
+        if "k" not in payload:
+            k = max(1, min(k, limit))
+        if not 1 <= k <= limit:
+            raise ServingError(f"k must be in [1, {limit}]")
         if "item_idx" in payload:
             try:
                 idx = np.atleast_1d(np.asarray(payload["item_idx"], np.int64))
@@ -220,12 +225,14 @@ class MicroBatcher:
         self._queue.put_nowait((user_idx, k, fut))
         return await fut
 
-    @staticmethod
-    def _bucket(n: int) -> int:
+    def _bucket(self, n: int) -> int:
+        # Clamped to max_batch: a non-power-of-two max_batch (say 100) must
+        # not round a 65-100-row group up to an unwarmed 128 bucket — that
+        # would be a live-traffic compile the warmup exists to prevent.
         b = 1
         while b < n:
             b *= 2
-        return b
+        return min(b, self.max_batch)
 
     def _device_call(self, users: np.ndarray, k: int):
         n = len(users)
@@ -247,12 +254,15 @@ class MicroBatcher:
         # Clamp to what the index can actually answer: default_k may exceed
         # a small catalog, and per-request validation is bypassed here.
         k = max(1, min(k, self.index.num_items))
-        b, shapes = 1, 0
-        while b <= self.max_batch:
-            self._device_call(np.zeros(b, np.int32), k)
-            shapes += 1
+        sizes = []
+        b = 1
+        while b < self.max_batch:
+            sizes.append(b)
             b *= 2
-        return shapes
+        sizes.append(self.max_batch)  # the clamp bucket (non-power-of-two too)
+        for b in sizes:
+            self._device_call(np.zeros(b, np.int32), k)
+        return len(sizes)
 
     async def _run(self, queue: asyncio.Queue):
         # ``queue`` is this worker's own (recommend() may install a fresh one
