@@ -249,6 +249,119 @@ class TestRecommendService:
             svc.similar_items({"item_idx": [2], "k": 5})
 
 
+class TestHotReload:
+    def test_reload_swaps_index_vocab_and_default_k(
+        self, small_index, tiny_config_module
+    ):
+        cfg = tiny_config_module
+        bigger = RetrievalIndex(
+            cfg,
+            two_tower.init_params(jax.random.PRNGKey(7), cfg.model, 100, 80),
+            100,
+            80,
+        )
+        bigger.vocab = _FakeVocab(100, 80)
+        bigger.checkpoint_step = 42
+        calls = []
+
+        def factory(step=None):
+            calls.append(step)
+            return bigger
+
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), default_k=70, index_factory=factory
+        )
+        assert svc.default_k == 60  # clamped to the first catalog
+        info = svc.reload()
+        assert calls == [None]
+        assert svc.index is bigger and svc.vocab is bigger.vocab
+        assert svc.default_k == 70  # re-clamped: 80-item catalog fits it now
+        assert info["checkpoint_step"] == 42 and info["generation"] == 1
+        h = svc.health()
+        assert h["checkpoint_step"] == 42 and h["model_generation"] == 1
+        # k-less requests now answer from the new catalog
+        out = svc.recommend({"user_idx": [0]})
+        assert len(out["results"][0]["items"]) == 70
+
+    def test_reload_without_factory_400s(self, small_index):
+        svc = RecommendService(small_index, _FakeVocab(100, 60))
+        with pytest.raises(ServingError) as e:
+            svc.reload()
+        assert e.value.status == 400
+
+    def test_from_checkpoint_records_step_and_pins(
+        self, tiny_config_module, tmp_path
+    ):
+        from twotower_tpu.data.vocab import VocabPair, Vocabulary
+
+        cfg = tiny_config_module
+        optimizer = make_optimizer(cfg.training)
+        manager = CheckpointManager(tmp_path, keep=3)
+        vocab = VocabPair(
+            users=Vocabulary.build(np.array([f"U{i}" for i in range(20)], object)),
+            items=Vocabulary.build(np.array([f"I{i}" for i in range(30)], object)),
+        )
+        vocab.save(tmp_path / "vocab")
+        for step, seed in ((3, 0), (9, 1)):
+            params = two_tower.init_params(jax.random.PRNGKey(seed), cfg.model, 20, 30)
+            manager.save(step, TrainState.for_config(params, optimizer, cfg))
+
+        latest = RetrievalIndex.from_checkpoint(cfg, tmp_path)
+        assert latest.checkpoint_step == 9
+        pinned = RetrievalIndex.from_checkpoint(cfg, tmp_path, step=3)
+        assert pinned.checkpoint_step == 3
+        # Different seeds -> different corpora: the pin is real.
+        assert not np.allclose(np.asarray(latest.corpus), np.asarray(pinned.corpus))
+
+    def test_aiohttp_admin_reload_end_to_end(self, small_index, tiny_config_module):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        cfg = tiny_config_module
+        new_index = RetrievalIndex(
+            cfg,
+            two_tower.init_params(jax.random.PRNGKey(5), cfg.model, 100, 60),
+            100,
+            60,
+        )
+        new_index.vocab = _FakeVocab(100, 60)
+        new_index.checkpoint_step = 11
+
+        def factory(step=None):
+            return new_index
+
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), default_k=10, index_factory=factory
+        )
+
+        async def go():
+            app = create_app(svc)
+            async with TestClient(TestServer(app)) as client:
+                before = await (await client.post(
+                    "/recommend", json={"user_idx": [1], "k": 5}
+                )).json()
+                r = await client.post("/admin/reload")
+                assert r.status == 200
+                body = await r.json()
+                assert body["checkpoint_step"] == 11 and body["generation"] == 1
+                h = await (await client.get("/health")).json()
+                assert h["checkpoint_step"] == 11
+                after = await (await client.post(
+                    "/recommend", json={"user_idx": [1], "k": 5}
+                )).json()
+                r = await client.post("/admin/reload", json={"step": "nope"})
+                assert r.status == 400
+                return before, after
+
+        before, after = asyncio.run(go())
+        # Different params serve different rankings through the batcher too.
+        assert (
+            before["results"][0]["item_idx"] != after["results"][0]["item_idx"]
+            or before["results"][0]["scores"] != after["results"][0]["scores"]
+        )
+
+
 class TestAiohttpApp:
     def test_routes(self, service):
         from aiohttp.test_utils import TestClient, TestServer
@@ -611,6 +724,39 @@ class TestCliE2E:
         assert resumed["best_step"] >= saved_step
         # ...and its quality does not regress vs the interrupted run.
         assert resumed["best_val_metric"] >= first["best_val_metric"]
+
+    def test_resume_no_eval_persists_new_checkpoint(self, tmp_path):
+        """Without validation nothing saves in-loop, so the final save must
+        (a) persist a resumed run's extra training — not skip because an
+        older checkpoint exists — and (b) record the epoch cursor so the
+        NEXT resume continues instead of replaying from epoch 0."""
+        from twotower_tpu.training.train import main as train_main
+        from twotower_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = tmp_path / "run"
+        common = [
+            "--synthetic", "--synthetic-users", "200", "--synthetic-items", "100",
+            "--synthetic-interactions", "5000", "--no-eval",
+            "--checkpoint-dir", str(ckpt),
+            "--override",
+            "training.batch_size=64", "model.embedding_dim=16",
+            "model.user_tower_dims=[32,16]", "model.item_tower_dims=[32,16]",
+            "preprocessing.min_interactions_per_user=2",
+            "preprocessing.min_interactions_per_item=2",
+        ]
+        assert train_main(common + ["training.epochs=1"]) == 0
+        manager = CheckpointManager(ckpt)
+        step1 = manager.latest_step()
+        meta1 = json.loads((ckpt / f"step_{step1:010d}" / "meta.json").read_text())
+        assert meta1["epoch"] == 1  # the final save carries the cursor
+
+        assert train_main(common + ["training.epochs=2", "--resume"]) == 0
+        resumed = json.loads((ckpt / "train_summary.json").read_text())
+        assert resumed["epochs_run"] == 1  # only the remaining epoch
+        step2 = manager.latest_step()
+        assert step2 > step1  # the extra training was persisted
+        meta2 = json.loads((ckpt / f"step_{step2:010d}" / "meta.json").read_text())
+        assert meta2["epoch"] == 2
 
     def test_config_snapshot_precedence(self, tmp_path):
         """Snapshot is the base; explicit --config replaces it; dotted

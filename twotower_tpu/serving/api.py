@@ -41,17 +41,26 @@ class ServingError(ValueError):
 class RecommendService:
     """Framework-free handler core shared by aiohttp and FastAPI fronts."""
 
-    def __init__(self, index, vocab, *, default_k: int = 100, max_batch: int = 256):
+    def __init__(
+        self, index, vocab, *, default_k: int = 100, max_batch: int = 256,
+        index_factory=None,
+    ):
         self.index = index
         self.vocab = vocab
         # Clamp to the catalog: a default wider than the corpus would 400
         # every k-less request on small deployments. Explicit k still
         # validates against the true corpus size.
+        self._configured_k = default_k
         self.default_k = max(1, min(default_k, index.num_items))
         self.max_batch = max_batch
         self.started = time.time()
         self._requests = 0
         self._lock = threading.Lock()  # FastAPI front runs handlers on threads
+        # Hot reload: ``index_factory(step=None) -> RetrievalIndex`` rebuilds
+        # the index from the (possibly newer) checkpoint; ``reloads`` counts
+        # successful swaps (surfaced in /health as the model generation).
+        self._index_factory = index_factory
+        self.reloads = 0
 
     @property
     def requests(self) -> int:
@@ -60,6 +69,37 @@ class RecommendService:
     def _count_request(self) -> None:
         with self._lock:
             self._requests += 1
+
+    def reload(self, step: int | None = None) -> dict[str, Any]:
+        """Swap in a freshly built index (hot model update, zero downtime).
+
+        Builds the new index FIRST (minutes-scale encode for big catalogs —
+        run off the event loop; the old index keeps serving), then swaps the
+        reference atomically: in-flight requests finish on the object they
+        already hold, later requests see the new one. The vocab swaps with
+        the index (a retrained model may have new id spaces), and the
+        default k re-clamps to the new catalog size.
+        """
+        if self._index_factory is None:
+            raise ServingError("server was started without a reloadable checkpoint", 400)
+        new_index = self._index_factory(step=step)
+        with self._lock:
+            self.index = new_index
+            self.vocab = getattr(new_index, "vocab", self.vocab)
+            self.default_k = max(1, min(self._configured_k, new_index.num_items))
+            self.reloads += 1
+        logger.info(
+            "hot-reloaded serving index: step=%s items=%d (generation %d)",
+            getattr(new_index, "checkpoint_step", None),
+            new_index.num_items, self.reloads,
+        )
+        return {
+            "status": "reloaded",
+            "checkpoint_step": getattr(new_index, "checkpoint_step", None),
+            "num_items": new_index.num_items,
+            "num_users": new_index.num_users,
+            "generation": self.reloads,
+        }
 
     # ------------------------------------------------------------------
 
@@ -82,6 +122,8 @@ class RecommendService:
             "requests": self.requests,
             "num_users": self.index.num_users,
             "num_items": self.index.num_items,
+            "checkpoint_step": getattr(self.index, "checkpoint_step", None),
+            "model_generation": self.reloads,
         }
 
     def _resolve_users(self, payload: dict) -> np.ndarray:
@@ -374,6 +416,35 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
 
         return route
 
+    reload_lock = asyncio.Lock()
+
+    async def admin_reload(request):
+        """POST /admin/reload — hot-swap the model from its checkpoint dir.
+
+        Body (optional): {"step": N} to pin a checkpoint step. The rebuild
+        runs in an executor (old index keeps serving) and reloads are
+        serialized; the batcher follows the swap and re-warms its bucket
+        shapes against the new index before returning."""
+        try:
+            payload = await request.json() if request.can_read_body else {}
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid JSON body"}, status=400)
+        step = payload.get("step") if isinstance(payload, dict) else None
+        if step is not None and not isinstance(step, int):
+            return web.json_response({"error": f"invalid step: {step!r}"}, status=400)
+        loop = asyncio.get_running_loop()
+        async with reload_lock:
+            try:
+                info = await loop.run_in_executor(None, service.reload, step)
+            except ServingError as e:
+                return web.json_response({"error": str(e)}, status=e.status)
+            except FileNotFoundError as e:
+                return web.json_response({"error": str(e)}, status=404)
+            if batcher is not None:
+                batcher.index = service.index
+                await loop.run_in_executor(None, batcher.warmup, service.default_k)
+        return web.json_response(info)
+
     app = web.Application()
     app.router.add_get("/health", health)
     app.router.add_post(
@@ -381,6 +452,7 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
         wrap(recommend_coalesced if batcher is not None else service.recommend),
     )
     app.router.add_post("/similar_items", wrap(service.similar_items))
+    app.router.add_post("/admin/reload", admin_reload)
 
     if batcher is not None:
 
@@ -420,6 +492,16 @@ def create_fastapi_app(service: RecommendService):
         except ServingError as e:
             raise HTTPException(status_code=e.status, detail=str(e)) from e
 
+    @app.post("/admin/reload")
+    def admin_reload(payload: dict | None = None):
+        step = (payload or {}).get("step")
+        try:
+            return service.reload(step)
+        except ServingError as e:
+            raise HTTPException(status_code=e.status, detail=str(e)) from e
+        except FileNotFoundError as e:
+            raise HTTPException(status_code=404, detail=str(e)) from e
+
     return app
 
 
@@ -456,12 +538,17 @@ def build_service(
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()), (config.mesh.model_axis,))
-    index = RetrievalIndex.from_checkpoint(config, checkpoint_dir, mesh=mesh)
+
+    def factory(step: int | None = None) -> RetrievalIndex:
+        return RetrievalIndex.from_checkpoint(config, checkpoint_dir, mesh=mesh, step=step)
+
+    index = factory()
     return RecommendService(
         index,
         index.vocab,
         default_k=config.serving.top_k,
         max_batch=config.serving.max_batch_size,
+        index_factory=factory,
     )
 
 

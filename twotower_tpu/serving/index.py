@@ -63,6 +63,7 @@ class RetrievalIndex:
         self.num_users = num_users
         self.num_items = num_items
         self.mesh = mesh
+        self.checkpoint_step: int | None = None  # set by from_checkpoint
         mcfg = config.model
         tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
         # Resident precision: bf16 under the ANN index halves the HBM
@@ -269,16 +270,22 @@ class RetrievalIndex:
 
     @classmethod
     def from_checkpoint(
-        cls, config: Config, checkpoint_dir: str | Path, mesh=None
+        cls, config: Config, checkpoint_dir: str | Path, mesh=None,
+        step: int | None = None,
     ) -> "RetrievalIndex":
-        """Load params + vocab from a training checkpoint directory."""
+        """Load params + vocab from a training checkpoint directory.
+
+        ``step``: specific checkpoint step (default: latest). The restored
+        step is recorded as ``index.checkpoint_step`` so the serving layer
+        can report which model version is live (and hot-reload to a newer
+        one — ``RecommendService.reload``)."""
         from twotower_tpu.data.vocab import VocabPair
         from twotower_tpu.evaluation.evaluate import restore_params
 
         ckpt_dir = Path(checkpoint_dir)
         vocab = VocabPair.load(ckpt_dir / "vocab")
         num_users, num_items = len(vocab.users), len(vocab.items)
-        params, _ = restore_params(config, ckpt_dir, num_users, num_items)
+        params, meta = restore_params(config, ckpt_dir, num_users, num_items, step=step)
         item_tokens = None
         tokens_path = ckpt_dir / "item_tokens.npz"
         if tokens_path.exists():
@@ -289,4 +296,5 @@ class RetrievalIndex:
             mesh=mesh,
         )
         index.vocab = vocab
+        index.checkpoint_step = meta.get("step")
         return index

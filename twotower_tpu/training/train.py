@@ -225,9 +225,21 @@ def run(args, config: Config) -> dict:
     shutdown.uninstall()
 
     # Final artifacts: vocab manifest + final checkpoint + test metrics.
+    # With validation, improving epochs already saved the BEST checkpoint
+    # and the final state is only persisted when nothing was saved yet;
+    # without validation there is no in-loop saving at all, so the final
+    # state must always be saved — otherwise a resumed --no-eval run would
+    # train past the restored step and silently persist nothing (the save
+    # no-ops if that step's checkpoint already exists).
     pp.vocab.save(ckpt_dir / "vocab")
-    if manager.latest_step() is None:
-        manager.save(int(result.state.step), result.state)
+    if evaluate_fn is None or manager.latest_step() is None:
+        # "epoch" in the metadata is where --resume restarts: without it a
+        # resumed run would replay from epoch 0 on top of the restored step.
+        manager.save(
+            int(result.state.step),
+            result.state,
+            extra={"epoch": start_epoch + len(result.history)},
+        )
     test_metrics = (
         evaluator.evaluate(result.state.params, splits.test.user_idx, splits.test.item_idx)
         if len(splits.test)
