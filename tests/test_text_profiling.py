@@ -240,3 +240,49 @@ class TestProfiling:
 
         with trace(None):
             pass
+
+
+class TestMetricWriters:
+    def test_jsonl_roundtrip(self, tmp_path):
+        import json
+
+        from twotower_tpu.utils.tracking import JsonlWriter
+
+        w = JsonlWriter(tmp_path / "m.jsonl")
+        w.write({"loss": 1.5, "recall@10": 0.3}, step=7)
+        w.close()
+        rec = json.loads((tmp_path / "m.jsonl").read_text().splitlines()[0])
+        assert rec["step"] == 7 and rec["loss"] == 1.5
+
+    def test_tensorboard_writer_emits_events(self, tmp_path):
+        from twotower_tpu.utils.tracking import TensorBoardWriter
+
+        w = TensorBoardWriter(tmp_path / "tb")
+        w.write({"loss": 0.5, "val/recall@10": 0.2}, step=3)
+        w.close()
+        if w._writer is None:  # tensorboard absent: documented no-op
+            return
+        events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+        assert events and events[0].stat().st_size > 0
+
+    def test_build_writers_kinds(self, tmp_path):
+        import pytest
+
+        from twotower_tpu.utils.tracking import (
+            JsonlWriter,
+            StdoutWriter,
+            TensorBoardWriter,
+            build_writers,
+        )
+
+        ws = build_writers(
+            ["stdout", "jsonl", "tensorboard"], jsonl_path=tmp_path / "m.jsonl"
+        )
+        assert isinstance(ws[0], StdoutWriter)
+        assert isinstance(ws[1], JsonlWriter)
+        assert isinstance(ws[2], TensorBoardWriter)
+        for w in ws:
+            w.write({"x": 1.0}, step=0)
+            w.close()
+        with pytest.raises(ValueError, match="unknown metric writer"):
+            build_writers(["nope"])

@@ -48,7 +48,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     p.add_argument(
         "--writers", nargs="*", default=["stdout", "jsonl"],
-        choices=["stdout", "jsonl", "mlflow", "wandb"],
+        choices=["stdout", "jsonl", "tensorboard", "mlflow", "wandb"],
     )
     p.add_argument("--split", choices=["temporal", "random"], default="temporal")
     p.add_argument("--no-eval", action="store_true", help="skip validation/early stop")

@@ -102,19 +102,47 @@ class WandbWriter:
             self._run.finish()
 
 
+class TensorBoardWriter:
+    """TensorBoard event files (lazy import; pairs with the jax.profiler
+    traces ``--profile-dir`` writes, which TensorBoard's profile plugin
+    reads from the same logdir tree)."""
+
+    def __init__(self, logdir: str | Path = "logs/tensorboard"):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError:
+            logger.warning("tensorboard not installed; TensorBoardWriter is a no-op")
+            self._writer = None
+            return
+        self._writer = SummaryWriter(log_dir=str(logdir))
+
+    def write(self, metrics: dict[str, float], step: int) -> None:
+        if self._writer is None:
+            return
+        for k, v in metrics.items():
+            self._writer.add_scalar(k, float(v), global_step=step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
 def build_writers(
     kinds: list[str],
     *,
     jsonl_path: str | Path = "logs/metrics.jsonl",
     run_name: str | None = None,
 ) -> list[Any]:
-    """Writer factory from config/CLI strings: stdout | jsonl | mlflow | wandb."""
+    """Writer factory from config/CLI strings:
+    stdout | jsonl | tensorboard | mlflow | wandb."""
     out: list[Any] = []
     for kind in kinds:
         if kind == "stdout":
             out.append(StdoutWriter())
         elif kind == "jsonl":
             out.append(JsonlWriter(jsonl_path))
+        elif kind == "tensorboard":
+            out.append(TensorBoardWriter(Path(jsonl_path).parent / "tensorboard"))
         elif kind == "mlflow":
             out.append(MLflowWriter(run_name=run_name))
         elif kind == "wandb":
