@@ -442,3 +442,71 @@ class TestTopKApprox:
 
         v, i = topk_mips_approx(jnp.zeros((0, 8)), jnp.zeros((100, 8)), 10)
         assert v.shape == (0, 10) and i.shape == (0, 10)
+
+
+class TestMixedLoss:
+    def test_matches_numpy_reference(self, rng):
+        """Mixed Negative Sampling golden test: [B, B+M] logits where
+        in-batch columns are corrected by log q(item) and uniform columns
+        by -log(num_items); accidental hits masked in both blocks."""
+        from twotower_tpu.ops.losses import mixed_sampled_softmax_loss
+
+        b, d, m, n, t = 8, 4, 6, 50, 0.1
+        u = rng.normal(size=(b, d)).astype(np.float32)
+        v = rng.normal(size=(b, d)).astype(np.float32)
+        nv = rng.normal(size=(m, d)).astype(np.float32)
+        idx = rng.integers(0, n, b).astype(np.int32)
+        idx[5] = idx[1]  # duplicate positive (in-batch accidental hit)
+        neg_idx = rng.integers(0, n, m).astype(np.int32)
+        neg_idx[2] = idx[3]  # uniform accidental hit
+        w = np.ones(b, np.float32)
+        w[-1] = 0.0  # padding row
+        freqs = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        log_q = np.log(freqs / freqs.sum())
+
+        loss, metrics = mixed_sampled_softmax_loss(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(idx),
+            jnp.asarray(nv), jnp.asarray(neg_idx),
+            temperature=t, log_q=jnp.asarray(log_q), num_items=n,
+            weights=jnp.asarray(w),
+        )
+
+        neg_inf = -1e9
+        s = u @ v.T / t - log_q[idx][None, :]
+        eye = np.eye(b, dtype=bool)
+        mask = (idx[None, :] == idx[:, None]) | (w[None, :] == 0.0)
+        s = np.where(mask & ~eye, neg_inf, s)
+        ns = u @ nv.T / t + np.log(n)
+        ns = np.where(neg_idx[None, :] == idx[:, None], neg_inf, ns)
+        all_logits = np.concatenate([s, ns], axis=1)
+        lse = np.log(np.exp(all_logits - all_logits.max(1, keepdims=True)).sum(1)) + all_logits.max(1)
+        per = lse - np.diag(s)
+        ref_loss = (per * w).sum() / w.sum()
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+        ref_acc = ((np.diag(s) >= all_logits.max(1)) * w).sum() / w.sum()
+        np.testing.assert_allclose(float(metrics["accuracy"]), ref_acc, atol=1e-6)
+
+    def test_logq_requires_num_items(self, rng):
+        from twotower_tpu.ops.losses import mixed_sampled_softmax_loss
+
+        u = jnp.ones((2, 4)); v = jnp.ones((2, 4)); nv = jnp.ones((3, 4))
+        with pytest.raises(ValueError, match="num_items"):
+            mixed_sampled_softmax_loss(
+                u, v, jnp.zeros(2, jnp.int32), nv, jnp.zeros(3, jnp.int32),
+                log_q=jnp.zeros(10),
+            )
+
+    def test_no_correction_without_logq(self, rng):
+        """log_q=None disables BOTH corrections together (the relative shift
+        between blocks is what matters)."""
+        from twotower_tpu.ops.losses import mixed_sampled_softmax_loss
+
+        b, d, m = 4, 4, 8
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        nv = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+        idx = jnp.arange(b, dtype=jnp.int32)
+        nidx = jnp.arange(10, 10 + m, dtype=jnp.int32)
+        l1, _ = mixed_sampled_softmax_loss(u, v, idx, nv, nidx, num_items=100)
+        l2, _ = mixed_sampled_softmax_loss(u, v, idx, nv, nidx)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

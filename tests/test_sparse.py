@@ -255,3 +255,55 @@ class TestPackedMoments:
         np.testing.assert_allclose(np.asarray(pt), np.asarray(rt), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(pmo[:, :e]), np.asarray(rmu), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(pmo[:, e:]), np.asarray(rnu), rtol=1e-6)
+
+
+class TestMixedSampling:
+    def test_sparse_matches_dense_first_step(self, tiny_config):
+        """Mixed sampling: sparse row-update path == dense full-table path
+        (same neg-RNG fold chain, so the sampled negatives are identical)."""
+        over = {
+            "retrieval.candidate_sampling": "mixed",
+            "retrieval.num_negatives": 64,
+        }
+        cfg_d, opt_d, params, state_d, batch, _ = _setup(tiny_config, sparse=False)
+        cfg_s, opt_s, _, state_s, _, _ = _setup(tiny_config, sparse=True)
+        cfg_d, cfg_s = cfg_d.with_overrides(over), cfg_s.with_overrides(over)
+        rng = jax.random.PRNGKey(3)
+        log_q = jnp.log(jnp.full((200,), 1.0 / 200.0, jnp.float32))
+
+        dense_step = make_step_fn(cfg_d, opt_d, num_items=200)
+        sparse_step = make_sparse_step_fn(cfg_s, opt_s, num_items=200)
+        new_d, m_d = dense_step(state_d, batch, rng, log_q)
+        new_s, m_s = sparse_step(state_s, batch, rng, log_q)
+
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_d["loss"]), rtol=1e-5)
+        for table in ("user_embedding", "item_embedding"):
+            np.testing.assert_allclose(
+                np.asarray(new_s.params[table]),
+                np.asarray(new_d.params[table]),
+                rtol=1e-4, atol=1e-6, err_msg=table,
+            )
+
+    def test_sparse_mixed_updates_negative_rows(self, tiny_config):
+        cfg, opt, params, state, batch, _ = _setup(tiny_config, sparse=True)
+        cfg = cfg.with_overrides(
+            {"retrieval.candidate_sampling": "mixed", "retrieval.num_negatives": 64}
+        )
+        step = make_sparse_step_fn(cfg, opt, num_items=200)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        changed = ~np.all(
+            np.isclose(
+                np.asarray(new_state.params["item_embedding"]),
+                np.asarray(params["item_embedding"]),
+            ),
+            axis=1,
+        )
+        positives = len(set(np.asarray(batch["item_idx"]).tolist()))
+        assert changed.sum() > positives
+
+    def test_mixed_requires_num_items(self, tiny_config):
+        cfg, opt, *_ = _setup(tiny_config, sparse=True)
+        cfg = cfg.with_overrides({"retrieval.candidate_sampling": "mixed"})
+        with pytest.raises(ValueError):
+            make_sparse_step_fn(cfg, opt)

@@ -215,3 +215,62 @@ class TestSparseShardedStep:
         res = trainer.fit(state, BatchPipeline(splits.train, cfg.training.batch_size))
         losses = [h["loss"] for h in res.history if "loss" in h]
         assert len(losses) >= 1 and np.isfinite(losses[-1])
+
+
+class TestMixedSamplingOnMesh:
+    @pytest.mark.parametrize("n_model", [2, 8])
+    def test_matches_single_device_sparse_step(self, tiny_config, devices, n_model):
+        """Mixed sampling on the sparse mesh: shared uniform negatives are
+        gathered via the same a2a path and their per-shard gradient shares
+        sum at the owner — numerically identical to the single-device step
+        (the neg-RNG fold chain matches, so even the sampled ids agree)."""
+        cfg, optimizer, state, batch, log_q = _setup(tiny_config, n_model)
+        cfg = cfg.with_overrides(
+            {"retrieval.candidate_sampling": "mixed", "retrieval.num_negatives": 64}
+        )
+        rng = jax.random.PRNGKey(7)
+
+        ref_step = make_train_step(
+            cfg, optimizer, log_q, donate=False, num_items=NUM_ITEMS
+        )
+        ref_state, ref_metrics = ref_step(state, batch, rng)
+
+        mesh = build_mesh(cfg.mesh, devices)
+        sharded = shard_state(mesh, state, cfg.mesh, sparse_mesh=True)
+        step = make_sharded_train_step(
+            cfg, optimizer, mesh, sharded, log_q, num_items=NUM_ITEMS, donate=False
+        )
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+        new_state, metrics = step(
+            sharded, dev_batch, jax.device_put(rng, replicated(mesh))
+        )
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(metrics["grad_norm"]), float(ref_metrics["grad_norm"]), rtol=1e-4
+        )
+        assert float(metrics["dropped_ids"]) == 0.0
+        # Looser than the in-batch parity test: rows hit by positives AND
+        # shared negatives sum up to num_data+dup contributions, and the a2a
+        # bucketing reorders that f32 summation vs the single-device concat —
+        # squaring into the nu moment amplifies the rounding to ~1e-4
+        # (params themselves agree to <1e-5; a real double-count would shift
+        # them by the lr scale).
+        _assert_state_close(new_state, ref_state, rtol=1e-3, atol=2e-4)
+
+    def test_neg_count_must_divide_model_axis(self, tiny_config, devices):
+        from twotower_tpu.parallel.sparse_spmd import make_sparse_sharded_train_step
+        from twotower_tpu.training import make_optimizer
+
+        cfg, optimizer, state, batch, log_q = _setup(tiny_config, 8)
+        cfg = cfg.with_overrides(
+            {"retrieval.candidate_sampling": "mixed", "retrieval.num_negatives": 60}
+        )
+        mesh = build_mesh(cfg.mesh, devices)
+        with pytest.raises(ValueError, match="num_negatives"):
+            make_sparse_sharded_train_step(
+                cfg, optimizer, mesh, state, log_q, num_items=NUM_ITEMS
+            )

@@ -183,17 +183,17 @@ class RetrievalConfig:
     candidate_sampling: str = "in_batch"
     temperature: float = 0.1
     logq_correction: bool = True
-    # uniform branch: shared negatives sampled per step
+    # uniform/mixed branches: shared negatives sampled per step
     num_negatives: int = 1024
     # exact brute-force eval (metric-faithful) vs approx_max_k (fast val)
     eval_exact: bool = True
     top_k_eval: list[int] = field(default_factory=lambda: [1, 5, 10, 20, 50, 100])
 
     def __post_init__(self) -> None:
-        if self.candidate_sampling not in ("in_batch", "uniform"):
+        if self.candidate_sampling not in ("in_batch", "uniform", "mixed"):
             raise ValueError(
-                f"retrieval.candidate_sampling must be 'in_batch' or 'uniform', "
-                f"got {self.candidate_sampling!r}"
+                f"retrieval.candidate_sampling must be 'in_batch', 'uniform' "
+                f"or 'mixed', got {self.candidate_sampling!r}"
             )
         if self.temperature <= 0:
             raise ValueError("retrieval.temperature must be positive")

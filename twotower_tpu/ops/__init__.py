@@ -7,6 +7,7 @@ live in ``ops.pallas_kernels`` and are golden-tested against these.
 from twotower_tpu.ops.losses import (
     in_batch_softmax_loss,
     l2_penalty,
+    mixed_sampled_softmax_loss,
     uniform_sampled_softmax_loss,
 )
 from twotower_tpu.ops.topk import (
@@ -19,6 +20,7 @@ from twotower_tpu.ops.topk import (
 __all__ = [
     "in_batch_softmax_loss",
     "l2_penalty",
+    "mixed_sampled_softmax_loss",
     "uniform_sampled_softmax_loss",
     "topk_mips",
     "topk_mips_approx",

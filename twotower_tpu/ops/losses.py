@@ -17,6 +17,8 @@ Math (Yi et al. 2019, "Sampling-Bias-Corrected Neural Modeling"):
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -160,6 +162,130 @@ def l2_penalty(tower_params, gathered_embeddings: list[Array]) -> Array:
     for emb in gathered_embeddings:
         acc = acc + jnp.sum(jnp.square(emb.astype(jnp.float32)))
     return acc
+
+
+def mixed_softmax_block(
+    user_emb: Array,
+    item_emb_all: Array,
+    item_idx_all: Array,
+    row_offset: Array | int,
+    neg_emb: Array,
+    neg_idx: Array,
+    *,
+    temperature: float = 0.1,
+    log_q: Array | None = None,
+    log_uniform: float | None = None,
+    weights_all: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Per-row mixed-negative softmax CE for a row block of the global batch.
+
+    Mixed Negative Sampling (Yang et al. 2020, WWW): the candidate set per
+    row is the B in-batch items PLUS M shared uniformly-sampled items. The
+    in-batch columns over-represent popular items (q = empirical item
+    frequency) while the uniform block covers the long tail — each column
+    is bias-corrected by the log-probability of ITS OWN sampler (in-batch
+    columns: ``log_q[item]``; uniform columns: ``log_uniform`` =
+    ``-log(num_items)``). ``log_q=None`` disables both corrections (the
+    relative shift between the two blocks matters, so they gate together).
+
+    Same contract as ``in_batch_softmax_block`` otherwise: returns
+    ``(per_example [R], correct [R], raw_diag [R])``; the positive is the
+    in-batch diagonal; accidental hits (another column equal to the row's
+    positive) are masked in BOTH blocks.
+    """
+    rows = user_emb.shape[0]
+    batch = item_emb_all.shape[0]
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    scores = jax.lax.dot_general(
+        user_emb,
+        item_emb_all,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    neg_scores = jax.lax.dot_general(
+        user_emb,
+        neg_emb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inv_t = 1.0 / jnp.asarray(temperature, jnp.float32)
+    logits = scores * inv_t
+    neg_logits = neg_scores * inv_t
+    if log_q is not None:
+        if log_uniform is None:
+            raise ValueError(
+                "mixed log-Q correction needs log_uniform (-log(num_items)): "
+                "uniform columns were sampled uniformly, not by frequency"
+            )
+        logits = logits - log_q[item_idx_all][None, :].astype(jnp.float32)
+        neg_logits = neg_logits - jnp.asarray(log_uniform, jnp.float32)
+
+    col_ids = jnp.arange(batch, dtype=jnp.int32)[None, :]
+    row_ids = row_offset + jnp.arange(rows, dtype=jnp.int32)[:, None]
+    diag = col_ids == row_ids
+    row_item = jax.lax.dynamic_slice_in_dim(item_idx_all, row_offset, rows)
+    mask = item_idx_all[None, :] == row_item[:, None]
+    if weights_all is not None:
+        mask = mask | (weights_all[None, :] == 0.0)
+    logits = jnp.where(mask & ~diag, _NEG_INF, logits)
+    # Uniform block: a sampled negative equal to the row's positive is an
+    # accidental hit too.
+    neg_hit = neg_idx[None, :] == row_item[:, None]
+    neg_logits = jnp.where(neg_hit, _NEG_INF, neg_logits)
+
+    all_logits = jnp.concatenate([logits, neg_logits], axis=1)
+    lse = jax.nn.logsumexp(all_logits, axis=-1)
+    pos = jnp.sum(jnp.where(diag, logits, 0.0), axis=-1)
+    per_example = lse - pos
+    correct = (pos >= jnp.max(all_logits, axis=-1)).astype(jnp.float32)
+    raw_diag = jnp.sum(jnp.where(diag, scores, 0.0), axis=-1)
+    return per_example, jax.lax.stop_gradient(correct), jax.lax.stop_gradient(raw_diag)
+
+
+def mixed_sampled_softmax_loss(
+    user_emb: Array,
+    item_emb: Array,
+    item_idx: Array,
+    neg_item_emb: Array,
+    neg_idx: Array,
+    *,
+    temperature: float = 0.1,
+    log_q: Array | None = None,
+    num_items: int | None = None,
+    weights: Array | None = None,
+) -> tuple[Array, dict[str, Array]]:
+    """Mixed-negative sampled softmax over ``[B, B + M]`` logits
+    (``retrieval.candidate_sampling: "mixed"``): in-batch negatives with
+    log-Q correction plus ``M`` shared uniform negatives corrected by
+    ``-log(num_items)`` — the production hybrid that keeps the popularity
+    signal of in-batch sampling while covering the long tail the batch
+    never shows (Yang et al. 2020).
+    """
+    if log_q is not None and not num_items:
+        raise ValueError("mixed sampling with log_q needs num_items")
+    batch = user_emb.shape[0]
+    per_example, correct, raw_diag = mixed_softmax_block(
+        user_emb,
+        item_emb,
+        item_idx,
+        0,
+        neg_item_emb,
+        neg_idx,
+        temperature=temperature,
+        log_q=log_q,
+        log_uniform=(-math.log(num_items) if num_items else None),
+        weights_all=weights,
+    )
+    if weights is None:
+        weights = jnp.ones((batch,), jnp.float32)
+    weights = weights.astype(jnp.float32)
+    denom = jnp.maximum(weights.sum(), 1.0)
+    loss = (per_example * weights).sum() / denom
+    metrics = {
+        "accuracy": (correct * weights).sum() / denom,
+        "logits_mean": (raw_diag * weights).sum() / denom,
+    }
+    return loss, metrics
 
 
 def uniform_sampled_softmax_loss(

@@ -62,11 +62,11 @@ Array = jax.Array
 def use_sparse_mesh_path(config: Config) -> bool:
     """Whether the mesh train step should run the sparse (a2a + scatter)
     path. Falls back to the dense GSPMD step for configurations the sparse
-    path does not model (non-Adam optimizers, uniform sampling, unsharded
-    tables)."""
+    path does not model (non-Adam optimizers, pure-uniform sampling,
+    unsharded tables)."""
     return (
         config.training.effective_sparse_updates()
-        and config.retrieval.candidate_sampling == "in_batch"
+        and config.retrieval.candidate_sampling in ("in_batch", "mixed")
         and config.mesh.shard_embeddings
     )
 
@@ -107,11 +107,16 @@ def make_sparse_sharded_train_step(
     the step inside a larger jitted program (the device-resident epoch
     loop, ``parallel.spmd.make_sharded_epoch_fn``).
     """
-    del num_items  # in-batch sampling only (checked by use_sparse_mesh_path)
+    import math
+
     from twotower_tpu.models import two_tower
     from twotower_tpu.ops import pallas_kernels
     from twotower_tpu.ops.dispatch import pallas_enabled
-    from twotower_tpu.ops.losses import in_batch_softmax_block, l2_penalty
+    from twotower_tpu.ops.losses import (
+        in_batch_softmax_block,
+        l2_penalty,
+        mixed_softmax_block,
+    )
     from twotower_tpu.parallel.a2a import alltoall_lookup, alltoall_row_update
     from twotower_tpu.parallel.sharding import state_pspecs
     from twotower_tpu.training.sparse import make_lr_fn, split_params
@@ -126,6 +131,18 @@ def make_sparse_sharded_train_step(
     num_data = mesh.shape[data_ax]
     num_model = mesh.shape[model_ax]
     world = num_data * num_model
+
+    mixed = rcfg.candidate_sampling == "mixed"
+    num_negs = rcfg.num_negatives if mixed else 0
+    if mixed:
+        if num_items is None:
+            raise ValueError("mixed candidate sampling needs num_items")
+        if num_negs % num_model != 0:
+            raise ValueError(
+                f"retrieval.num_negatives={num_negs} must divide by the "
+                f"model axis ({num_model}) for the sparse mesh step"
+            )
+    log_uniform = -math.log(num_items) if mixed else 0.0
 
     batch_size = tcfg.batch_size
     if batch_size % (num_data * num_model) != 0:
@@ -149,9 +166,12 @@ def make_sparse_sharded_train_step(
             )
 
     out_dim = list(mcfg.item_tower_dims)[-1]
-    # Fused Pallas block kernel on TPU when the [b_local, B] block fits.
+    # Fused Pallas block kernel on TPU when the [b_local, B] block fits
+    # (in-batch columns only; the mixed loss appends a uniform block and
+    # runs the XLA twin).
     use_pallas = (
-        pallas_enabled()
+        not mixed
+        and pallas_enabled()
         and jax.default_backend() == "tpu"
         and pallas_kernels.supported_block(b_local, batch_size, out_dim)
     )
@@ -206,14 +226,31 @@ def make_sparse_sharded_train_step(
             drop_fwd = drop_fwd + d3
             tok_rows = tok_rows_flat.reshape(b_local, tok_width, -1)
 
-        dropout_rng = jax.random.fold_in(
-            jax.random.fold_in(rng, state.step), d_idx
-        )
+        base_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng = jax.random.fold_in(base_rng, d_idx)
         row_offset = d_idx * b_local
 
         diff: dict[str, Any] = {"dense": dense, "u_rows": u_rows, "i_rows": i_rows}
         if tokens is not None:
             diff["tok_rows"] = tok_rows
+        neg_ids = None
+        neg_tokens = None
+        if mixed:
+            # Shared uniform negatives: base_rng is replicated (no d_idx
+            # fold), so every device samples the SAME ids — the exact fold
+            # chain the single-device sparse step uses, for bit parity.
+            neg_rng = jax.random.fold_in(base_rng, 0x5E9)
+            neg_ids = jax.random.randint(
+                neg_rng, (num_negs,), 0, num_items, dtype=jnp.int32
+            )
+            neg_rows, d4 = gather("item_embedding", neg_ids)
+            drop_fwd = drop_fwd + d4
+            diff["neg_rows"] = neg_rows
+            if item_tok is not None:
+                neg_tokens = item_tok[neg_ids]
+                neg_tok_flat, d5 = gather("text_embedding", neg_tokens.reshape(-1))
+                drop_fwd = drop_fwd + d5
+                diff["neg_tok_rows"] = neg_tok_flat.reshape(num_negs, tok_width, -1)
 
         def loss_fn(diff):
             dense_p = diff["dense"]
@@ -233,15 +270,40 @@ def make_sparse_sharded_train_step(
             v_all = jax.lax.all_gather(i_emb, data_ax, tiled=True, axis=0)
             idx_all = jax.lax.all_gather(ids_i, data_ax, tiled=True, axis=0)
             w_all = jax.lax.all_gather(w, data_ax, tiled=True, axis=0)
-            per_ex, correct, raw_diag = loss_block(
-                u_emb,
-                v_all,
-                idx_all,
-                row_offset,
-                temperature=rcfg.temperature,
-                log_q=lq if rcfg.logq_correction else None,
-                weights_all=w_all,
-            )
+            if mixed:
+                # Negatives are shared by every shard: NO all_gather — each
+                # data shard's cotangent to the neg rows is its own share,
+                # summed across shards at the owner by the route's dedup.
+                neg_in = diff["neg_rows"]
+                if "neg_tok_rows" in diff:
+                    neg_in = neg_in + two_tower.pool_rows(
+                        diff["neg_tok_rows"], neg_tokens
+                    )
+                neg_emb = two_tower.apply_item_tower(
+                    dense_p, neg_in, mcfg, train=True, dropout_rng=i_rng
+                )
+                per_ex, correct, raw_diag = mixed_softmax_block(
+                    u_emb,
+                    v_all,
+                    idx_all,
+                    row_offset,
+                    neg_emb,
+                    neg_ids,
+                    temperature=rcfg.temperature,
+                    log_q=lq if rcfg.logq_correction else None,
+                    log_uniform=log_uniform,
+                    weights_all=w_all,
+                )
+            else:
+                per_ex, correct, raw_diag = loss_block(
+                    u_emb,
+                    v_all,
+                    idx_all,
+                    row_offset,
+                    temperature=rcfg.temperature,
+                    log_q=lq if rcfg.logq_correction else None,
+                    weights_all=w_all,
+                )
             denom = jnp.maximum(jax.lax.psum(jnp.sum(w), data_ax), 1.0)
             num = jnp.sum(per_ex * w)
             # This device's SHARE of the global loss: grad of the sum over
@@ -295,15 +357,33 @@ def make_sparse_sharded_train_step(
             )
             return nt, nmo, jax.lax.psum(nsq, comb), drop
 
+        item_route_ids = ids_i
+        item_route_grads = grads["i_rows"]
+        if mixed:
+            # Model peers hold identical neg grads (same data shard) and
+            # each routes a distinct 1/num_model slice of the concatenation,
+            # so every (shard, id) contribution is routed exactly once; the
+            # owner-side dedup sums the per-data-shard shares.
+            item_route_ids = jnp.concatenate([ids_i, neg_ids])
+            item_route_grads = jnp.concatenate([grads["i_rows"], grads["neg_rows"]])
         row_work = {
             "user_embedding": (ids_u, grads["u_rows"]),
-            "item_embedding": (ids_i, grads["i_rows"]),
+            "item_embedding": (item_route_ids, item_route_grads),
         }
         if tokens is not None:
-            row_work["text_embedding"] = (
-                tokens.reshape(-1),
-                grads["tok_rows"].reshape(b_local * tok_width, -1),
-            )
+            tok_route_ids = tokens.reshape(-1)
+            tok_route_grads = grads["tok_rows"].reshape(b_local * tok_width, -1)
+            if mixed and "neg_tok_rows" in grads:
+                tok_route_ids = jnp.concatenate(
+                    [tok_route_ids, neg_tokens.reshape(-1)]
+                )
+                tok_route_grads = jnp.concatenate(
+                    [
+                        tok_route_grads,
+                        grads["neg_tok_rows"].reshape(num_negs * tok_width, -1),
+                    ]
+                )
+            row_work["text_embedding"] = (tok_route_ids, tok_route_grads)
         new_tables = dict(tables)
         new_tstate = {k: dict(v) for k, v in state.table_state.items()}
         tbl_norm_sq = jnp.asarray(0.0, jnp.float32)

@@ -157,6 +157,7 @@ def _build_mesh_step(
             state_template,
             log_q,
             item_tokens=item_tokens,
+            num_items=num_items,
             return_raw=True,
         )
         # Same spec source as the step's shard_map (state_pspecs with

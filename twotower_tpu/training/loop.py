@@ -73,13 +73,16 @@ def make_loss_fn(
             params, batch["item_idx"], mcfg, train=True, dropout_rng=i_rng,
             text_tokens=tokens,
         )
-        if rcfg.candidate_sampling == "uniform":
+        if rcfg.candidate_sampling in ("uniform", "mixed"):
             if num_items is None:
                 raise ValueError(
-                    "uniform candidate sampling needs num_items (pass it to "
-                    "make_train_step / the Trainer)"
+                    f"{rcfg.candidate_sampling} candidate sampling needs "
+                    "num_items (pass it to make_train_step / the Trainer)"
                 )
-            from twotower_tpu.ops.losses import uniform_sampled_softmax_loss
+            from twotower_tpu.ops.losses import (
+                mixed_sampled_softmax_loss,
+                uniform_sampled_softmax_loss,
+            )
 
             neg_rng = jax.random.fold_in(dropout_rng, 0x5e9)
             neg_ids = jax.random.randint(
@@ -92,15 +95,28 @@ def make_loss_fn(
                 params, neg_ids, mcfg, train=True, dropout_rng=i_rng,
                 text_tokens=neg_tokens,
             )
-            loss, metrics = uniform_sampled_softmax_loss(
-                user_emb,
-                item_emb,
-                neg_emb,
-                temperature=rcfg.temperature,
-                weights=batch.get("weight"),
-                pos_idx=batch["item_idx"],
-                neg_idx=neg_ids,
-            )
+            if rcfg.candidate_sampling == "mixed":
+                loss, metrics = mixed_sampled_softmax_loss(
+                    user_emb,
+                    item_emb,
+                    batch["item_idx"],
+                    neg_emb,
+                    neg_ids,
+                    temperature=rcfg.temperature,
+                    log_q=log_q if rcfg.logq_correction else None,
+                    num_items=num_items,
+                    weights=batch.get("weight"),
+                )
+            else:
+                loss, metrics = uniform_sampled_softmax_loss(
+                    user_emb,
+                    item_emb,
+                    neg_emb,
+                    temperature=rcfg.temperature,
+                    weights=batch.get("weight"),
+                    pos_idx=batch["item_idx"],
+                    neg_idx=neg_ids,
+                )
         else:
             impl = loss_impl or (
                 in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss

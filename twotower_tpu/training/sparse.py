@@ -179,8 +179,8 @@ def make_sparse_step_fn(
     scatters to the tables. Drop-in replacement for
     ``training.loop.make_step_fn`` (same signature contract — log_q and
     item_tokens are jit ARGUMENTS, never closures; see make_loss_fn).
-    Supports both ``in_batch`` and ``uniform`` candidate sampling
-    (``num_items`` is required for uniform).
+    Supports ``in_batch``, ``uniform`` and ``mixed`` candidate sampling
+    (``num_items`` is required for the latter two).
     """
     import optax
 
@@ -189,6 +189,7 @@ def make_sparse_step_fn(
     from twotower_tpu.ops.losses import (
         in_batch_softmax_loss,
         l2_penalty,
+        mixed_sampled_softmax_loss,
         uniform_sampled_softmax_loss,
     )
 
@@ -197,9 +198,11 @@ def make_sparse_step_fn(
     tcfg = config.training
     lr_fn = make_lr_fn(tcfg)
     loss_impl = in_batch_softmax_loss_auto if allow_pallas else in_batch_softmax_loss
-    uniform = rcfg.candidate_sampling == "uniform"
-    if uniform and num_items is None:
-        raise ValueError("uniform candidate sampling needs num_items")
+    mode = rcfg.candidate_sampling
+    uniform = mode == "uniform"
+    sample_negs = mode in ("uniform", "mixed")
+    if sample_negs and num_items is None:
+        raise ValueError(f"{mode} candidate sampling needs num_items")
 
     def step(
         state,
@@ -228,7 +231,7 @@ def make_sparse_step_fn(
             diff["tok_rows"] = tables["text_embedding"][tokens]
         neg_ids = None
         neg_tokens = None
-        if uniform:
+        if sample_negs:
             neg_rng = jax.random.fold_in(dropout_rng, 0x5E9)
             neg_ids = jax.random.randint(
                 neg_rng, (rcfg.num_negatives,), 0, num_items, dtype=jnp.int32
@@ -250,22 +253,35 @@ def make_sparse_step_fn(
             i_emb = two_tower.apply_item_tower(
                 dense_p, item_in, mcfg, train=True, dropout_rng=i_rng
             )
-            if uniform:
+            if sample_negs:
                 neg_in = diff["neg_rows"]
                 if "neg_tok_rows" in diff:
                     neg_in = neg_in + two_tower.pool_rows(diff["neg_tok_rows"], neg_tokens)
                 neg_emb = two_tower.apply_item_tower(
                     dense_p, neg_in, mcfg, train=True, dropout_rng=i_rng
                 )
-                loss, metrics = uniform_sampled_softmax_loss(
-                    u_emb,
-                    i_emb,
-                    neg_emb,
-                    temperature=rcfg.temperature,
-                    weights=batch.get("weight"),
-                    pos_idx=i_ids,
-                    neg_idx=neg_ids,
-                )
+                if uniform:
+                    loss, metrics = uniform_sampled_softmax_loss(
+                        u_emb,
+                        i_emb,
+                        neg_emb,
+                        temperature=rcfg.temperature,
+                        weights=batch.get("weight"),
+                        pos_idx=i_ids,
+                        neg_idx=neg_ids,
+                    )
+                else:
+                    loss, metrics = mixed_sampled_softmax_loss(
+                        u_emb,
+                        i_emb,
+                        i_ids,
+                        neg_emb,
+                        neg_ids,
+                        temperature=rcfg.temperature,
+                        log_q=log_q if rcfg.logq_correction else None,
+                        num_items=num_items,
+                        weights=batch.get("weight"),
+                    )
             else:
                 loss, metrics = loss_impl(
                     u_emb,
@@ -290,7 +306,7 @@ def make_sparse_step_fn(
 
         item_grad_ids = i_ids
         item_grads = grads["i_rows"]
-        if uniform:
+        if sample_negs:
             item_grad_ids = jnp.concatenate([i_ids, neg_ids])
             item_grads = jnp.concatenate([grads["i_rows"], grads["neg_rows"]])
         row_grads: dict[str, tuple[Array, Array]] = {
@@ -300,7 +316,7 @@ def make_sparse_step_fn(
         if tokens is not None:
             tok_ids = tokens.reshape(-1)
             tok_grads = grads["tok_rows"].reshape(tok_ids.shape[0], -1)
-            if uniform and "neg_tok_rows" in grads:
+            if sample_negs and "neg_tok_rows" in grads:
                 n_ids = neg_tokens.reshape(-1)
                 tok_ids = jnp.concatenate([tok_ids, n_ids])
                 tok_grads = jnp.concatenate(
