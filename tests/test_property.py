@@ -10,7 +10,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+
+pytest.importorskip("hypothesis")  # dev extra; skip cleanly where absent
+from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from twotower_tpu.training.sparse import dedup_rows
 

@@ -289,6 +289,96 @@ class TestHotReload:
             svc.reload()
         assert e.value.status == 400
 
+    def test_reload_rejects_non_int_step(self, small_index):
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), index_factory=lambda step=None: small_index
+        )
+        with pytest.raises(ServingError) as e:
+            svc.reload("nope")
+        assert e.value.status == 400
+
+    def test_request_snapshot_survives_mid_flight_reload(
+        self, small_index, tiny_config_module
+    ):
+        """A request validated against one model must execute on that exact
+        model even if a reload swaps the service reference in between."""
+        cfg = tiny_config_module
+        smaller = RetrievalIndex(
+            cfg,
+            two_tower.init_params(jax.random.PRNGKey(9), cfg.model, 40, 20),
+            40,
+            20,
+        )
+        smaller.vocab = _FakeVocab(40, 20)
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), default_k=10,
+            index_factory=lambda step=None: smaller,
+        )
+        # Validate against the 60-item index with k/user valid only there.
+        user_idx, k, snap = svc.prepare_recommend({"user_idx": [75], "k": 40})
+        svc.reload()  # swaps to the 20-item / 40-user model
+        # Executing on the snapshot still answers from the OLD model.
+        scores, items = snap.index.recommend(user_idx, k)
+        assert items.shape == (1, 40) and (items < 60).all()
+        out = svc.format_recommend(user_idx, scores, items, k, 0.0, snap.vocab)
+        assert all(i.startswith("I") for i in out["results"][0]["items"])
+        # New requests validate against the new model: user 75 is now gone.
+        with pytest.raises(ServingError) as e:
+            svc.recommend({"user_idx": [75]})
+        assert e.value.status == 404
+
+    def test_release_first_503s_until_reload_succeeds(self, small_index):
+        calls = {"n": 0}
+
+        def flaky_factory(step=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("encode OOM")
+            return small_index
+
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), index_factory=flaky_factory
+        )
+        with pytest.raises(RuntimeError):
+            svc.reload(release_first=True)
+        # Old index was released before the failed build: requests 503.
+        assert svc.health()["status"] == "reloading"
+        with pytest.raises(ServingError) as e:
+            svc.recommend({"user_idx": [0]})
+        assert e.value.status == 503
+        # A successful reload restores service.
+        svc.reload(release_first=True)
+        assert svc.health()["status"] == "ok"
+        assert svc.recommend({"user_idx": [0], "k": 3})["results"]
+
+    def test_batcher_never_coalesces_across_index_swap(self):
+        """Requests pinned to different model snapshots must not share a
+        device call (a reload mid-window would otherwise score one of them
+        on the wrong model)."""
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        old_index = _CountingIndex(delay_s=0.02)
+        new_index = _CountingIndex(delay_s=0.02)
+        batcher = MicroBatcher(old_index, max_batch=64, window_ms=100.0)
+
+        async def go():
+            first = asyncio.ensure_future(
+                batcher.recommend(np.array([1], np.int32), 5, index=old_index)
+            )
+            await asyncio.sleep(0.005)  # let the window open on old_index
+            second = asyncio.ensure_future(
+                batcher.recommend(np.array([2], np.int32), 5, index=new_index)
+            )
+            return await asyncio.gather(first, second)
+
+        r1, r2 = asyncio.run(go())
+        assert r1[0].shape == (1, 5) and r2[0].shape == (1, 5)
+        # One call landed on each index; they were never concatenated.
+        assert old_index.calls == [1]
+        assert new_index.calls == [1]
+
     def test_from_checkpoint_records_step_and_pins(
         self, tiny_config_module, tmp_path
     ):

@@ -27,6 +27,50 @@ Array = jax.Array
 _NEG_INF = -1e9  # finite sentinel: keeps grads zero without NaN propagation
 
 
+def _in_batch_logits(
+    user_emb: Array,
+    item_emb_all: Array,
+    item_idx_all: Array,
+    row_offset,
+    *,
+    temperature: float,
+    log_q: Array | None,
+    weights_all: Array | None,
+) -> tuple[Array, Array, Array, Array]:
+    """Shared core of the in-batch and mixed blocks: masked, tempered,
+    log-Q-corrected ``[R, B]`` logits. Returns ``(logits, diag, scores,
+    row_item)`` — one source of truth for the mask/correction semantics the
+    golden and Pallas-parity tests pin down."""
+    rows = user_emb.shape[0]
+    batch = item_emb_all.shape[0]
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    # One MXU matmul; accumulate f32 regardless of input dtype (bf16 path).
+    scores = jax.lax.dot_general(
+        user_emb,
+        item_emb_all,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = scores / jnp.asarray(temperature, jnp.float32)
+
+    if log_q is not None:
+        # Subtract log q(item_j) from column j for every row (bias correction
+        # for popular items that appear as in-batch negatives more often).
+        logits = logits - log_q[item_idx_all][None, :].astype(jnp.float32)
+
+    col_ids = jnp.arange(batch, dtype=jnp.int32)[None, :]
+    row_ids = row_offset + jnp.arange(rows, dtype=jnp.int32)[:, None]
+    diag = col_ids == row_ids
+    row_item = jax.lax.dynamic_slice_in_dim(item_idx_all, row_offset, rows)
+    # Accidental-hit mask: another row's positive equals this row's positive.
+    mask = item_idx_all[None, :] == row_item[:, None]
+    if weights_all is not None:
+        # Zero-weight (padding) columns must not serve as negatives.
+        mask = mask | (weights_all[None, :] == 0.0)
+    logits = jnp.where(mask & ~diag, _NEG_INF, logits)
+    return logits, diag, scores, row_item
+
+
 def in_batch_softmax_block(
     user_emb: Array,
     item_emb_all: Array,
@@ -59,34 +103,15 @@ def in_batch_softmax_block(
       ``(per_example [R], correct [R], raw_diag [R])`` — CE loss, top-1
       indicator, and the raw (untempered, un-corrected) positive score.
     """
-    rows = user_emb.shape[0]
-    batch = item_emb_all.shape[0]
-    row_offset = jnp.asarray(row_offset, jnp.int32)
-    # One MXU matmul; accumulate f32 regardless of input dtype (bf16 path).
-    scores = jax.lax.dot_general(
+    logits, diag, scores, _ = _in_batch_logits(
         user_emb,
         item_emb_all,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        item_idx_all,
+        row_offset,
+        temperature=temperature,
+        log_q=log_q,
+        weights_all=weights_all,
     )
-    logits = scores / jnp.asarray(temperature, jnp.float32)
-
-    if log_q is not None:
-        # Subtract log q(item_j) from column j for every row (bias correction
-        # for popular items that appear as in-batch negatives more often).
-        logits = logits - log_q[item_idx_all][None, :].astype(jnp.float32)
-
-    col_ids = jnp.arange(batch, dtype=jnp.int32)[None, :]
-    row_ids = row_offset + jnp.arange(rows, dtype=jnp.int32)[:, None]
-    diag = col_ids == row_ids
-    row_item = jax.lax.dynamic_slice_in_dim(item_idx_all, row_offset, rows)
-    # Accidental-hit mask: another row's positive equals this row's positive.
-    mask = item_idx_all[None, :] == row_item[:, None]
-    if weights_all is not None:
-        # Zero-weight (padding) columns must not serve as negatives.
-        mask = mask | (weights_all[None, :] == 0.0)
-    logits = jnp.where(mask & ~diag, _NEG_INF, logits)
-
     lse = jax.nn.logsumexp(logits, axis=-1)
     pos = jnp.sum(jnp.where(diag, logits, 0.0), axis=-1)
     per_example = lse - pos
@@ -193,41 +218,28 @@ def mixed_softmax_block(
     in-batch diagonal; accidental hits (another column equal to the row's
     positive) are masked in BOTH blocks.
     """
-    rows = user_emb.shape[0]
-    batch = item_emb_all.shape[0]
-    row_offset = jnp.asarray(row_offset, jnp.int32)
-    scores = jax.lax.dot_general(
+    if log_q is not None and log_uniform is None:
+        raise ValueError(
+            "mixed log-Q correction needs log_uniform (-log(num_items)): "
+            "uniform columns were sampled uniformly, not by frequency"
+        )
+    logits, diag, scores, row_item = _in_batch_logits(
         user_emb,
         item_emb_all,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        item_idx_all,
+        row_offset,
+        temperature=temperature,
+        log_q=log_q,
+        weights_all=weights_all,
     )
-    neg_scores = jax.lax.dot_general(
+    neg_logits = jax.lax.dot_general(
         user_emb,
         neg_emb,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    inv_t = 1.0 / jnp.asarray(temperature, jnp.float32)
-    logits = scores * inv_t
-    neg_logits = neg_scores * inv_t
+    ) / jnp.asarray(temperature, jnp.float32)
     if log_q is not None:
-        if log_uniform is None:
-            raise ValueError(
-                "mixed log-Q correction needs log_uniform (-log(num_items)): "
-                "uniform columns were sampled uniformly, not by frequency"
-            )
-        logits = logits - log_q[item_idx_all][None, :].astype(jnp.float32)
         neg_logits = neg_logits - jnp.asarray(log_uniform, jnp.float32)
-
-    col_ids = jnp.arange(batch, dtype=jnp.int32)[None, :]
-    row_ids = row_offset + jnp.arange(rows, dtype=jnp.int32)[:, None]
-    diag = col_ids == row_ids
-    row_item = jax.lax.dynamic_slice_in_dim(item_idx_all, row_offset, rows)
-    mask = item_idx_all[None, :] == row_item[:, None]
-    if weights_all is not None:
-        mask = mask | (weights_all[None, :] == 0.0)
-    logits = jnp.where(mask & ~diag, _NEG_INF, logits)
     # Uniform block: a sampled negative equal to the row's positive is an
     # accidental hit too.
     neg_hit = neg_idx[None, :] == row_item[:, None]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import functools
 import json
 import sys
 import threading
@@ -36,6 +37,21 @@ class ServingError(ValueError):
     def __init__(self, message: str, status: int = 400):
         super().__init__(message)
         self.status = status
+
+
+class ModelSnapshot:
+    """One consistent (index, vocab, default_k) view of the live model.
+
+    Every request takes a snapshot ONCE and uses it for validation AND
+    execution, so a hot reload racing the request can never validate
+    against one catalog and score against another."""
+
+    __slots__ = ("index", "vocab", "default_k")
+
+    def __init__(self, index, vocab, default_k: int):
+        self.index = index
+        self.vocab = vocab
+        self.default_k = default_k
 
 
 class RecommendService:
@@ -59,7 +75,10 @@ class RecommendService:
         # Hot reload: ``index_factory(step=None) -> RetrievalIndex`` rebuilds
         # the index from the (possibly newer) checkpoint; ``reloads`` counts
         # successful swaps (surfaced in /health as the model generation).
+        # ``_reload_lock`` serializes concurrent reloads on EITHER front
+        # (each would otherwise run its own minutes-scale rebuild).
         self._index_factory = index_factory
+        self._reload_lock = threading.Lock()
         self.reloads = 0
 
     @property
@@ -70,24 +89,46 @@ class RecommendService:
         with self._lock:
             self._requests += 1
 
-    def reload(self, step: int | None = None) -> dict[str, Any]:
-        """Swap in a freshly built index (hot model update, zero downtime).
+    def snapshot(self) -> ModelSnapshot:
+        """Consistent per-request view of (index, vocab, default_k)."""
+        with self._lock:
+            if self.index is None:  # release_first reload in progress/failed
+                raise ServingError("model is reloading; retry shortly", status=503)
+            return ModelSnapshot(self.index, self.vocab, self.default_k)
 
-        Builds the new index FIRST (minutes-scale encode for big catalogs —
-        run off the event loop; the old index keeps serving), then swaps the
-        reference atomically: in-flight requests finish on the object they
-        already hold, later requests see the new one. The vocab swaps with
-        the index (a retrained model may have new id spaces), and the
-        default k re-clamps to the new catalog size.
+    def reload(
+        self, step: int | None = None, *, release_first: bool = False
+    ) -> dict[str, Any]:
+        """Swap in a freshly built index (hot model update).
+
+        Default (blue-green): builds the new index FIRST — minutes-scale
+        encode for big catalogs, run off the event loop; the old index keeps
+        serving — then swaps the reference atomically. Requests snapshot the
+        model once (``snapshot``), so in-flight requests finish entirely on
+        the model they validated against. NOTE both corpora are device-
+        resident during the build: keep 2x corpus HBM headroom, or pass
+        ``release_first=True`` to drop the old index before building
+        (requests during the rebuild get 503 "model is reloading"; a failed
+        rebuild leaves the server 503ing until a reload succeeds — the
+        trade for catalogs that fill more than half of HBM).
+
+        The vocab swaps with the index (a retrained model may have new id
+        spaces) and the default k re-clamps to the new catalog size.
         """
         if self._index_factory is None:
             raise ServingError("server was started without a reloadable checkpoint", 400)
-        new_index = self._index_factory(step=step)
-        with self._lock:
-            self.index = new_index
-            self.vocab = getattr(new_index, "vocab", self.vocab)
-            self.default_k = max(1, min(self._configured_k, new_index.num_items))
-            self.reloads += 1
+        if step is not None and not isinstance(step, int):
+            raise ServingError(f"invalid step: {step!r}")
+        with self._reload_lock:
+            if release_first:
+                with self._lock:
+                    self.index = None  # snapshots now 503; old buffers free
+            new_index = self._index_factory(step=step)
+            with self._lock:
+                self.index = new_index
+                self.vocab = getattr(new_index, "vocab", self.vocab)
+                self.default_k = max(1, min(self._configured_k, new_index.num_items))
+                self.reloads += 1
         logger.info(
             "hot-reloaded serving index: step=%s items=%d (generation %d)",
             getattr(new_index, "checkpoint_step", None),
@@ -109,24 +150,34 @@ class RecommendService:
             raise ServingError("payload must be a JSON object")
         return payload
 
-    def _get_k(self, payload: dict) -> int:
+    @staticmethod
+    def _get_k(payload: dict, default_k: int) -> int:
         try:
-            return int(payload.get("k", self.default_k))
+            return int(payload.get("k", default_k))
         except (TypeError, ValueError) as e:
             raise ServingError(f"invalid k: {payload.get('k')!r}") from e
 
     def health(self) -> dict[str, Any]:
+        with self._lock:
+            index = self.index
+        if index is None:
+            return {
+                "status": "reloading",
+                "uptime_s": round(time.time() - self.started, 1),
+                "requests": self.requests,
+                "model_generation": self.reloads,
+            }
         return {
             "status": "ok",
             "uptime_s": round(time.time() - self.started, 1),
             "requests": self.requests,
-            "num_users": self.index.num_users,
-            "num_items": self.index.num_items,
-            "checkpoint_step": getattr(self.index, "checkpoint_step", None),
+            "num_users": index.num_users,
+            "num_items": index.num_items,
+            "checkpoint_step": getattr(index, "checkpoint_step", None),
             "model_generation": self.reloads,
         }
 
-    def _resolve_users(self, payload: dict) -> np.ndarray:
+    def _resolve_users(self, payload: dict, snap: ModelSnapshot) -> np.ndarray:
         if "user_idx" in payload:
             try:
                 idx = np.atleast_1d(np.asarray(payload["user_idx"], np.int64))
@@ -135,7 +186,7 @@ class RecommendService:
         elif "user_id" in payload:
             ids = payload["user_id"]
             ids = [ids] if isinstance(ids, str) else list(ids)
-            idx = self.vocab.users.encode(np.asarray(ids, object))
+            idx = snap.vocab.users.encode(np.asarray(ids, object))
             unknown = [i for i, v in zip(ids, idx) if v < 0]
             if unknown:
                 raise ServingError(f"unknown user ids: {unknown[:5]}", status=404)
@@ -146,29 +197,35 @@ class RecommendService:
             raise ServingError("user batch must be non-empty")
         if len(idx) > self.max_batch:
             raise ServingError(f"batch too large: {len(idx)} > {self.max_batch}")
-        if (idx < 0).any() or (idx >= self.index.num_users).any():
+        if (idx < 0).any() or (idx >= snap.index.num_users).any():
             raise ServingError("user_idx out of range", status=404)
         return idx.astype(np.int32)
 
-    def prepare_recommend(self, payload: dict) -> tuple[np.ndarray, int]:
-        """Validate a /recommend payload -> (user_idx [B], k). Raises
-        ServingError on client mistakes; counts the request."""
+    def prepare_recommend(
+        self, payload: dict
+    ) -> tuple[np.ndarray, int, ModelSnapshot]:
+        """Validate a /recommend payload -> (user_idx [B], k, snapshot).
+        Raises ServingError on client mistakes; counts the request. The
+        returned snapshot is the model the request validated against — run
+        the search on IT, not on self.index (a reload may swap mid-flight)."""
         self._count_request()
         payload = self._check_payload(payload)
-        k = self._get_k(payload)
-        if not 1 <= k <= self.index.num_items:
-            raise ServingError(f"k must be in [1, {self.index.num_items}]")
-        return self._resolve_users(payload), k
+        snap = self.snapshot()
+        k = self._get_k(payload, snap.default_k)
+        if not 1 <= k <= snap.index.num_items:
+            raise ServingError(f"k must be in [1, {snap.index.num_items}]")
+        return self._resolve_users(payload, snap), k, snap
 
+    @staticmethod
     def format_recommend(
-        self, user_idx: np.ndarray, scores: np.ndarray, items: np.ndarray,
-        k: int, latency_ms: float,
+        user_idx: np.ndarray, scores: np.ndarray, items: np.ndarray,
+        k: int, latency_ms: float, vocab,
     ) -> dict[str, Any]:
         return {
             "results": [
                 {
                     "user_idx": int(u),
-                    "items": self.vocab.items.decode(row_i).tolist(),
+                    "items": vocab.items.decode(row_i).tolist(),
                     "item_idx": row_i.tolist(),
                     "scores": [round(float(s), 6) for s in row_s],
                 }
@@ -184,21 +241,22 @@ class RecommendService:
         Synchronous path (FastAPI front, unit tests, library callers); the
         aiohttp front routes through ``MicroBatcher`` instead so concurrent
         requests share device calls."""
-        user_idx, k = self.prepare_recommend(payload)
+        user_idx, k, snap = self.prepare_recommend(payload)
         t0 = time.perf_counter()
-        scores, items = self.index.recommend(user_idx, k)
+        scores, items = snap.index.recommend(user_idx, k)
         latency_ms = (time.perf_counter() - t0) * 1000
-        return self.format_recommend(user_idx, scores, items, k, latency_ms)
+        return self.format_recommend(user_idx, scores, items, k, latency_ms, snap.vocab)
 
     def similar_items(self, payload: dict) -> dict[str, Any]:
         """POST /similar_items — {item_id|item_idx, k?} -> neighbours."""
         self._count_request()
         payload = self._check_payload(payload)
-        k = self._get_k(payload)
+        snap = self.snapshot()
+        k = self._get_k(payload, snap.default_k)
         # k+1 is searched (self-match removed), so k caps at num_items - 1.
         # The k-less default gets the same small-catalog clamp /recommend
         # gets (one item tighter); an explicit k still validates strictly.
-        limit = self.index.num_items - 1
+        limit = snap.index.num_items - 1
         if "k" not in payload:
             k = max(1, min(k, limit))
         if not 1 <= k <= limit:
@@ -211,21 +269,21 @@ class RecommendService:
         elif "item_id" in payload:
             ids = payload["item_id"]
             ids = [ids] if isinstance(ids, str) else list(ids)
-            idx = self.vocab.items.encode(np.asarray(ids, object)).astype(np.int64)
+            idx = snap.vocab.items.encode(np.asarray(ids, object)).astype(np.int64)
             if (idx < 0).any():
                 raise ServingError("unknown item ids", status=404)
         else:
             raise ServingError("payload must contain item_id or item_idx")
         if len(idx) == 0:
             raise ServingError("item batch must be non-empty")
-        if (idx < 0).any() or (idx >= self.index.num_items).any():
+        if (idx < 0).any() or (idx >= snap.index.num_items).any():
             raise ServingError("item_idx out of range", status=404)
-        scores, items = self.index.similar_items(idx.astype(np.int32), k)
+        scores, items = snap.index.similar_items(idx.astype(np.int32), k)
         return {
             "results": [
                 {
                     "item_idx": int(i),
-                    "items": self.vocab.items.decode(row_i).tolist(),
+                    "items": snap.vocab.items.decode(row_i).tolist(),
                     "scores": [round(float(s), 6) for s in row_s],
                 }
                 for i, row_i, row_s in zip(idx, items, scores)
@@ -257,14 +315,20 @@ class MicroBatcher:
         self._queue: asyncio.Queue | None = None
         self._worker: asyncio.Task | None = None
 
-    async def recommend(self, user_idx: np.ndarray, k: int):
-        """Coalesced equivalent of ``index.recommend(user_idx, k)``."""
+    async def recommend(self, user_idx: np.ndarray, k: int, index=None):
+        """Coalesced equivalent of ``index.recommend(user_idx, k)``.
+
+        ``index``: the model snapshot the request was VALIDATED against
+        (defaults to the batcher's current index). Requests pinned to
+        different index objects are never coalesced into one device call,
+        so a hot reload mid-window cannot score a request on a model it
+        did not validate against."""
         loop = asyncio.get_running_loop()
         if self._worker is None or self._worker.done():
             self._queue = asyncio.Queue()
             self._worker = loop.create_task(self._run(self._queue))
         fut: asyncio.Future = loop.create_future()
-        self._queue.put_nowait((user_idx, k, fut))
+        self._queue.put_nowait((user_idx, k, fut, index or self.index))
         return await fut
 
     def _bucket(self, n: int) -> int:
@@ -276,12 +340,12 @@ class MicroBatcher:
             b *= 2
         return min(b, self.max_batch)
 
-    def _device_call(self, users: np.ndarray, k: int):
+    def _device_call(self, users: np.ndarray, k: int, index=None):
         n = len(users)
         padded = self._bucket(n)
         if padded != n:  # pad with a valid row; sliced off below
             users = np.concatenate([users, np.zeros(padded - n, users.dtype)])
-        scores, items = self.index.recommend(users, k)
+        scores, items = (index if index is not None else self.index).recommend(users, k)
         return scores[:n], items[:n]
 
     def warmup(self, k: int) -> int:
@@ -290,8 +354,9 @@ class MicroBatcher:
         Without this the first request to hit each bucket pays a jit
         compile (hundreds of ms) in live traffic — measured as a p99 spike
         in ``benchmarks/serving_http.py``. Call at server startup (the
-        aiohttp front does, via ``on_startup``). Returns the number of
-        shapes compiled. Non-default ``k`` values still compile lazily.
+        aiohttp front does, via ``on_startup``) and again after a hot
+        reload (the new index compiles its own shapes). Returns the number
+        of shapes compiled. Non-default ``k`` values still compile lazily.
         """
         # Clamp to what the index can actually answer: default_k may exceed
         # a small catalog, and per-request validation is bypassed here.
@@ -318,6 +383,7 @@ class MicroBatcher:
                 carry = None
                 group = [first]
                 total = len(first[0])
+                group_index = first[3]
                 deadline = loop.time() + self.window_s
                 while total < self.max_batch:
                     timeout = deadline - loop.time()
@@ -327,10 +393,11 @@ class MicroBatcher:
                         nxt = await asyncio.wait_for(queue.get(), timeout)
                     except asyncio.TimeoutError:
                         break
-                    if total + len(nxt[0]) > self.max_batch:
-                        # Would exceed max_batch — the padded shape would be an
-                        # unwarmed 2*max_batch bucket (a live-traffic compile).
-                        # Start the next group with it instead.
+                    if total + len(nxt[0]) > self.max_batch or nxt[3] is not group_index:
+                        # Would exceed max_batch (the padded shape would be an
+                        # unwarmed 2*max_batch bucket — a live-traffic compile)
+                        # OR was validated against a different model snapshot
+                        # (hot reload mid-window). Start the next group with it.
                         carry = nxt
                         break
                     group.append(nxt)
@@ -339,11 +406,11 @@ class MicroBatcher:
                     users = np.concatenate([g[0] for g in group])
                     kmax = max(g[1] for g in group)
                     scores, items = await loop.run_in_executor(
-                        None, self._device_call, users, kmax
+                        None, self._device_call, users, kmax, group_index
                     )
                     self.batches += 1
                     off = 0
-                    for u, k, fut in group:
+                    for u, k, fut, _ in group:
                         n = len(u)
                         if not fut.done():
                             fut.set_result(
@@ -351,7 +418,7 @@ class MicroBatcher:
                             )
                         off += n
                 except Exception as e:  # propagate to every waiter, keep serving
-                    for _, _, fut in group:
+                    for _, _, fut, _ in group:
                         if not fut.done():
                             fut.set_exception(e)
         finally:
@@ -361,7 +428,7 @@ class MicroBatcher:
             leftovers = list(group) + ([carry] if carry is not None else [])
             while not queue.empty():
                 leftovers.append(queue.get_nowait())
-            for _, _, fut in leftovers:
+            for _, _, fut, _ in leftovers:
                 if not fut.done():
                     fut.set_exception(RuntimeError("serving batcher stopped"))
 
@@ -392,11 +459,16 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
         return web.json_response(body)
 
     async def recommend_coalesced(payload):
-        user_idx, k = service.prepare_recommend(payload)
+        user_idx, k, snap = service.prepare_recommend(payload)
         t0 = time.perf_counter()
-        scores, items = await batcher.recommend(user_idx, k)
+        # Pin the device call to the snapshot's index: a reload finishing
+        # mid-window must not score this request on a model it did not
+        # validate against.
+        scores, items = await batcher.recommend(user_idx, k, index=snap.index)
         latency_ms = (time.perf_counter() - t0) * 1000
-        return service.format_recommend(user_idx, scores, items, k, latency_ms)
+        return service.format_recommend(
+            user_idx, scores, items, k, latency_ms, snap.vocab
+        )
 
     def wrap(handler):
         is_async = asyncio.iscoroutinefunction(handler)
@@ -430,12 +502,18 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
         except json.JSONDecodeError:
             return web.json_response({"error": "invalid JSON body"}, status=400)
         step = payload.get("step") if isinstance(payload, dict) else None
-        if step is not None and not isinstance(step, int):
-            return web.json_response({"error": f"invalid step: {step!r}"}, status=400)
+        release_first = bool(
+            payload.get("release_first", False) if isinstance(payload, dict) else False
+        )
         loop = asyncio.get_running_loop()
         async with reload_lock:
             try:
-                info = await loop.run_in_executor(None, service.reload, step)
+                info = await loop.run_in_executor(
+                    None,
+                    functools.partial(
+                        service.reload, step, release_first=release_first
+                    ),
+                )
             except ServingError as e:
                 return web.json_response({"error": str(e)}, status=e.status)
             except FileNotFoundError as e:
@@ -495,8 +573,12 @@ def create_fastapi_app(service: RecommendService):
     @app.post("/admin/reload")
     def admin_reload(payload: dict | None = None):
         step = (payload or {}).get("step")
+        release_first = bool((payload or {}).get("release_first", False))
         try:
-            return service.reload(step)
+            # reload() validates the step type and serializes concurrent
+            # reloads internally (thread lock), so this front needs no
+            # extra guard.
+            return service.reload(step, release_first=release_first)
         except ServingError as e:
             raise HTTPException(status_code=e.status, detail=str(e)) from e
         except FileNotFoundError as e:

@@ -105,15 +105,24 @@ class WandbWriter:
 class TensorBoardWriter:
     """TensorBoard event files (lazy import; pairs with the jax.profiler
     traces ``--profile-dir`` writes, which TensorBoard's profile plugin
-    reads from the same logdir tree)."""
+    reads from the same logdir tree). Event writing needs a summary-writer
+    backend: ``torch`` (torch.utils.tensorboard) or ``tensorboardX`` (the
+    ``tracking`` extra) — the ``tensorboard`` package alone only ships the
+    viewer."""
 
     def __init__(self, logdir: str | Path = "logs/tensorboard"):
         try:
             from torch.utils.tensorboard import SummaryWriter
         except ImportError:
-            logger.warning("tensorboard not installed; TensorBoardWriter is a no-op")
-            self._writer = None
-            return
+            try:
+                from tensorboardX import SummaryWriter
+            except ImportError:
+                logger.warning(
+                    "no TensorBoard summary-writer backend (install torch or "
+                    "tensorboardX); TensorBoardWriter is a no-op"
+                )
+                self._writer = None
+                return
         self._writer = SummaryWriter(log_dir=str(logdir))
 
     def write(self, metrics: dict[str, float], step: int) -> None:
