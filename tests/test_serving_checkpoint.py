@@ -379,6 +379,92 @@ class TestHotReload:
         assert old_index.calls == [1]
         assert new_index.calls == [1]
 
+    def test_pre_swap_runs_on_new_index_before_swap(self, small_index):
+        new_index = _CountingIndex()
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60),
+            index_factory=lambda step=None: new_index,
+        )
+        seen = {}
+
+        def pre_swap(idx):
+            # Invoked with the NEW index while the OLD one still serves.
+            seen["index"] = idx
+            seen["live_at_call"] = svc.index
+
+        svc.reload(pre_swap=pre_swap)
+        assert seen["index"] is new_index
+        assert seen["live_at_call"] is small_index
+        assert svc.index is new_index
+
+    def test_pre_swap_failure_aborts_swap(self, small_index):
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60),
+            index_factory=lambda step=None: _CountingIndex(),
+        )
+
+        def boom(idx):
+            raise RuntimeError("warmup compile failed")
+
+        with pytest.raises(RuntimeError):
+            svc.reload(pre_swap=boom)
+        assert svc.index is small_index  # blue-green: old model still live
+        assert svc.reloads == 0
+
+    def test_aiohttp_release_first_drops_batcher_pin_and_500_is_json(
+        self, small_index
+    ):
+        """release_first must free the batcher's reference to the old index
+        (or its device buffers survive the rebuild), and a factory crash
+        must come back as a JSON 500, not aiohttp's HTML default."""
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        calls = {"n": 0}
+        pins: list = []
+        replacement = _CountingIndex()
+
+        def flaky_factory(step=None):
+            calls["n"] += 1
+            pins.append(flaky_factory.batcher.index)  # what the batcher pins
+            if calls["n"] == 1:
+                raise RuntimeError("encode OOM")
+            return replacement
+
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), default_k=10,
+            index_factory=flaky_factory,
+        )
+
+        async def go():
+            from twotower_tpu.serving.api import batcher_key
+
+            app = create_app(svc)
+            flaky_factory.batcher = app[batcher_key()]
+            async with TestClient(TestServer(app)) as client:
+                r = await client.post(
+                    "/admin/reload", json={"release_first": True}
+                )
+                assert r.status == 500
+                body = await r.json()  # JSON contract held on 500
+                assert "reload failed" in body["error"]
+                h = await (await client.get("/health")).json()
+                assert h["status"] == "reloading"
+                # Second reload succeeds and restores service.
+                r = await client.post(
+                    "/admin/reload", json={"release_first": True}
+                )
+                assert r.status == 200
+                h = await (await client.get("/health")).json()
+                assert h["status"] == "ok"
+            return app[batcher_key()]
+
+        batcher = asyncio.run(go())
+        # During BOTH rebuilds the batcher held no pin on the old index.
+        assert pins == [None, None]
+        assert batcher.index is replacement
+
     def test_from_checkpoint_records_step_and_pins(
         self, tiny_config_module, tmp_path
     ):
@@ -599,6 +685,28 @@ class TestMicroBatcher:
         assert max(index.calls) <= 8  # no call above the warmed buckets
         # the 8-row request was carried to its own group, not merged
         assert len(index.calls) >= 2
+
+    def test_oversize_direct_batch_raises_clear_error(self):
+        """A direct library call past max_batch must get 'batch too large',
+        not numpy's negative-dimension crash from the bucket clamp."""
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        batcher = MicroBatcher(_CountingIndex(), max_batch=8, window_ms=1.0)
+        with pytest.raises(ServingError, match="batch too large"):
+            asyncio.run(batcher.recommend(np.zeros(9, np.int32), 5))
+
+    def test_warmup_against_explicit_index(self):
+        """warmup(index=new) compiles against the passed index, not the
+        batcher's current one (the reload pre-swap path)."""
+        from twotower_tpu.serving.api import MicroBatcher
+
+        live, incoming = _CountingIndex(), _CountingIndex()
+        batcher = MicroBatcher(live, max_batch=8, window_ms=1.0)
+        shapes = batcher.warmup(5, index=incoming)
+        assert shapes == len(incoming.calls) > 0
+        assert live.calls == []  # old index untouched
 
     def test_warmup_clamps_k_to_catalog(self):
         """Startup warmup must not crash when default_k > num_items."""

@@ -261,6 +261,28 @@ class TestMixedSamplingOnMesh:
         # them by the lr scale).
         _assert_state_close(new_state, ref_state, rtol=1e-3, atol=2e-4)
 
+    def test_routing_falls_back_to_dense_on_indivisible_negs(self, tiny_config):
+        """A mixed config whose num_negatives doesn't split over the model
+        axis must ROUTE to the dense GSPMD step (which supports any count),
+        not hard-fail at startup behind the sparse routing predicate."""
+        from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path
+
+        cfg = tiny_config.with_overrides(
+            {
+                "retrieval.candidate_sampling": "mixed",
+                "retrieval.num_negatives": 60,
+                "mesh.num_model": 8,
+            }
+        )
+        assert not use_sparse_mesh_path(cfg)
+        # Divisible count (or in_batch sampling) keeps the sparse path.
+        assert use_sparse_mesh_path(
+            cfg.with_overrides({"retrieval.num_negatives": 64})
+        )
+        assert use_sparse_mesh_path(
+            cfg.with_overrides({"retrieval.candidate_sampling": "in_batch"})
+        )
+
     def test_neg_count_must_divide_model_axis(self, tiny_config, devices):
         from twotower_tpu.parallel.sparse_spmd import make_sparse_sharded_train_step
         from twotower_tpu.training import make_optimizer

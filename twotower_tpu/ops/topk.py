@@ -272,11 +272,8 @@ def topk_mips_approx(
             raise ValueError(
                 f"item_scale shape {item_scale.shape} must be () or ({n},)"
             )
-    elif item_emb.dtype == jnp.int8:
-        raise ValueError(
-            "int8 corpus requires item_scale= (from quantize_corpus) — "
-            "casting float queries to int8 would zero every score"
-        )
+    # (int8 corpus without item_scale is rejected inside the impl, which the
+    # sharded path also calls directly — one copy of that check.)
     return _topk_mips_approx_impl(
         query_emb,
         item_emb,

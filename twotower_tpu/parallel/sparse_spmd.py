@@ -63,12 +63,27 @@ def use_sparse_mesh_path(config: Config) -> bool:
     """Whether the mesh train step should run the sparse (a2a + scatter)
     path. Falls back to the dense GSPMD step for configurations the sparse
     path does not model (non-Adam optimizers, pure-uniform sampling,
-    unsharded tables)."""
-    return (
+    unsharded tables, mixed sampling whose negative count does not split
+    over the model axis — the dense step handles any ``num_negatives``)."""
+    if not (
         config.training.effective_sparse_updates()
         and config.retrieval.candidate_sampling in ("in_batch", "mixed")
         and config.mesh.shard_embeddings
-    )
+    ):
+        return False
+    if (
+        config.retrieval.candidate_sampling == "mixed"
+        and config.retrieval.num_negatives % config.mesh.num_model != 0
+    ):
+        logger.warning(
+            "retrieval.num_negatives=%d does not divide by mesh.num_model=%d; "
+            "mixed sampling falls back to the dense GSPMD step (round "
+            "num_negatives to a multiple of the model axis to keep the "
+            "sparse a2a path)",
+            config.retrieval.num_negatives, config.mesh.num_model,
+        )
+        return False
+    return True
 
 
 def _capacity(k: int, num_shards: int, factor: float) -> int:

@@ -85,6 +85,12 @@ class RecommendService:
     def requests(self) -> int:
         return self._requests
 
+    @property
+    def configured_k(self) -> int:
+        """The configured default k BEFORE catalog clamping (what
+        ``default_k`` becomes after a reload to a large-enough catalog)."""
+        return self._configured_k
+
     def _count_request(self) -> None:
         with self._lock:
             self._requests += 1
@@ -97,7 +103,8 @@ class RecommendService:
             return ModelSnapshot(self.index, self.vocab, self.default_k)
 
     def reload(
-        self, step: int | None = None, *, release_first: bool = False
+        self, step: int | None = None, *, release_first: bool = False,
+        pre_swap=None,
     ) -> dict[str, Any]:
         """Swap in a freshly built index (hot model update).
 
@@ -114,6 +121,12 @@ class RecommendService:
 
         The vocab swaps with the index (a retrained model may have new id
         spaces) and the default k re-clamps to the new catalog size.
+
+        ``pre_swap``: optional callable invoked with the NEW index after the
+        build but before the atomic swap — the hook for warming jit shapes
+        against the new index while the old one still serves (the aiohttp
+        front warms its MicroBatcher buckets here, so no live request pays
+        a compile in the reload window). A raising hook aborts the swap.
         """
         if self._index_factory is None:
             raise ServingError("server was started without a reloadable checkpoint", 400)
@@ -124,6 +137,8 @@ class RecommendService:
                 with self._lock:
                     self.index = None  # snapshots now 503; old buffers free
             new_index = self._index_factory(step=step)
+            if pre_swap is not None:
+                pre_swap(new_index)
             with self._lock:
                 self.index = new_index
                 self.vocab = getattr(new_index, "vocab", self.vocab)
@@ -342,25 +357,30 @@ class MicroBatcher:
 
     def _device_call(self, users: np.ndarray, k: int, index=None):
         n = len(users)
+        if n > self.max_batch:  # HTTP fronts validate earlier; direct callers
+            raise ServingError(f"batch too large: {n} > {self.max_batch}")
         padded = self._bucket(n)
         if padded != n:  # pad with a valid row; sliced off below
             users = np.concatenate([users, np.zeros(padded - n, users.dtype)])
         scores, items = (index if index is not None else self.index).recommend(users, k)
         return scores[:n], items[:n]
 
-    def warmup(self, k: int) -> int:
+    def warmup(self, k: int, index=None) -> int:
         """Compile every power-of-two bucket shape up front (``k`` fixed).
 
         Without this the first request to hit each bucket pays a jit
         compile (hundreds of ms) in live traffic — measured as a p99 spike
         in ``benchmarks/serving_http.py``. Call at server startup (the
-        aiohttp front does, via ``on_startup``) and again after a hot
-        reload (the new index compiles its own shapes). Returns the number
-        of shapes compiled. Non-default ``k`` values still compile lazily.
+        aiohttp front does, via ``on_startup``); on hot reload pass the NEW
+        index explicitly via ``index=`` from the reload's pre-swap hook, so
+        its shapes compile while the old index still serves. Returns the
+        number of shapes compiled. Non-default ``k`` values still compile
+        lazily.
         """
+        target = index if index is not None else self.index
         # Clamp to what the index can actually answer: default_k may exceed
         # a small catalog, and per-request validation is bypassed here.
-        k = max(1, min(k, self.index.num_items))
+        k = max(1, min(k, target.num_items))
         sizes = []
         b = 1
         while b < self.max_batch:
@@ -368,7 +388,7 @@ class MicroBatcher:
             b *= 2
         sizes.append(self.max_batch)  # the clamp bucket (non-power-of-two too)
         for b in sizes:
-            self._device_call(np.zeros(b, np.int32), k)
+            self._device_call(np.zeros(b, np.int32), k, target)
         return len(sizes)
 
     async def _run(self, queue: asyncio.Queue):
@@ -437,6 +457,19 @@ class MicroBatcher:
 # aiohttp front (default engine)
 # ---------------------------------------------------------------------------
 
+_BATCHER_KEY = None
+
+
+def batcher_key():
+    """The app key under which :func:`create_app` exposes its MicroBatcher
+    (None when coalescing is off) — for tests and observability hooks."""
+    global _BATCHER_KEY
+    if _BATCHER_KEY is None:
+        from aiohttp import web
+
+        _BATCHER_KEY = web.AppKey("batcher", object)
+    return _BATCHER_KEY
+
 
 def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: float = 2.0):
     """Build the aiohttp application.
@@ -495,8 +528,9 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
 
         Body (optional): {"step": N} to pin a checkpoint step. The rebuild
         runs in an executor (old index keeps serving) and reloads are
-        serialized; the batcher follows the swap and re-warms its bucket
-        shapes against the new index before returning."""
+        serialized; the batcher's bucket shapes are warmed against the NEW
+        index BEFORE the swap (pre_swap hook), so no live request in the
+        reload window pays a jit compile."""
         try:
             payload = await request.json() if request.can_read_body else {}
         except json.JSONDecodeError:
@@ -506,24 +540,42 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
             payload.get("release_first", False) if isinstance(payload, dict) else False
         )
         loop = asyncio.get_running_loop()
+        pre_swap = None
+        if batcher is not None:
+            def pre_swap(new_index):
+                # configured_k (not the old catalog-clamped default_k): that
+                # is what default_k becomes after the swap on a big catalog,
+                # and warmup re-clamps it to the new index itself.
+                batcher.warmup(service.configured_k, index=new_index)
         async with reload_lock:
+            if release_first and batcher is not None:
+                # Drop the batcher's pin too — otherwise the old corpus's
+                # device buffers stay referenced through the whole rebuild,
+                # defeating the point of release-first (HBM headroom).
+                batcher.index = None
             try:
                 info = await loop.run_in_executor(
                     None,
                     functools.partial(
-                        service.reload, step, release_first=release_first
+                        service.reload, step,
+                        release_first=release_first, pre_swap=pre_swap,
                     ),
                 )
             except ServingError as e:
                 return web.json_response({"error": str(e)}, status=e.status)
             except FileNotFoundError as e:
                 return web.json_response({"error": str(e)}, status=404)
+            except Exception as e:  # keep the JSON error contract on 500s
+                logger.exception("hot reload failed")
+                return web.json_response(
+                    {"error": f"reload failed: {e}"}, status=500
+                )
             if batcher is not None:
-                batcher.index = service.index
-                await loop.run_in_executor(None, batcher.warmup, service.default_k)
+                batcher.index = service.index  # shapes already warmed pre-swap
         return web.json_response(info)
 
     app = web.Application()
+    app[batcher_key()] = batcher  # exposed for tests/observability; may be None
     app.router.add_get("/health", health)
     app.router.add_post(
         "/recommend",
@@ -583,6 +635,9 @@ def create_fastapi_app(service: RecommendService):
             raise HTTPException(status_code=e.status, detail=str(e)) from e
         except FileNotFoundError as e:
             raise HTTPException(status_code=404, detail=str(e)) from e
+        except Exception as e:  # keep the JSON error contract on 500s
+            logger.exception("hot reload failed")
+            raise HTTPException(status_code=500, detail=f"reload failed: {e}") from e
 
     return app
 
