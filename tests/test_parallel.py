@@ -309,3 +309,138 @@ class TestVocabEncodeVectorized:
 
         v = Vocabulary.build(np.array(["x"], object))
         assert v.encode(np.array([], object)).shape == (0,)
+
+
+class TestCrossTopologyRestore:
+    """A checkpoint is a topology-free artifact. State saved from a sparse
+    (data x model) mesh run must restore bit-identically onto a single
+    device (the train-on-pod -> serve-on-one-chip workflow) and onto a
+    DIFFERENT mesh factorization (elastic resume after a topology change),
+    and keep training there. Orbax re-shards to whatever the template asks
+    for (utils/checkpoint.py); these tests pin that contract end-to-end."""
+
+    def _stepped_mesh_state(self, tiny_config, devices, n_model):
+        cfg = tiny_config.with_overrides(
+            {"mesh.num_model": n_model, "model.dropout_rate": 0.0,
+             "training.sparse_table_updates": True}
+        )
+        num_users, num_items = 300, 200
+        optimizer = make_optimizer(cfg.training)
+        params = two_tower.init_params(
+            jax.random.PRNGKey(0), cfg.model, num_users, num_items
+        )
+        mesh = build_mesh(cfg.mesh, devices)
+        sharded = shard_state(
+            mesh, TrainState.for_config(params, optimizer, cfg), cfg.mesh,
+            sparse_mesh=True,
+        )
+        rng = np.random.default_rng(3)
+        bs = cfg.training.batch_size
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        batch = {
+            "user_idx": jax.device_put(
+                jnp.asarray(rng.integers(0, num_users, bs), jnp.int32), b_sh),
+            "item_idx": jax.device_put(
+                jnp.asarray(rng.integers(0, num_items, bs), jnp.int32), b_sh),
+            "weight": jax.device_put(jnp.ones((bs,), jnp.float32), b_sh),
+        }
+        log_q = np.log(np.full(num_items, 1.0 / num_items, np.float32))
+        step = make_sharded_train_step(
+            cfg, optimizer, mesh, sharded, log_q, donate=False
+        )
+        stepped, _ = step(
+            sharded, batch, jax.device_put(jax.random.PRNGKey(5), replicated(mesh))
+        )
+        jax.block_until_ready(stepped.params)
+        return cfg, optimizer, stepped, log_q, num_users, num_items
+
+    def test_mesh_save_restores_single_device_and_keeps_training(
+        self, tiny_config, devices, tmp_path
+    ):
+        from twotower_tpu.training import make_train_step
+        from twotower_tpu.utils.checkpoint import CheckpointManager
+
+        cfg, optimizer, mesh_state, log_q, nu, ni = self._stepped_mesh_state(
+            tiny_config, devices, n_model=4
+        )
+        mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+        mgr.save(int(mesh_state.step), mesh_state, extra={"epoch": 1})
+
+        # Template initialized from a DIFFERENT seed: every value must come
+        # from the checkpoint, none from the template.
+        params = two_tower.init_params(jax.random.PRNGKey(9), cfg.model, nu, ni)
+        template = TrainState.for_config(params, optimizer, cfg)
+        restored, meta = mgr.restore(template)
+        assert meta["epoch"] == 1
+        assert int(restored.step) == int(mesh_state.step)
+        ref = jax.device_get(mesh_state.params)
+        got = jax.device_get(restored.params)
+        for key in ("user_embedding", "item_embedding"):
+            np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(ref[key]))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(restored.table_state["item_embedding"]["moments"])),
+            np.asarray(jax.device_get(mesh_state.table_state["item_embedding"]["moments"])),
+        )
+        # ...and the restored state trains on one device.
+        rng = np.random.default_rng(11)
+        bs = cfg.training.batch_size
+        batch = {
+            "user_idx": jnp.asarray(rng.integers(0, nu, bs), jnp.int32),
+            "item_idx": jnp.asarray(rng.integers(0, ni, bs), jnp.int32),
+            "weight": jnp.ones((bs,), jnp.float32),
+        }
+        step = make_train_step(cfg, optimizer, log_q, donate=False)
+        new_state, metrics = step(restored, batch, jax.random.PRNGKey(6))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == int(mesh_state.step) + 1
+
+    def test_mesh_save_restores_on_different_mesh_and_keeps_training(
+        self, tiny_config, devices, tmp_path
+    ):
+        from twotower_tpu.utils.checkpoint import CheckpointManager
+
+        cfg, optimizer, mesh_state, log_q, nu, ni = self._stepped_mesh_state(
+            tiny_config, devices, n_model=4
+        )
+        mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+        mgr.save(int(mesh_state.step), mesh_state, extra={"epoch": 1})
+
+        # Elastic resume: restore onto a (4 data x 2 model) mesh instead of
+        # the (2 x 4) it was saved from.
+        cfg2 = cfg.with_overrides({"mesh.num_model": 2})
+        mesh2 = build_mesh(cfg2.mesh, devices)
+        params = two_tower.init_params(jax.random.PRNGKey(9), cfg2.model, nu, ni)
+        template = shard_state(
+            mesh2, TrainState.for_config(params, optimizer, cfg2), cfg2.mesh,
+            sparse_mesh=True,
+        )
+        restored, _ = mgr.restore(template)
+        # Values match the saved state...
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(restored.params["item_embedding"])),
+            np.asarray(jax.device_get(mesh_state.params["item_embedding"])),
+        )
+        # ...on the TEMPLATE's shardings (not the saved topology's).
+        assert (
+            restored.params["item_embedding"].sharding
+            == template.params["item_embedding"].sharding
+        )
+        # ...and the sparse sharded step keeps training on the new mesh.
+        step = make_sharded_train_step(
+            cfg2, optimizer, mesh2, restored, log_q, donate=False
+        )
+        rng = np.random.default_rng(11)
+        bs = cfg2.training.batch_size
+        b_sh = batch_shardings(mesh2, cfg2.mesh)
+        batch = {
+            "user_idx": jax.device_put(
+                jnp.asarray(rng.integers(0, nu, bs), jnp.int32), b_sh),
+            "item_idx": jax.device_put(
+                jnp.asarray(rng.integers(0, ni, bs), jnp.int32), b_sh),
+            "weight": jax.device_put(jnp.ones((bs,), jnp.float32), b_sh),
+        }
+        new_state, metrics = step(
+            restored, batch, jax.device_put(jax.random.PRNGKey(6), replicated(mesh2))
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == int(mesh_state.step) + 1
