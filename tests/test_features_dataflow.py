@@ -315,3 +315,101 @@ class TestDataCLIs:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["categories"] == ["All_Beauty", "Video_Games"]
+
+
+class TestOrchestratePipeline:
+    """orchestrate-pipeline: the reference README's quick-start entry point
+    (README.md:33-35 references scripts/data_processing/orchestrate_pipeline.py,
+    which its tree never shipped). download -> prepare as ONE resumable run."""
+
+    _OVERRIDES = [
+        "--override",
+        "preprocessing.min_interactions_per_user=2",
+        "preprocessing.min_interactions_per_item=2",
+        "preprocessing.filtering.min_text_length=1",
+    ]
+
+    def _rich_df(self, n=400):
+        rng = np.random.default_rng(0)
+        return pd.DataFrame(
+            {
+                "user_id": rng.choice([f"u{i}" for i in range(30)], n),
+                "parent_asin": rng.choice([f"a{i}" for i in range(20)], n),
+                "rating": rng.integers(1, 6, n).astype(float),
+                "timestamp": rng.integers(1.5e9, 1.7e9, n) * 1000,
+                "text": ["some review text here ok"] * n,
+                "title": ["t"] * n,
+            }
+        )
+
+    def _run(self, tmp_path, extra=()):
+        from twotower_tpu.data.orchestrate import main as orchestrate_main
+
+        ds = MagicMock()
+        ds.keys.return_value = ["train"]
+        ds.__getitem__.return_value.to_pandas.return_value = self._rich_df()
+        with patch("datasets.load_dataset", return_value=ds):
+            rc = orchestrate_main(
+                [
+                    "--raw-dir", str(tmp_path / "raw"),
+                    "--processed-dir", str(tmp_path / "proc"),
+                    "--categories", "All_Beauty",
+                    "--mode", "kcore",
+                    *extra,
+                    *self._OVERRIDES,
+                ]
+            )
+        report = json.loads(
+            (tmp_path / "proc" / "pipeline_report.json").read_text()
+        )
+        return rc, report
+
+    def test_full_pipeline_then_resume_skips(self, tmp_path):
+        rc, report = self._run(tmp_path)
+        assert rc == 0 and report["ok"]
+        assert report["stages"]["download"]["status"] == "ok"
+        assert report["stages"]["prepare"]["status"] == "ok"
+        proc = tmp_path / "proc"
+        assert (proc / "combined_interactions.parquet").exists()
+        assert (proc / "vocab" / "user_vocab.npz").exists()
+        df = pd.read_parquet(proc / "combined_interactions.parquet")
+        assert {"user_idx", "item_idx"} <= set(df.columns) and len(df) > 0
+
+        # Second run: both stages detect their artifacts and skip.
+        rc, report = self._run(tmp_path)
+        assert rc == 0 and report["ok"]
+        assert report["stages"]["download"]["status"] == "skipped"
+        assert report["stages"]["prepare"]["status"] == "skipped"
+
+        # --force rebuilds even with artifacts present.
+        rc, report = self._run(tmp_path, extra=("--force",))
+        assert rc == 0
+        assert report["stages"]["prepare"]["status"] == "ok"
+
+    def test_skip_download_offline(self, tmp_path):
+        from twotower_tpu.data.orchestrate import main as orchestrate_main
+
+        (tmp_path / "raw").mkdir()
+        self._rich_df().to_parquet(tmp_path / "raw" / "Books_5core.parquet")
+        rc = orchestrate_main(
+            [
+                "--skip-download",
+                "--raw-dir", str(tmp_path / "raw"),
+                "--processed-dir", str(tmp_path / "proc"),
+                *self._OVERRIDES,
+            ]
+        )
+        assert rc == 0
+        assert (tmp_path / "proc" / "combined_interactions.parquet").exists()
+
+    def test_skip_download_without_data_fails(self, tmp_path):
+        from twotower_tpu.data.orchestrate import main as orchestrate_main
+
+        rc = orchestrate_main(
+            [
+                "--skip-download",
+                "--raw-dir", str(tmp_path / "empty"),
+                "--processed-dir", str(tmp_path / "proc"),
+            ]
+        )
+        assert rc == 1
