@@ -22,7 +22,11 @@ COPY pyproject.toml README.md ./
 COPY twotower_tpu ./twotower_tpu
 COPY configs ./configs
 COPY --from=native /build/twotower_tpu/native/libflat_index.so ./twotower_tpu/native/
-RUN pip install --no-cache-dir jax aiohttp orbax-checkpoint optax numpy pyyaml \
+# Full runtime set: flax (train state pytrees), optax/orbax (optimizer,
+# checkpoint restore), pandas+pyarrow (parquet data path for train jobs),
+# aiohttp (serving front).
+RUN pip install --no-cache-dir \
+        jax flax optax orbax-checkpoint aiohttp numpy pyyaml pandas pyarrow \
     && pip install --no-cache-dir -e . --no-deps
 
 # Checkpoints are mounted, not baked: models hot-reload via POST /admin/reload.

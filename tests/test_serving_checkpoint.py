@@ -986,3 +986,108 @@ class TestCliE2E:
             load_config_for_checkpoint(empty).model.embedding_dim
             == Config().model.embedding_dim
         )
+
+
+class TestServingHardening:
+    """Round-2 review fixes: health readiness codes, admin auth, adaptive
+    coalesce window, executor-run device paths."""
+
+    def test_health_503_while_reloading_and_admin_token_gate(self, small_index):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        calls = {"n": 0}
+
+        def flaky_factory(step=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("encode OOM")
+            return small_index
+
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), default_k=10,
+            index_factory=flaky_factory,
+        )
+
+        async def go():
+            app = create_app(svc, admin_token="s3cret")
+            async with TestClient(TestServer(app)) as client:
+                # healthy: 200
+                r = await client.get("/health")
+                assert r.status == 200
+
+                # no/wrong token: 401, and the factory never ran
+                r = await client.post("/admin/reload", json={})
+                assert r.status == 401
+                r = await client.post(
+                    "/admin/reload", headers={"X-Admin-Token": "nope"}, json={}
+                )
+                assert r.status == 401
+                assert calls["n"] == 0
+
+                # correct token via Bearer: reaches the (crashing) factory
+                r = await client.post(
+                    "/admin/reload",
+                    headers={"Authorization": "Bearer s3cret"},
+                    json={"release_first": True},
+                )
+                assert r.status == 500 and calls["n"] == 1
+
+                # model unloaded -> readiness probe must now see 503
+                r = await client.get("/health")
+                assert r.status == 503
+                assert (await r.json())["status"] == "reloading"
+
+                # X-Admin-Token header form also accepted; service recovers
+                r = await client.post(
+                    "/admin/reload", headers={"X-Admin-Token": "s3cret"}, json={}
+                )
+                assert r.status == 200
+                assert (await client.get("/health")).status == 200
+
+        asyncio.run(go())
+
+    def test_lone_request_skips_coalesce_window(self):
+        """A single queued request must dispatch immediately — the window
+        only applies when other requests are already waiting."""
+        import asyncio
+        import time as _time
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        index = _CountingIndex()
+        # Pathological window: if the lone request waited it out, this test
+        # would take >2s and fail the timing assert.
+        batcher = MicroBatcher(index, max_batch=8, window_ms=2000.0)
+
+        async def go():
+            t0 = _time.perf_counter()
+            await batcher.recommend(np.zeros(1, np.int32), 3)
+            return _time.perf_counter() - t0
+
+        elapsed = asyncio.run(go())
+        assert elapsed < 0.5, f"lone request waited the window: {elapsed:.3f}s"
+        assert len(index.calls) == 1
+
+    def test_similar_items_route_runs_off_event_loop(self, small_index):
+        """/similar_items goes through the executor wrapper and still
+        returns correct JSON (device work never blocks the loop)."""
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        svc = RecommendService(small_index, _FakeVocab(100, 60), default_k=5)
+
+        async def go():
+            app = create_app(svc)
+            async with TestClient(TestServer(app)) as client:
+                r = await client.post("/similar_items", json={"item_idx": [3], "k": 4})
+                assert r.status == 200
+                body = await r.json()
+                assert len(body["results"][0]["items"]) == 4
+                # validation errors still map to 4xx through the executor
+                r = await client.post("/similar_items", json={"item_idx": [999]})
+                assert r.status == 404
+
+        asyncio.run(go())

@@ -18,6 +18,7 @@ import argparse
 import asyncio
 import functools
 import json
+import os
 import sys
 import threading
 import time
@@ -320,6 +321,11 @@ class MicroBatcher:
     results back to each waiter. Batches are padded up to power-of-two
     buckets so the jitted search compiles O(log max_batch) shapes, not one
     per traffic pattern.
+
+    The window is ADAPTIVE: it only applies when other requests are already
+    queued. A lone request dispatches immediately (zero added latency at
+    low concurrency); under load, requests arriving during the in-flight
+    device call accumulate and the next group coalesces them.
     """
 
     def __init__(self, index, *, max_batch: int = 256, window_ms: float = 2.0):
@@ -404,7 +410,16 @@ class MicroBatcher:
                 group = [first]
                 total = len(first[0])
                 group_index = first[3]
-                deadline = loop.time() + self.window_s
+                # Adaptive window: a lone request (empty queue) dispatches
+                # immediately — waiting out window_ms would add it to every
+                # low-concurrency request's latency for nothing. Batching
+                # under load needs no timer: while the device call runs,
+                # new arrivals accumulate in the queue, so the NEXT group
+                # starts non-empty and coalesces up to the window/max_batch.
+                deadline = (
+                    loop.time() + self.window_s if not queue.empty()
+                    else loop.time()
+                )
                 while total < self.max_batch:
                     timeout = deadline - loop.time()
                     if timeout <= 0:
@@ -457,6 +472,17 @@ class MicroBatcher:
 # aiohttp front (default engine)
 # ---------------------------------------------------------------------------
 
+def _admin_authorized(headers, admin_token: str) -> bool:
+    """Constant-time check of the admin token against either header form."""
+    import hmac
+
+    presented = headers.get("X-Admin-Token", "")
+    auth = headers.get("Authorization", "")
+    if auth.startswith("Bearer "):
+        presented = presented or auth[len("Bearer "):]
+    return hmac.compare_digest(presented, admin_token)
+
+
 _BATCHER_KEY = None
 
 
@@ -471,12 +497,23 @@ def batcher_key():
     return _BATCHER_KEY
 
 
-def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: float = 2.0):
+def create_app(
+    service: RecommendService, *, coalesce: bool = True, window_ms: float = 2.0,
+    admin_token: str | None = None,
+):
     """Build the aiohttp application.
 
     ``coalesce`` routes /recommend through a :class:`MicroBatcher` so
-    concurrent requests share device calls; /similar_items and error paths
-    stay synchronous (they are host-bound, not device-bound)."""
+    concurrent requests share device calls. Every handler that touches the
+    device (coalesced or not, /similar_items included) runs in an executor
+    thread — the event loop only parses/validates, so a burst of searches
+    or a cold jit compile can never stall /health or new connections.
+
+    ``admin_token``: when set, POST /admin/reload requires it (via
+    ``Authorization: Bearer <token>`` or ``X-Admin-Token``) — without a
+    token the mutating admin surface would be open to anything that can
+    reach the Service (model rollback / release-first denial of service).
+    """
     from aiohttp import web
 
     batcher = (
@@ -489,7 +526,11 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
         body = service.health()
         if batcher is not None:
             body["coalesced_batches"] = batcher.batches
-        return web.json_response(body)
+        # 503 while the model is unloaded (release-first reload in progress
+        # or failed): readiness probes must pull the pod from rotation while
+        # every query would 503, not keep routing to it.
+        status = 200 if body["status"] == "ok" else 503
+        return web.json_response(body, status=status)
 
     async def recommend_coalesced(payload):
         user_idx, k, snap = service.prepare_recommend(payload)
@@ -512,7 +553,15 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
             except json.JSONDecodeError:
                 return web.json_response({"error": "invalid JSON body"}, status=400)
             try:
-                body = await handler(payload) if is_async else handler(payload)
+                if is_async:
+                    body = await handler(payload)
+                else:
+                    # Sync handlers (/similar_items, un-coalesced /recommend)
+                    # run the full-corpus device search and any cold jit
+                    # compile — off the event loop, like the batcher does.
+                    body = await asyncio.get_running_loop().run_in_executor(
+                        None, handler, payload
+                    )
                 return web.json_response(body)
             except ServingError as e:
                 return web.json_response({"error": str(e)}, status=e.status)
@@ -531,6 +580,10 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
         serialized; the batcher's bucket shapes are warmed against the NEW
         index BEFORE the swap (pre_swap hook), so no live request in the
         reload window pays a jit compile."""
+        if admin_token is not None and not _admin_authorized(
+            request.headers, admin_token
+        ):
+            return web.json_response({"error": "unauthorized"}, status=401)
         try:
             payload = await request.json() if request.can_read_body else {}
         except json.JSONDecodeError:
@@ -597,16 +650,19 @@ def create_app(service: RecommendService, *, coalesce: bool = True, window_ms: f
     return app
 
 
-def create_fastapi_app(service: RecommendService):
+def create_fastapi_app(service: RecommendService, *, admin_token: str | None = None):
     """FastAPI front for parity with the reference's declared stack
     (reference: pyproject.toml:36, README.md:54). Import-gated."""
-    from fastapi import FastAPI, HTTPException
+    from fastapi import FastAPI, HTTPException, Request, Response
 
     app = FastAPI(title="twotower-tpu serving")
 
     @app.get("/health")
-    def health():
-        return service.health()
+    def health(response: Response):
+        body = service.health()
+        if body["status"] != "ok":  # readiness: pull the pod while reloading
+            response.status_code = 503
+        return body
 
     @app.post("/recommend")
     def recommend(payload: dict):
@@ -623,7 +679,11 @@ def create_fastapi_app(service: RecommendService):
             raise HTTPException(status_code=e.status, detail=str(e)) from e
 
     @app.post("/admin/reload")
-    def admin_reload(payload: dict | None = None):
+    def admin_reload(request: Request, payload: dict | None = None):
+        if admin_token is not None and not _admin_authorized(
+            request.headers, admin_token
+        ):
+            raise HTTPException(status_code=401, detail="unauthorized")
         step = (payload or {}).get("step")
         release_first = bool((payload or {}).get("release_first", False))
         try:
@@ -660,6 +720,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "--shard-corpus", action="store_true",
         help="row-shard the item corpus over all local devices (catalogs "
         "past one chip's HBM; cross-shard ANN merge per query)",
+    )
+    p.add_argument(
+        "--admin-token", type=str,
+        default=os.environ.get("TWOTOWER_ADMIN_TOKEN") or None,
+        help="require this token on POST /admin/reload (Authorization: "
+        "Bearer or X-Admin-Token header); defaults to $TWOTOWER_ADMIN_TOKEN. "
+        "Unset = admin routes open (trusted-network deployments only)",
     )
     return p
 
@@ -700,7 +767,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     service = build_service(config, args.checkpoint_dir, shard_corpus=args.shard_corpus)
     window = config.serving.coalesce_window_ms
-    app = create_app(service, coalesce=window > 0, window_ms=window)
+    app = create_app(
+        service, coalesce=window > 0, window_ms=window,
+        admin_token=args.admin_token,
+    )
+    if args.admin_token is None:
+        logger.warning(
+            "admin routes are UNAUTHENTICATED (--admin-token / "
+            "$TWOTOWER_ADMIN_TOKEN not set): anything that can reach this "
+            "port can trigger model reloads"
+        )
     host = args.host or config.serving.host
     port = args.port or config.serving.port
     logger.info("serving on http://%s:%d", host, port)
