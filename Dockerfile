@@ -33,6 +33,9 @@ RUN pip install --no-cache-dir \
 VOLUME /models
 ENV CHECKPOINT_DIR=/models/ckpt PORT=8000
 EXPOSE 8000
+# Liveness only (/livez is always 200 while the process is up): /health
+# 503s throughout a release-first reload, and a container restart there
+# would destroy the in-progress rebuild.
 HEALTHCHECK --interval=10s --timeout=3s --start-period=60s \
-    CMD curl -sf http://localhost:8000/health || exit 1
+    CMD curl -sf http://localhost:8000/livez || exit 1
 CMD serve-model --checkpoint-dir "$CHECKPOINT_DIR" --host 0.0.0.0 --port "$PORT"

@@ -66,6 +66,23 @@ def test_retrieval_validation():
     assert RetrievalConfig().max_k == 100
 
 
+def test_serving_corpus_dtype_validation():
+    from twotower_tpu.config import ServingConfig
+
+    # ANY reduced-precision resident corpus breaks the exact indexes'
+    # bit-parity-with-evaluation contract, not just int8.
+    for dtype in ("int8", "int8_rowscale", "bfloat16"):
+        with pytest.raises(ValueError):
+            ServingConfig(index_type="tpu_mips_exact", corpus_dtype=dtype)
+        with pytest.raises(ValueError):
+            ServingConfig(index_type="cpu_flat", corpus_dtype=dtype)
+        ServingConfig(index_type="tpu_mips", corpus_dtype=dtype)  # allowed
+    # float32 / auto stay exact on every index type.
+    for dtype in ("auto", "float32"):
+        cfg = ServingConfig(index_type="tpu_mips_exact", corpus_dtype=dtype)
+        assert cfg.resolve_corpus_dtype() == "float32"
+
+
 def test_from_dict_accepts_reference_nested_layout():
     # The reference nests training/retrieval under model
     # (configs/data_config.yaml:61-71); we accept both layouts.

@@ -1091,3 +1091,49 @@ class TestServingHardening:
                 assert r.status == 404
 
         asyncio.run(go())
+
+    def test_livez_always_200_and_unexpected_errors_are_json_500(self, small_index):
+        """Liveness stays 200 while /health 503s (release-first reload), and
+        an unexpected handler exception honors the JSON error contract."""
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        def dead_factory(step=None):
+            raise RuntimeError("encode OOM")
+
+        svc = RecommendService(
+            small_index, _FakeVocab(100, 60), default_k=10,
+            index_factory=dead_factory,
+        )
+
+        # The route captures the handler at app build time: break the
+        # service BEFORE create_app so /recommend raises an exception type
+        # outside the expected set (ServingError/TypeError/...).
+        svc.recommend = lambda payload: (_ for _ in ()).throw(
+            RuntimeError("device exploded")
+        )
+
+        async def go():
+            app = create_app(svc, coalesce=False)
+            async with TestClient(TestServer(app)) as client:
+                assert (await client.get("/livez")).status == 200
+
+                # The route must return parseable JSON with a 500 for the
+                # unexpected exception, never aiohttp's HTML error page.
+                r = await client.post("/recommend", json={"user_idx": [1]})
+                assert r.status == 500
+                assert (await r.json())["error"] == "internal error"
+
+                # Unload the model (failed release-first reload).
+                r = await client.post(
+                    "/admin/reload", json={"release_first": True}
+                )
+                assert r.status == 500
+
+                # Readiness pulls the pod; liveness must NOT (a restart
+                # would destroy an in-progress rebuild -> crash loop).
+                assert (await client.get("/health")).status == 503
+                assert (await client.get("/livez")).status == 200
+
+        asyncio.run(go())

@@ -179,3 +179,22 @@ def test_prepare_cli_streaming(corpus, tmp_path):
     assert rc == 0
     assert (out_dir / "combined_interactions.parquet").exists()
     assert (out_dir / "vocab" / "user_vocab.npz").exists()
+
+
+def test_prepare_cli_streaming_rejects_features(corpus, tmp_path):
+    """--features would be silently dropped by the streaming engine; the
+    CLI must refuse the combination instead."""
+    path, _ = corpus
+    from twotower_tpu.data.prepare import main as prepare_main
+
+    data_dir = tmp_path / "raw_sf"
+    data_dir.mkdir()
+    (data_dir / "corpus.parquet").write_bytes(path.read_bytes())
+    rc = prepare_main(
+        [
+            "--data-dir", str(data_dir),
+            "--output-dir", str(tmp_path / "out_sf"),
+            "--streaming", "--features",
+        ]
+    )
+    assert rc == 2

@@ -268,11 +268,12 @@ class ServingConfig:
             "auto", "bfloat16", "float32", "int8", "int8_rowscale"
         ):
             raise ValueError(f"unknown serving.corpus_dtype {self.corpus_dtype!r}")
-        if self.corpus_dtype.startswith("int8") and self.index_type != "tpu_mips":
+        if self.corpus_dtype not in ("auto", "float32") and self.index_type != "tpu_mips":
             raise ValueError(
                 f"serving.corpus_dtype={self.corpus_dtype!r} requires "
                 "index_type='tpu_mips' (the exact indexes guarantee "
-                "bit-parity with evaluation)"
+                "bit-parity with evaluation, which any reduced-precision "
+                "resident corpus — bfloat16 or int8 — would break)"
             )
         if self.coalesce_window_ms < 0:
             raise ValueError("serving.coalesce_window_ms must be >= 0")

@@ -180,7 +180,12 @@ def run(args: argparse.Namespace) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     setup_logging()
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if args.streaming and args.features:
+        # Fail at the front door instead of mid-pipeline (prepare-data
+        # rejects the combination too — see data/prepare.py).
+        parser.error("--features is not supported with --streaming")
     report = run(args)
     processed_dir = Path(args.processed_dir)
     if processed_dir.is_dir():

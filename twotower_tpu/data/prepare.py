@@ -152,6 +152,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.streaming:
         from twotower_tpu.data.streaming import StreamingPreprocessor
 
+        if args.features:
+            # Refuse rather than silently drop the requested columns: the
+            # streaming engine emits train-ready interaction columns only
+            # (engineered features need whole-corpus aggregates).
+            logger.error(
+                "--features is not supported with --streaming (engineered "
+                "features need whole-corpus aggregates; run the in-memory "
+                "path, or engineer features on the streamed output with "
+                "twotower_tpu.features.engineer)"
+            )
+            return 2
         files = sorted(Path(args.data_dir).glob("*.parquet"))
         if not files:
             logger.error("no parquet files found under %s", args.data_dir)

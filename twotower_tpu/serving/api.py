@@ -567,6 +567,12 @@ def create_app(
                 return web.json_response({"error": str(e)}, status=e.status)
             except (TypeError, ValueError, KeyError) as e:
                 return web.json_response({"error": f"bad request: {e}"}, status=400)
+            except Exception:  # noqa: BLE001 — JSON 500 contract + log
+                # Unexpected failures (device runtime errors, a cancelled
+                # batcher) must still honor the JSON error contract — the
+                # aiohttp default is an unparseable HTML 500 — and be logged.
+                logger.exception("unhandled serving error")
+                return web.json_response({"error": "internal error"}, status=500)
 
         return route
 
@@ -627,9 +633,17 @@ def create_app(
                 batcher.index = service.index  # shapes already warmed pre-swap
         return web.json_response(info)
 
+    async def livez(_request):
+        # Liveness: process-alive only, ALWAYS 200. /health 503s for the
+        # whole duration of a release-first reload (minutes at large
+        # catalogs) — a liveness probe pointed there would kill the pod
+        # mid-rebuild and turn a recoverable 503 into a crash loop.
+        return web.json_response({"status": "alive"})
+
     app = web.Application()
     app[batcher_key()] = batcher  # exposed for tests/observability; may be None
     app.router.add_get("/health", health)
+    app.router.add_get("/livez", livez)
     app.router.add_post(
         "/recommend",
         wrap(recommend_coalesced if batcher is not None else service.recommend),
@@ -663,6 +677,12 @@ def create_fastapi_app(service: RecommendService, *, admin_token: str | None = N
         if body["status"] != "ok":  # readiness: pull the pod while reloading
             response.status_code = 503
         return body
+
+    @app.get("/livez")
+    def livez():
+        # Liveness (always 200): see the aiohttp front's note — /health
+        # 503s throughout a release-first rebuild.
+        return {"status": "alive"}
 
     @app.post("/recommend")
     def recommend(payload: dict):
