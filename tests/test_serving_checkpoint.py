@@ -315,7 +315,7 @@ class TestHotReload:
             index_factory=lambda step=None: smaller,
         )
         # Validate against the 60-item index with k/user valid only there.
-        user_idx, k, snap = svc.prepare_recommend({"user_idx": [75], "k": 40})
+        user_idx, k, _excl, snap = svc.prepare_recommend({"user_idx": [75], "k": 40})
         svc.reload()  # swaps to the 20-item / 40-user model
         # Executing on the snapshot still answers from the OLD model.
         scores, items = snap.index.recommend(user_idx, k)
@@ -1135,5 +1135,137 @@ class TestServingHardening:
                 # would destroy an in-progress rebuild -> crash loop).
                 assert (await client.get("/health")).status == 503
                 assert (await client.get("/livez")).status == 200
+
+        asyncio.run(go())
+
+
+class TestExclusionAndHistory:
+    """Seen-item filtering (exclude/exclude_idx) and cold-start
+    history-pooled retrieval (/recommend_by_history)."""
+
+    def test_exclude_idx_filters_results(self, service):
+        base = service.recommend({"user_idx": [3], "k": 10})
+        top = base["results"][0]["item_idx"][:3]
+        out = service.recommend({"user_idx": [3], "k": 10, "exclude_idx": top})
+        got = out["results"][0]["item_idx"]
+        assert len(got) == 10
+        assert not set(top) & set(got)
+        # Survivors keep their relative order from the unfiltered ranking.
+        rest = [i for i in base["results"][0]["item_idx"] if i not in top]
+        assert got[: len(rest)] == rest[:10] or got == sorted(
+            got, key=lambda i: -dict(zip(base["results"][0]["item_idx"],
+                                         base["results"][0]["scores"])).get(i, -1e9)
+        )
+
+    def test_exclude_by_external_id_and_unknown_noop(self, service):
+        base = service.recommend({"user_idx": [5], "k": 5})
+        top_id = base["results"][0]["items"][0]
+        out = service.recommend(
+            {"user_idx": [5], "k": 5, "exclude": [top_id, "NOT_AN_ITEM"]}
+        )
+        assert top_id not in out["results"][0]["items"]
+        assert len(out["results"][0]["items"]) == 5
+
+    def test_exclude_validation(self, service):
+        with pytest.raises(ServingError) as e:
+            service.recommend({"user_idx": [1], "exclude_idx": [999]})
+        assert e.value.status == 404
+        with pytest.raises(ServingError):
+            service.recommend({"user_idx": [1], "exclude_idx": ["x"]})
+        svc = RecommendService(
+            service.index, service.vocab, default_k=5, max_exclude=2
+        )
+        with pytest.raises(ServingError) as e:
+            svc.recommend({"user_idx": [1], "exclude_idx": [1, 2, 3]})
+        assert "max_exclude" in str(e.value)
+
+    def test_search_depth_buckets(self):
+        sd = RecommendService.search_depth
+        assert sd(10, 0, 1000) == 10           # warmed fast path untouched
+        assert sd(10, 1, 1000) == 32           # bucketed to 32s
+        assert sd(10, 30, 1000) == 64
+        assert sd(10, 5, 12) == 12             # clamped to the catalog
+
+    def test_history_matches_index_pooling(self, service, small_index):
+        """Service results == direct index query with the same pooled rows,
+        minus the seen items."""
+        hist = [3, 7, 9]
+        out = service.recommend_by_history({"history_idx": hist, "k": 8})
+        got = out["results"][0]["item_idx"]
+        assert len(got) == 8
+        assert not set(hist) & set(got)   # exclude_seen defaults on
+
+        # exclude_seen=False keeps the history items eligible; with an
+        # item-to-item pooled query the top hits usually ARE the history.
+        raw = service.recommend_by_history(
+            {"history_idx": hist, "k": 8, "exclude_seen": False}
+        )
+        raw_idx = raw["results"][0]["item_idx"]
+        vals, idx = small_index.recommend_by_history(
+            np.array([hist + [-1]]), 8
+        )
+        assert raw_idx == idx[0].tolist()
+
+    def test_history_batch_and_external_ids(self, service):
+        out = service.recommend_by_history(
+            {"history_idx": [[1, 2], [4, 5, 6]], "k": 4}
+        )
+        assert len(out["results"]) == 2
+        for res, seen in zip(out["results"], ([1, 2], [4, 5, 6])):
+            assert len(res["item_idx"]) == 4
+            assert not set(seen) & set(res["item_idx"])
+        # External-id form; unknown ids drop out of the pool silently.
+        out = service.recommend_by_history(
+            {"history": ["I3", "NOPE", "I9"], "k": 3}
+        )
+        assert len(out["results"][0]["items"]) == 3
+
+    def test_history_validation(self, service):
+        with pytest.raises(ServingError):
+            service.recommend_by_history({"k": 3})
+        with pytest.raises(ServingError) as e:
+            service.recommend_by_history({"history_idx": [999]})
+        assert e.value.status == 404
+        with pytest.raises(ServingError) as e:
+            service.recommend_by_history({"history": ["NOPE"]})
+        assert e.value.status == 404
+        svc = RecommendService(
+            service.index, service.vocab, default_k=5, max_history=2
+        )
+        with pytest.raises(ServingError) as e:
+            svc.recommend_by_history({"history_idx": [1, 2, 3]})
+        assert "max_history" in str(e.value)
+
+    def test_history_route_and_coalesced_exclusion(self, small_index):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        svc = RecommendService(small_index, _FakeVocab(100, 60), default_k=6)
+
+        async def go():
+            app = create_app(svc)  # coalesced front
+            async with TestClient(TestServer(app)) as client:
+                r = await client.post(
+                    "/recommend_by_history", json={"history_idx": [2, 8], "k": 5}
+                )
+                assert r.status == 200
+                body = await r.json()
+                assert len(body["results"][0]["item_idx"]) == 5
+                assert not {2, 8} & set(body["results"][0]["item_idx"])
+
+                # Exclusion flows through the coalesced /recommend path.
+                base = await (
+                    await client.post("/recommend", json={"user_idx": [7], "k": 6})
+                ).json()
+                top = base["results"][0]["item_idx"][:2]
+                r = await client.post(
+                    "/recommend",
+                    json={"user_idx": [7], "k": 6, "exclude_idx": top},
+                )
+                body = await r.json()
+                assert r.status == 200
+                got = body["results"][0]["item_idx"]
+                assert len(got) == 6 and not set(top) & set(got)
 
         asyncio.run(go())

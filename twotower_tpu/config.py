@@ -258,6 +258,13 @@ class ServingConfig:
     # front): wait up to coalesce_window_ms to merge waiters into one
     # device call. 0 disables coalescing.
     coalesce_window_ms: float = 2.0
+    # Per-request caps for the result-filtering surfaces: ids a /recommend
+    # may exclude (seen-item filtering) and history items a cold-start
+    # /recommend_by_history query may pool. Both bound the extra search
+    # depth (k + exclusions) and the jit shape space (history widths are
+    # bucketed to powers of two up to max_history).
+    max_exclude: int = 256
+    max_history: int = 256
 
     def __post_init__(self) -> None:
         if self.index_type not in ("tpu_mips", "tpu_mips_exact", "cpu_flat"):
@@ -277,6 +284,10 @@ class ServingConfig:
             )
         if self.coalesce_window_ms < 0:
             raise ValueError("serving.coalesce_window_ms must be >= 0")
+        if self.max_exclude < 0:
+            raise ValueError("serving.max_exclude must be >= 0")
+        if self.max_history < 1:
+            raise ValueError("serving.max_history must be >= 1")
 
     def resolve_corpus_dtype(self) -> str:
         if self.corpus_dtype != "auto":

@@ -60,10 +60,12 @@ class RecommendService:
 
     def __init__(
         self, index, vocab, *, default_k: int = 100, max_batch: int = 256,
-        index_factory=None,
+        index_factory=None, max_exclude: int = 256, max_history: int = 256,
     ):
         self.index = index
         self.vocab = vocab
+        self.max_exclude = max_exclude
+        self.max_history = max_history
         # Clamp to the catalog: a default wider than the corpus would 400
         # every k-less request on small deployments. Explicit k still
         # validates against the true corpus size.
@@ -217,20 +219,78 @@ class RecommendService:
             raise ServingError("user_idx out of range", status=404)
         return idx.astype(np.int32)
 
+    def _resolve_exclude(self, payload: dict, snap: ModelSnapshot) -> np.ndarray:
+        """Items to filter from results: ``exclude_idx`` (indices, strict)
+        and/or ``exclude`` (external item ids; unknown ids are a no-op —
+        excluding a retired item must not fail the request)."""
+        parts = []
+        if "exclude_idx" in payload:
+            try:
+                idx = np.atleast_1d(np.asarray(payload["exclude_idx"], np.int64))
+            except (TypeError, ValueError) as e:
+                raise ServingError("exclude_idx must be integers") from e
+            if len(idx) and ((idx < 0).any() or (idx >= snap.index.num_items).any()):
+                raise ServingError("exclude_idx out of range", status=404)
+            parts.append(idx)
+        if "exclude" in payload:
+            ids = payload["exclude"]
+            ids = [ids] if isinstance(ids, str) else list(ids)
+            if ids:
+                enc = snap.vocab.items.encode(np.asarray(ids, object)).astype(np.int64)
+                parts.append(enc[enc >= 0])  # unknown ids: no-op
+        if not parts:
+            return np.empty(0, np.int32)
+        excl = np.unique(np.concatenate(parts)).astype(np.int32)
+        if len(excl) > self.max_exclude:
+            raise ServingError(
+                f"exclusion list too large: {len(excl)} > {self.max_exclude} "
+                "(serving.max_exclude)"
+            )
+        return excl
+
+    @staticmethod
+    def search_depth(k: int, num_excluded: int, num_items: int) -> int:
+        """Device-search k covering the worst case where every excluded id
+        ranks above the k-th survivor. Bucketed to multiples of 32 so
+        exclusion lists of varying length reuse jit shapes; the plain
+        (no-exclusion) path stays exactly k (the warmed shape)."""
+        if num_excluded == 0:
+            return k
+        return min(-(-(k + num_excluded) // 32) * 32, num_items)
+
+    @staticmethod
+    def filter_excluded(scores, items, exclude, k: int):
+        """Drop excluded ids per row and truncate to k.
+
+        ``exclude``: one shared [E] array, or a per-row list of arrays
+        (history-seen filtering). Rows may come back shorter than k only
+        when k + exclusions exceeded the catalog. Returns row lists."""
+        out_s, out_i = [], []
+        for r, (row_s, row_i) in enumerate(zip(scores, items)):
+            e = exclude[r] if isinstance(exclude, list) else exclude
+            if len(e):
+                mask = ~np.isin(row_i, e)
+                row_s, row_i = row_s[mask], row_i[mask]
+            out_s.append(row_s[:k])
+            out_i.append(row_i[:k])
+        return out_s, out_i
+
     def prepare_recommend(
         self, payload: dict
-    ) -> tuple[np.ndarray, int, ModelSnapshot]:
-        """Validate a /recommend payload -> (user_idx [B], k, snapshot).
-        Raises ServingError on client mistakes; counts the request. The
-        returned snapshot is the model the request validated against — run
-        the search on IT, not on self.index (a reload may swap mid-flight)."""
+    ) -> tuple[np.ndarray, int, np.ndarray, ModelSnapshot]:
+        """Validate a /recommend payload -> (user_idx [B], k, exclude [E],
+        snapshot). Raises ServingError on client mistakes; counts the
+        request. The returned snapshot is the model the request validated
+        against — run the search on IT, not on self.index (a reload may
+        swap mid-flight)."""
         self._count_request()
         payload = self._check_payload(payload)
         snap = self.snapshot()
         k = self._get_k(payload, snap.default_k)
         if not 1 <= k <= snap.index.num_items:
             raise ServingError(f"k must be in [1, {snap.index.num_items}]")
-        return self._resolve_users(payload, snap), k, snap
+        exclude = self._resolve_exclude(payload, snap)
+        return self._resolve_users(payload, snap), k, exclude, snap
 
     @staticmethod
     def format_recommend(
@@ -252,16 +312,113 @@ class RecommendService:
         }
 
     def recommend(self, payload: dict) -> dict[str, Any]:
-        """POST /recommend — {user_id|user_idx, k?} -> ranked items.
+        """POST /recommend — {user_id|user_idx, k?, exclude?|exclude_idx?}
+        -> ranked items, with the excluded (already-seen/blocked) items
+        filtered out.
 
         Synchronous path (FastAPI front, unit tests, library callers); the
         aiohttp front routes through ``MicroBatcher`` instead so concurrent
         requests share device calls."""
-        user_idx, k, snap = self.prepare_recommend(payload)
+        user_idx, k, exclude, snap = self.prepare_recommend(payload)
         t0 = time.perf_counter()
-        scores, items = snap.index.recommend(user_idx, k)
+        scores, items = snap.index.recommend(
+            user_idx, self.search_depth(k, len(exclude), snap.index.num_items)
+        )
+        scores, items = self.filter_excluded(scores, items, exclude, k)
         latency_ms = (time.perf_counter() - t0) * 1000
         return self.format_recommend(user_idx, scores, items, k, latency_ms, snap.vocab)
+
+    def _resolve_history(
+        self, payload: dict, snap: ModelSnapshot
+    ) -> list[np.ndarray]:
+        """Parse {history_idx|history} into per-row index arrays. A flat
+        list is one query row; a list of lists is a batch."""
+        def nested(v):
+            return isinstance(v, (list, tuple)) and (
+                len(v) == 0 or isinstance(v[0], (list, tuple, np.ndarray))
+            )
+
+        if "history_idx" in payload:
+            raw = payload["history_idx"]
+            rows_in = raw if nested(raw) else [raw]
+            rows = []
+            for row in rows_in:
+                try:
+                    idx = np.atleast_1d(np.asarray(row, np.int64))
+                except (TypeError, ValueError) as e:
+                    raise ServingError("history_idx must be integers") from e
+                if len(idx) and ((idx < 0).any() or (idx >= snap.index.num_items).any()):
+                    raise ServingError("history_idx out of range", status=404)
+                rows.append(idx)
+        elif "history" in payload:
+            raw = payload["history"]
+            rows_in = raw if nested(raw) else [raw]
+            rows = []
+            for row in rows_in:
+                ids = [row] if isinstance(row, str) else list(row)
+                enc = snap.vocab.items.encode(np.asarray(ids, object)).astype(np.int64)
+                rows.append(enc[enc >= 0])  # unknown ids dropped from the pool
+        else:
+            raise ServingError("payload must contain history or history_idx")
+        if not rows:
+            raise ServingError("history batch must be non-empty")
+        if len(rows) > self.max_batch:
+            raise ServingError(f"batch too large: {len(rows)} > {self.max_batch}")
+        for row in rows:
+            if len(row) == 0:
+                raise ServingError(
+                    "each history row needs at least one known item", status=404
+                )
+            if len(row) > self.max_history:
+                raise ServingError(
+                    f"history too long: {len(row)} > {self.max_history} "
+                    "(serving.max_history)"
+                )
+        return rows
+
+    def recommend_by_history(self, payload: dict) -> dict[str, Any]:
+        """POST /recommend_by_history — {history|history_idx, k?,
+        exclude?|exclude_idx?, exclude_seen?=true} -> ranked items.
+
+        Cold-start retrieval for users unseen at training time: each row's
+        query is the re-normalized mean of its history items' corpus
+        embeddings (``RetrievalIndex.recommend_by_history``). By default
+        the history items themselves are filtered from the results."""
+        self._count_request()
+        payload = self._check_payload(payload)
+        snap = self.snapshot()
+        k = self._get_k(payload, snap.default_k)
+        if not 1 <= k <= snap.index.num_items:
+            raise ServingError(f"k must be in [1, {snap.index.num_items}]")
+        rows = self._resolve_history(payload, snap)
+        exclude = self._resolve_exclude(payload, snap)
+        exclude_seen = bool(payload.get("exclude_seen", True))
+        width = max(len(r) for r in rows)
+        hist = np.full((len(rows), width), -1, np.int64)
+        for r, row in enumerate(rows):
+            hist[r, : len(row)] = row
+        per_row = [
+            np.union1d(exclude, row) if exclude_seen else exclude for row in rows
+        ]
+        depth = self.search_depth(
+            k, max(len(e) for e in per_row), snap.index.num_items
+        ) if any(len(e) for e in per_row) else k
+        t0 = time.perf_counter()
+        scores, items = snap.index.recommend_by_history(hist, depth)
+        scores, items = self.filter_excluded(scores, items, per_row, k)
+        latency_ms = (time.perf_counter() - t0) * 1000
+        return {
+            "results": [
+                {
+                    "items": snap.vocab.items.decode(np.asarray(row_i)).tolist(),
+                    "item_idx": np.asarray(row_i).tolist(),
+                    "scores": [round(float(s), 6) for s in row_s],
+                }
+                for row_i, row_s in zip(items, scores)
+            ],
+            "k": k,
+            "latency_ms": round(latency_ms, 3),
+        }
 
     def similar_items(self, payload: dict) -> dict[str, Any]:
         """POST /similar_items — {item_id|item_idx, k?} -> neighbours."""
@@ -533,12 +690,17 @@ def create_app(
         return web.json_response(body, status=status)
 
     async def recommend_coalesced(payload):
-        user_idx, k, snap = service.prepare_recommend(payload)
+        user_idx, k, exclude, snap = service.prepare_recommend(payload)
         t0 = time.perf_counter()
         # Pin the device call to the snapshot's index: a reload finishing
         # mid-window must not score this request on a model it did not
         # validate against.
-        scores, items = await batcher.recommend(user_idx, k, index=snap.index)
+        scores, items = await batcher.recommend(
+            user_idx,
+            service.search_depth(k, len(exclude), snap.index.num_items),
+            index=snap.index,
+        )
+        scores, items = service.filter_excluded(scores, items, exclude, k)
         latency_ms = (time.perf_counter() - t0) * 1000
         return service.format_recommend(
             user_idx, scores, items, k, latency_ms, snap.vocab
@@ -649,6 +811,9 @@ def create_app(
         wrap(recommend_coalesced if batcher is not None else service.recommend),
     )
     app.router.add_post("/similar_items", wrap(service.similar_items))
+    app.router.add_post(
+        "/recommend_by_history", wrap(service.recommend_by_history)
+    )
     app.router.add_post("/admin/reload", admin_reload)
 
     if batcher is not None:
@@ -688,6 +853,13 @@ def create_fastapi_app(service: RecommendService, *, admin_token: str | None = N
     def recommend(payload: dict):
         try:
             return service.recommend(payload)
+        except ServingError as e:
+            raise HTTPException(status_code=e.status, detail=str(e)) from e
+
+    @app.post("/recommend_by_history")
+    def recommend_by_history(payload: dict):
+        try:
+            return service.recommend_by_history(payload)
         except ServingError as e:
             raise HTTPException(status_code=e.status, detail=str(e)) from e
 
@@ -773,6 +945,8 @@ def build_service(
         default_k=config.serving.top_k,
         max_batch=config.serving.max_batch_size,
         index_factory=factory,
+        max_exclude=config.serving.max_exclude,
+        max_history=config.serving.max_history,
     )
 
 

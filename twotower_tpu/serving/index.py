@@ -205,6 +205,22 @@ class RetrievalIndex:
             return search(emb, corpus, scale, k)
 
         @functools.partial(jax.jit, static_argnames=("k",))
+        def _query_history(corpus, scale, hist, k: int):
+            # Cold-start query: mean-pool the (dequantized) corpus rows of
+            # the history items, re-normalize, search. hist is [B, W]
+            # padded with -1 (masked out of the pool).
+            mask = hist >= 0
+            safe = jnp.clip(hist, 0, None)
+            rows = corpus[safe].astype(jnp.float32)
+            if quantized:
+                rows = rows * (scale[safe][..., None] if scale.ndim else scale)
+            m = mask.astype(jnp.float32)[..., None]
+            pooled = (rows * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+            norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+            emb = pooled / jnp.maximum(norm, 1e-12)
+            return search(emb, corpus, scale, k)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
         def _query_items(corpus, scale, item_idx, k: int):
             emb = corpus[item_idx]
             if quantized:
@@ -218,6 +234,7 @@ class RetrievalIndex:
         self._query_users = _query_users
         self._query_emb = _query_emb
         self._query_items = _query_items
+        self._query_history = _query_history
 
     # ------------------------------------------------------------------
 
@@ -228,6 +245,32 @@ class RetrievalIndex:
             raise ValueError("user_idx out of range")
         vals, idx = self._query_users(
             self.params, self.corpus, self.corpus_scale, jnp.asarray(user_idx), k
+        )
+        return np.asarray(vals), np.asarray(idx)
+
+    def recommend_by_history(
+        self, hist_idx: np.ndarray, k: int = 100
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Cold-start retrieval from interaction history (no user id).
+
+        ``hist_idx``: ``[B, W]`` item indices padded with ``-1``; each row's
+        valid items are mean-pooled in the L2-normalized item-embedding
+        space and re-normalized — the item-to-item analogue of a user
+        query (the classic fallback for users unseen at training time).
+        The width is bucketed up to the next power of two so jit compiles
+        O(log max_history) shapes, not one per history length. Rows must
+        contain at least one valid item (the service layer validates).
+        """
+        hist = np.atleast_2d(np.asarray(hist_idx, np.int64))
+        if hist.ndim != 2:
+            raise ValueError("hist_idx must be [B, W]")
+        if (hist >= self.num_items).any():
+            raise ValueError("history item_idx out of range")
+        w = max(1, 1 << (int(hist.shape[1]) - 1).bit_length())
+        if w != hist.shape[1]:
+            hist = np.pad(hist, ((0, 0), (0, w - hist.shape[1])), constant_values=-1)
+        vals, idx = self._query_history(
+            self.corpus, self.corpus_scale, jnp.asarray(hist, jnp.int32), k
         )
         return np.asarray(vals), np.asarray(idx)
 
