@@ -1,5 +1,7 @@
 """Data engine tests (reference analog: tests/unit/test_preprocessor.py)."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -337,3 +339,129 @@ class TestBatchPipeline:
         raw = generate_interactions(10, 5, 20)
         with pytest.raises(ValueError):
             BatchPipeline(raw, batch_size=4)
+
+
+class TestReferenceMigration:
+    """migrate-reference-artifacts: mappings.pkl -> pickle-free vocab."""
+
+    @staticmethod
+    def _reference_artifacts(tmp_path, sorted_ids=True):
+        import pickle
+
+        import pandas as pd
+
+        rng = np.random.default_rng(0)
+        users = [f"U{i:03d}" for i in range(20)]
+        items = [f"B{i:03d}" for i in range(10)]
+        rows = {
+            "user_id": rng.choice(users, 200),
+            "parent_asin": rng.choice(items, 200),
+            "rating": rng.integers(1, 6, 200).astype(np.float64),
+            "timestamp": rng.integers(1_500_000_000, 1_600_000_000, 200),
+        }
+        df = pd.DataFrame(rows)
+        # The reference maps sorted uniques -> contiguous ints
+        # (prepare_training_data.py:113-123).
+        u_sorted = sorted(df["user_id"].unique())
+        i_sorted = sorted(df["parent_asin"].unique())
+        if not sorted_ids:
+            u_sorted = list(reversed(u_sorted))
+        user_to_idx = {u: i for i, u in enumerate(u_sorted)}
+        item_to_idx = {v: i for i, v in enumerate(i_sorted)}
+        df["user_idx"] = df["user_id"].map(user_to_idx)
+        df["item_idx"] = df["parent_asin"].map(item_to_idx)
+        pq = tmp_path / "combined_interactions.parquet"
+        df.to_parquet(pq, index=False)
+        mappings = {
+            "user_to_idx": user_to_idx,
+            "item_to_idx": item_to_idx,
+            "idx_to_user": {v: k for k, v in user_to_idx.items()},
+            "idx_to_item": {v: k for k, v in item_to_idx.items()},
+        }
+        mp = tmp_path / "mappings.pkl"
+        with open(mp, "wb") as f:
+            pickle.dump(mappings, f)
+        return mp, pq, df
+
+    def test_cli_migrates_and_matches_preprocessor(self, tmp_path):
+        from twotower_tpu.data.migrate import main as migrate_main
+        from twotower_tpu.data.schema import from_dataframe
+        from twotower_tpu.data.vocab import VocabPair
+
+        mp, pq, df = self._reference_artifacts(tmp_path)
+        out = tmp_path / "migrated"
+        rc = migrate_main(
+            ["--mappings", str(mp), "--interactions", str(pq),
+             "--output-dir", str(out)]
+        )
+        assert rc == 0
+        vocab = VocabPair.load(out / "vocab")
+        report = json.loads((out / "migration_report.json").read_text())
+        assert report["sorted_contiguous"] is True
+
+        # The migrated encoding agrees with the reference's precomputed
+        # columns AND with this framework's own vocab build.
+        enc = vocab.users.encode(df["user_id"].to_numpy(object))
+        np.testing.assert_array_equal(enc, df["user_idx"].to_numpy())
+        enc_i = vocab.items.encode(df["parent_asin"].to_numpy(object))
+        np.testing.assert_array_equal(enc_i, df["item_idx"].to_numpy())
+
+        from twotower_tpu.data.vocab import Vocabulary
+
+        ours = Vocabulary.build(from_dataframe(df).user_id)
+        np.testing.assert_array_equal(
+            ours.ids.astype(str), vocab.users.ids.astype(str)
+        )
+        np.testing.assert_array_equal(ours.counts, vocab.users.counts)
+
+    def test_unsorted_mapping_flagged_but_migrates(self, tmp_path):
+        from twotower_tpu.data.migrate import main as migrate_main
+        from twotower_tpu.data.vocab import VocabPair
+
+        mp, pq, df = self._reference_artifacts(tmp_path, sorted_ids=False)
+        out = tmp_path / "migrated_unsorted"
+        rc = migrate_main(
+            ["--mappings", str(mp), "--interactions", str(pq),
+             "--output-dir", str(out)]
+        )
+        assert rc == 0
+        report = json.loads((out / "migration_report.json").read_text())
+        assert report["sorted_contiguous"] is False
+        # Order is preserved from the pickle, so the reference's columns
+        # still row-align with the migrated vocab.
+        vocab = VocabPair.load(out / "vocab")
+        enc = vocab.users.encode(df["user_id"].to_numpy(object))
+        np.testing.assert_array_equal(enc, df["user_idx"].to_numpy())
+
+    def test_mismatched_artifacts_rejected(self, tmp_path):
+        from twotower_tpu.data.migrate import main as migrate_main
+
+        mp, pq, df = self._reference_artifacts(tmp_path)
+        import pickle
+
+        with open(mp, "rb") as f:
+            mappings = pickle.load(f)
+        del mappings["user_to_idx"][next(iter(mappings["user_to_idx"]))]
+        # Re-index densely so the failure is the cross-check, not density.
+        mappings["user_to_idx"] = {
+            u: i for i, u in enumerate(sorted(mappings["user_to_idx"]))
+        }
+        with open(mp, "wb") as f:
+            pickle.dump(mappings, f)
+        rc = migrate_main(
+            ["--mappings", str(mp), "--interactions", str(pq),
+             "--output-dir", str(tmp_path / "bad")]
+        )
+        assert rc == 1
+
+    def test_counts_optional_without_parquet(self, tmp_path):
+        from twotower_tpu.data.migrate import main as migrate_main
+        from twotower_tpu.data.vocab import VocabPair
+
+        mp, _, df = self._reference_artifacts(tmp_path)
+        out = tmp_path / "no_counts"
+        rc = migrate_main(["--mappings", str(mp), "--output-dir", str(out)])
+        assert rc == 0
+        vocab = VocabPair.load(out / "vocab")
+        assert len(vocab.users) == df["user_id"].nunique()
+        assert (vocab.users.counts == 0).all()

@@ -47,18 +47,26 @@ class Vocabulary:
     def encode(self, raw_ids: np.ndarray, missing: int = -1) -> np.ndarray:
         """Map raw ids -> int32 indices; unseen ids -> ``missing``.
 
-        Vectorized: ``ids`` is sorted-unique by construction, so a
-        searchsorted + equality check replaces a per-row Python dict loop
-        (material at tens of millions of rows)."""
+        Vectorized: a searchsorted + equality check replaces a per-row
+        Python dict loop (material at tens of millions of rows). ``build``
+        produces sorted ids, but the lookup goes through a cached argsort
+        permutation so vocabularies constructed in a foreign order (e.g.
+        migrated from a reference ``mappings.pkl``, ``data/migrate.py``)
+        encode correctly too."""
         raw = np.asarray(raw_ids).astype(str)
         if self._ids_str is None:
-            # cache the unicode cast: this sits on the per-request serving path
-            self._ids_str = self.ids.astype(str)
+            # cache the unicode cast + sort permutation: this sits on the
+            # per-request serving path
+            s = self.ids.astype(str)
+            order = np.argsort(s).astype(np.int64)
+            self._ids_str = s[order]
+            self._order = order
         ids = self._ids_str
         pos = np.searchsorted(ids, raw)
         pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
         found = ids[pos_c] == raw if len(ids) else np.zeros(len(raw), bool)
-        return np.where(found, pos_c, missing).astype(np.int32)
+        orig = self._order[pos_c] if len(ids) else pos_c
+        return np.where(found, orig, missing).astype(np.int32)
 
     def decode(self, indices: np.ndarray) -> np.ndarray:
         return self.ids[np.asarray(indices)]
