@@ -113,14 +113,34 @@ class ModelConfig:
     # TPU-first extensions: compute dtype for the MXU hot path; params stay f32.
     compute_dtype: str = "bfloat16"
     normalize_embeddings: bool = True
-    # Hashed n-gram text tower (0 disables; reference declares transformers +
+    # Text tower (0 buckets disables; reference declares transformers +
     # max_sequence_length 512 but never wires text in — SURVEY.md §2.2 row 29).
     text_buckets: int = 0
     text_tokens: int = 32
+    # "hashed": deterministic hashed n-gram bag (features/text_encoder.py).
+    # "transformer": a HF tokenizer's real token ids + optional pretrained
+    # word-embedding init (features/transformer_encoder.py); requires
+    # text_model_path (a LOCAL directory — zero-egress contract) and
+    # auto-resolves text_buckets to the tokenizer's vocab size + 1.
+    text_encoder: str = "hashed"
+    text_model_path: str = ""
+    # Initialize the text table from the checkpoint's word embeddings
+    # (PCA-projected to embedding_dim) when weights exist at text_model_path.
+    text_pretrained_init: bool = True
 
     def __post_init__(self) -> None:
         if self.embedding_dim <= 0:
             raise ValueError("model.embedding_dim must be positive")
+        if self.text_encoder not in ("hashed", "transformer"):
+            raise ValueError(
+                f"model.text_encoder must be 'hashed' or 'transformer', "
+                f"got {self.text_encoder!r}"
+            )
+        if self.text_encoder == "transformer" and not self.text_model_path:
+            raise ValueError(
+                "model.text_encoder='transformer' requires model.text_model_path "
+                "(a local tokenizer/model directory)"
+            )
         if not self.user_tower_dims or not self.item_tower_dims:
             raise ValueError("tower dims must be non-empty")
         if self.user_tower_dims[-1] != self.item_tower_dims[-1]:

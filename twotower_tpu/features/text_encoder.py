@@ -22,6 +22,47 @@ import numpy as np
 PAD_ID = 0  # token id 0 is reserved for padding; buckets are [1, num_buckets)
 
 
+def _truthy_col(col: np.ndarray | None, n: int) -> np.ndarray:
+    if col is None:
+        return np.zeros(n, bool)
+    # Exact Python truthiness in one C-dispatched pass (object-array
+    # np.not_equal is also a per-element Python loop, so this costs the
+    # same and cannot diverge from a per-row `if col[row]:` — e.g. a falsy
+    # non-string like 0 or False must NOT claim an item's slot).
+    return np.frompyfunc(bool, 1, 1)(col).astype(bool)
+
+
+def select_first_item_texts(
+    item_idx: np.ndarray,
+    texts: np.ndarray | None,
+    num_items: int,
+    titles: np.ndarray | None = None,
+) -> tuple[np.ndarray, list[str]]:
+    """First non-empty text occurrence per item: ``(items, combined_texts)``.
+
+    The shared item-text selection both encoders (hashed n-gram and
+    transformer) build their per-item token tables from: for each item id in
+    ``[0, num_items)``, the first interaction row with any text, combined as
+    ``"{title} {text}"`` (title preferred, text appended). Vectorized — the
+    Python-level work is one string join per ITEM, never per interaction row.
+    """
+    n = len(item_idx)
+    item_idx = np.asarray(item_idx)
+    has_any = _truthy_col(titles, n) | _truthy_col(texts, n)
+    cand = np.flatnonzero(has_any & (item_idx >= 0) & (item_idx < num_items))
+    # np.unique(return_index) is stable: first qualifying row per item.
+    uniq_items, first = np.unique(item_idx[cand], return_index=True)
+    out_texts: list[str] = []
+    for row in cand[first].tolist():
+        text = None
+        if titles is not None and titles[row]:
+            text = str(titles[row])
+        if texts is not None and texts[row]:
+            text = (text + " " if text else "") + str(texts[row])
+        out_texts.append(text or "")
+    return uniq_items, out_texts
+
+
 class HashedNgramEncoder:
     """Deterministic text -> fixed-shape hashed token ids."""
 
@@ -87,17 +128,6 @@ class HashedNgramEncoder:
             out_u[i] = self.encode_one(t)
         return out_u[inverse.reshape(norm.shape)]
 
-    @staticmethod
-    def _truthy(col: np.ndarray | None, n: int) -> np.ndarray:
-        if col is None:
-            return np.zeros(n, bool)
-        # Exact Python truthiness in one C-dispatched pass (object-array
-        # np.not_equal is also a per-element Python loop, so this costs the
-        # same and cannot diverge from the per-row fallback's `if col[row]:`
-        # — e.g. a falsy non-string like 0 or False must NOT claim an
-        # item's slot with PAD tokens).
-        return np.frompyfunc(bool, 1, 1)(col).astype(bool)
-
     def encode_per_item(
         self,
         item_idx: np.ndarray,
@@ -117,20 +147,10 @@ class HashedNgramEncoder:
         items at production scale).
         """
         table = np.full((num_items, self.max_tokens), PAD_ID, np.int32)
-        n = len(item_idx)
-        item_idx = np.asarray(item_idx)
-        has_any = self._truthy(titles, n) | self._truthy(texts, n)
-        cand = np.flatnonzero(
-            has_any & (item_idx >= 0) & (item_idx < num_items)
+        items, item_texts = select_first_item_texts(
+            item_idx, texts, num_items, titles
         )
-        # np.unique(return_index) is stable: first qualifying row per item.
-        uniq_items, first = np.unique(item_idx[cand], return_index=True)
-        for item, row in zip(uniq_items.tolist(), cand[first].tolist()):
-            text = None
-            if titles is not None and titles[row]:
-                text = str(titles[row])
-            if texts is not None and texts[row]:
-                text = (text + " " if text else "") + str(texts[row])
+        for item, text in zip(items.tolist(), item_texts):
             table[item] = self.encode_one(text)
         return table
 

@@ -71,12 +71,18 @@ def init_params(
     num_items: int,
     *,
     pad_multiple: int = LANE,
+    text_embedding_init: Array | None = None,
 ) -> Params:
     """Build the parameter pytree.
 
     Table row counts are padded up to ``pad_multiple`` so a model-parallel
     mesh axis divides them evenly; padding rows are inert (never gathered —
     ids are dense in ``[0, num_users/items)`` by vocab construction).
+
+    ``text_embedding_init``: optional pre-padded ``[padded_rows(
+    text_buckets), embedding_dim]`` initial text table (e.g. pretrained
+    word embeddings, features/transformer_encoder.py) used in place of the
+    random init.
     """
     k_ue, k_ie, k_ut, k_it, k_tx = jax.random.split(rng, 5)
     e = config.embedding_dim
@@ -94,13 +100,19 @@ def init_params(
         "item_tower": _init_tower(k_it, e, list(config.item_tower_dims)),
     }
     if config.text_buckets > 0:
-        # Hashed n-gram bucket table; row 0 is the PAD bucket (masked out).
-        params["text_embedding"] = (
-            jax.random.normal(
-                k_tx, (padded_rows(config.text_buckets, pad_multiple), e), jnp.float32
+        rows = padded_rows(config.text_buckets, pad_multiple)
+        if text_embedding_init is not None:
+            init = jnp.asarray(text_embedding_init, jnp.float32)
+            if init.shape != (rows, e):
+                raise ValueError(
+                    f"text_embedding_init shape {init.shape} != ({rows}, {e})"
+                )
+            params["text_embedding"] = init
+        else:
+            # Token bucket table; row 0 is the PAD bucket (masked out).
+            params["text_embedding"] = (
+                jax.random.normal(k_tx, (rows, e), jnp.float32) * scale
             )
-            * scale
-        )
     return params
 
 

@@ -132,9 +132,11 @@ class DeviceTrainer:
         checkpoint_manager: Any | None = None,
         shutdown: Any | None = None,
         mesh: Any | None = None,
+        text_embedding_init: np.ndarray | None = None,
     ):
         self.config = config
         self.optimizer = make_optimizer(config.training)
+        self._text_embedding_init = text_embedding_init
         self.log_q = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
         self.item_tokens = (
             jnp.asarray(item_tokens) if item_tokens is not None else None
@@ -160,7 +162,8 @@ class DeviceTrainer:
         from twotower_tpu.training.state import init_train_state
 
         return init_train_state(
-            self.config, self.optimizer, num_users, num_items, mesh=self.mesh
+            self.config, self.optimizer, num_users, num_items, mesh=self.mesh,
+            text_embedding_init=self._text_embedding_init,
         )
 
     def _epoch_fn(self, state: TrainState, num_steps: int):

@@ -284,6 +284,7 @@ class Trainer:
         item_tokens: np.ndarray | None = None,
         mesh: Any | None = None,
         num_items: int | None = None,
+        text_embedding_init: np.ndarray | None = None,
     ):
         self.config = config
         self.optimizer = make_optimizer(config.training)
@@ -291,6 +292,7 @@ class Trainer:
         self.mesh = mesh
         self.num_items = num_items
         self._item_tokens = item_tokens
+        self._text_embedding_init = text_embedding_init
         if mesh is not None:
             # Sharded step is built lazily in fit() — it needs the state
             # pytree structure for sharding inference.
@@ -310,7 +312,8 @@ class Trainer:
         from twotower_tpu.training.state import init_train_state
 
         return init_train_state(
-            self.config, self.optimizer, num_users, num_items, mesh=self.mesh
+            self.config, self.optimizer, num_users, num_items, mesh=self.mesh,
+            text_embedding_init=self._text_embedding_init,
         )
 
     def _ensure_step(self, state: TrainState) -> None:

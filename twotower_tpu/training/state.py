@@ -78,6 +78,8 @@ def init_train_state(
     num_users: int,
     num_items: int,
     mesh: Any = None,
+    *,
+    text_embedding_init: Any = None,
 ) -> TrainState:
     """Fresh seeded state for a trainer, placed for its execution mode.
 
@@ -91,7 +93,10 @@ def init_train_state(
     from twotower_tpu.models import two_tower
 
     rng = jax.random.PRNGKey(config.training.seed)
-    params = two_tower.init_params(rng, config.model, num_users, num_items)
+    params = two_tower.init_params(
+        rng, config.model, num_users, num_items,
+        text_embedding_init=text_embedding_init,
+    )
     if mesh is not None:
         from twotower_tpu.parallel.sharding import shard_state
         from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path

@@ -44,6 +44,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-users", type=int, default=2000)
     p.add_argument("--synthetic-items", type=int, default=1000)
     p.add_argument("--synthetic-interactions", type=int, default=100_000)
+    p.add_argument(
+        "--synthetic-text", action="store_true",
+        help="generate text/title columns too (exercises the text tower)",
+    )
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     p.add_argument(
@@ -90,6 +94,7 @@ def load_interactions(args) -> "object":
             num_users=args.synthetic_users,
             num_items=args.synthetic_items,
             num_interactions=args.synthetic_interactions,
+            with_text=getattr(args, "synthetic_text", False),
         )
     import pandas as pd
 
@@ -117,31 +122,50 @@ def run(args, config: Config) -> dict:
     ckpt_dir = Path(args.checkpoint_dir or config.training.checkpoint_dir)
     manager = CheckpointManager(ckpt_dir, keep=config.training.keep_checkpoints)
     writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
+
+    # Optional item text tower: hashed n-grams (model.text_buckets > 0) or a
+    # HF tokenizer + pretrained word-embedding init
+    # (model.text_encoder="transformer"; features/transformer_encoder.py).
+    item_tokens = None
+    text_embedding_init = None
+    if splits.train.text is not None or splits.train.title is not None:
+        from twotower_tpu.features.transformer_encoder import build_text_encoder
+
+        encoder = build_text_encoder(config.model)
+        if encoder is not None and config.model.text_encoder == "transformer":
+            if config.model.text_buckets != encoder.num_buckets:
+                # Resolve buckets to the tokenizer vocab BEFORE the config
+                # snapshot below, so serve/evaluate rebuild the right shape.
+                config = config.with_overrides(
+                    {"model.text_buckets": encoder.num_buckets}
+                )
+            if config.model.text_pretrained_init:
+                try:
+                    text_embedding_init = encoder.word_embedding_init(
+                        config.model.embedding_dim
+                    )
+                except (OSError, ValueError) as exc:
+                    logger.warning(
+                        "no pretrained weights at %s (%s); text table keeps "
+                        "random init", config.model.text_model_path, exc,
+                    )
+        if encoder is not None:
+            item_tokens = encoder.encode_per_item(
+                data.item_idx, data.text, num_items, titles=data.title
+            )
+            logger.info(
+                "text tower on (%s): %d buckets x %d tokens/item",
+                config.model.text_encoder,
+                config.model.text_buckets, config.model.text_tokens,
+            )
+
     # Snapshot the RESOLVED config with the checkpoint: serve-model and
     # evaluate-model rebuild the exact trained model shape from it without
     # the operator re-passing every --override (load_config_for_checkpoint).
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     (ckpt_dir / "config.json").write_text(config.to_json())
-
-    # Optional hashed n-gram item text tower (model.text_buckets > 0).
-    item_tokens = None
-    if config.model.text_buckets > 0 and (
-        splits.train.text is not None or splits.train.title is not None
-    ):
-        from twotower_tpu.features.text_encoder import HashedNgramEncoder
-
-        encoder = HashedNgramEncoder(
-            num_buckets=config.model.text_buckets,
-            max_tokens=config.model.text_tokens,
-        )
-        item_tokens = encoder.encode_per_item(
-            data.item_idx, data.text, num_items, titles=data.title
-        )
+    if item_tokens is not None:
         np.savez_compressed(ckpt_dir / "item_tokens.npz", tokens=item_tokens)
-        logger.info(
-            "text tower on: %d buckets x %d tokens/item",
-            config.model.text_buckets, config.model.text_tokens,
-        )
 
     log_q = np.log(pp.vocab.items.frequencies + 1e-12)
     evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
@@ -174,6 +198,7 @@ def run(args, config: Config) -> dict:
             checkpoint_manager=manager,
             shutdown=shutdown,
             mesh=mesh,
+            text_embedding_init=text_embedding_init,
         )
         train_input = DeviceDataset.from_interactions(
             splits.train, config.training.batch_size
@@ -189,6 +214,7 @@ def run(args, config: Config) -> dict:
             item_tokens=item_tokens,
             mesh=mesh,
             num_items=num_items,
+            text_embedding_init=text_embedding_init,
         )
         import jax
 
