@@ -142,31 +142,40 @@ class TransformerTextEncoder:
     def _word_embeddings(self) -> np.ndarray:
         """The checkpoint's input word-embedding matrix ``[V, H]``.
 
-        Found structurally: the unique 2-D leaf in the Flax param tree whose
-        leading dim matches the tokenizer vocab (path containing
-        "embed"/"wte" preferred) — architecture-agnostic, no per-model map.
+        Found structurally: a 2-D leaf in the Flax param tree whose leading
+        dim matches ``len(tokenizer)`` (preferred — covers checkpoints whose
+        embedding matrix was resized for added tokens) or the base
+        ``vocab_size``; among size-ties, paths containing "embed"/"wte" win.
+        Architecture-agnostic, no per-model map.
         """
         import jax
 
         model = self._require_model()
-        vocab = self.tokenizer.vocab_size
+        sizes = (len(self.tokenizer), self.tokenizer.vocab_size)
         flat = jax.tree_util.tree_flatten_with_path(model.params)[0]
         hits = [
             ("/".join(str(k) for k in path).lower(), np.asarray(leaf))
             for path, leaf in flat
-            if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] == vocab
+            if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] in sizes
         ]
         if not hits:
             raise ValueError(
-                f"no [vocab={vocab}, H] embedding leaf in the model params"
+                f"no [vocab in {set(sizes)}, H] embedding leaf in the model "
+                "params"
             )
-        preferred = [h for h in hits if "embed" in h[0] or "wte" in h[0]]
-        path, emb = (preferred or hits)[0]
+        # Prefer the resized (len(tokenizer)) match, then embed-like paths.
+        hits.sort(
+            key=lambda h: (
+                h[1].shape[0] != sizes[0],
+                not ("embed" in h[0] or "wte" in h[0]),
+            )
+        )
+        path, emb = hits[0]
         logger.info("word embeddings from %s: %s", path, emb.shape)
         return emb.astype(np.float32)
 
     def word_embedding_init(
-        self, embedding_dim: int, *, pad_multiple: int = 128
+        self, embedding_dim: int, *, pad_multiple: int | None = None
     ) -> np.ndarray:
         """Text-table init ``[padded_rows(num_buckets), embedding_dim]`` from
         the pretrained word embeddings.
@@ -175,9 +184,14 @@ class TransformerTextEncoder:
         centered matrix) when H exceeds it, zero-padding otherwise; rows are
         RMS-matched to the random initializer's ``1/sqrt(E)`` scale so the
         towers see the same activation magnitudes either way. Row 0 (PAD)
-        and rows past the vocab stay zero (both are masked/never gathered).
+        and rows past the matched vocab stay zero (both are masked/never
+        gathered). ``pad_multiple`` defaults to the table layout's own
+        ``two_tower.LANE`` so init shape and model shape can never drift.
         """
-        from twotower_tpu.models.two_tower import padded_rows
+        from twotower_tpu.models.two_tower import LANE, padded_rows
+
+        if pad_multiple is None:
+            pad_multiple = LANE
 
         emb = self._word_embeddings()
         v, h = emb.shape
@@ -200,7 +214,10 @@ class TransformerTextEncoder:
         table = np.zeros(
             (padded_rows(self.num_buckets, pad_multiple), e), np.float32
         )
-        table[1 : v + 1] = proj  # +1: the id shift that keeps 0 = PAD
+        # +1: the id shift that keeps 0 = PAD. v is the MATCHED matrix's row
+        # count (len(tokenizer) when the checkpoint was resized for added
+        # tokens), so every pretrained row lands in the table.
+        table[1 : v + 1] = proj
         return table
 
     # -- full-model contextual vectors (offline) ---------------------------
@@ -222,7 +239,16 @@ class TransformerTextEncoder:
         norm = ["" if t is None else str(t) for t in texts]
         n = len(norm)
         if n == 0:
-            return np.zeros((0, 0), np.float32)
+            # Stable trailing dim even for empty input so callers can
+            # concatenate: read H off the model config (hidden_size, or
+            # n_embd for GPT-style configs).
+            cfg = getattr(model, "config", None)
+            hidden = int(
+                getattr(cfg, "hidden_size", None)
+                or getattr(cfg, "n_embd", 0)
+                or 0
+            )
+            return np.zeros((0, hidden), np.float32)
         enc = self.tokenizer(
             norm,
             truncation=True,
