@@ -1,0 +1,519 @@
+"""Prepared-artifact fast path: feed training from prepare-data output.
+
+The reference's whole prep script exists to write artifacts training consumes
+(reference: scripts/data_processing/prepare_training_data.py:217-234 —
+``combined_interactions.parquet`` + id mappings). This module is the
+consumer side: it loads the vocab manifest and the already-encoded
+``user_idx``/``item_idx`` columns WITHOUT re-running the preprocessing
+pipeline (no re-clean, no re-k-core, no vocab rebuild), so the out-of-core
+streaming preparer's output (``data/streaming.py``) actually reaches a train
+step — the path BASELINE config 5 (571M rows, reference README.md:45-47)
+requires.
+
+Two consumption modes:
+
+- **in-memory** (``load_split``): materialize one split's encoded columns
+  as numpy arrays. Used for val/test everywhere (10% slices — the evaluator
+  needs random access) and for train at small/medium scale. Train rows come
+  back in stable timestamp-sorted order, bit-matching the in-memory
+  ``Preprocessor.split_temporal`` ordering so training trajectories are
+  identical to the legacy ``--data`` path.
+- **streaming** (``train_pipeline``): a chunked pyarrow ``iter_batches``
+  epoch iterator with a windowed (buffer) shuffle — bounded host memory for
+  corpora past RAM. Emits the same fixed-shape batch dicts as
+  ``data.pipeline.BatchPipeline`` including multi-host ``host_spans``.
+
+The temporal split is computed EXACTLY, out of core: the stable-sort rank
+semantics of ``Preprocessor.split_temporal`` (sort by timestamp, ties broken
+by row order) reduce to two order statistics over the timestamp column. Those
+are found by iterative histogram refinement over a monotonic uint64 key space
+(<= 4 column-only passes for 64-bit keys, 65536 bins per pass, O(1) state) —
+never holding the column in memory. Membership of any row is then a pure
+function of (its key, its tie rank), evaluated chunk-by-chunk with running
+tie counters.
+
+Equality with the in-memory pipeline's splits is asserted in
+tests/test_prepared.py.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Iterator
+
+import numpy as np
+
+from twotower_tpu.data.vocab import VocabPair
+from twotower_tpu.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+Batch = dict[str, np.ndarray]
+
+_SPLIT_LABELS = {"train": 0, "val": 1, "test": 2}
+
+
+# ---------------------------------------------------------------------------
+# Monotonic uint64 keys (exact total order matching np.sort on the source)
+# ---------------------------------------------------------------------------
+
+
+def _to_keys(values: np.ndarray) -> np.ndarray:
+    """Map a numeric column to uint64 keys whose ``<`` order equals
+    ``np.sort``'s order on the source dtype (NaN sorts last, like
+    ``np.argsort``)."""
+    v = np.asarray(values)
+    if v.dtype.kind in "iub":
+        # Shift signed ints into unsigned space (flip the sign bit).
+        return v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+    # Float: IEEE-754 total-order trick. For x >= 0 flip the sign bit; for
+    # x < 0 flip ALL bits. NaN (any payload) maps above +inf.
+    f = v.astype(np.float64)
+    bits = f.view(np.uint64)
+    neg = bits >> np.uint64(63) == 1
+    keys = np.where(
+        neg, ~bits, bits ^ np.uint64(1 << 63)
+    )
+    return np.where(np.isnan(f), np.uint64(0xFFFFFFFFFFFFFFFF), keys)
+
+
+def _keys_at_ranks(
+    chunk_iter_factory, ranks: list[int]
+) -> list[tuple[int, int]]:
+    """Exact order statistics over a streamed key column.
+
+    ``chunk_iter_factory()`` yields uint64 key chunks (one full pass per
+    call). For each 0-indexed rank ``k`` returns ``(key, count_below)``:
+    the value at sorted position ``k`` and the number of keys strictly
+    smaller. Iterative histogram refinement: 65536 bins per pass narrow the
+    candidate range by 16 bits, so <= 4 passes for 64-bit keys; state is
+    O(bins) per target.
+    """
+    targets = [
+        {"lo": np.uint64(0), "hi": np.uint64(0xFFFFFFFFFFFFFFFF), "below": 0}
+        for _ in ranks
+    ]
+
+    def span_bits(lo: np.uint64, hi: np.uint64) -> int:
+        span = int(hi) - int(lo)
+        return max(span, 1).bit_length()
+
+    while any(t["lo"] != t["hi"] for t in targets):
+        shifts = [max(0, span_bits(t["lo"], t["hi"]) - 16) for t in targets]
+        hists = [np.zeros(1 << 16, np.int64) for _ in targets]
+        for keys in chunk_iter_factory():
+            for t, shift, hist in zip(targets, shifts, hists):
+                if t["lo"] == t["hi"]:
+                    continue
+                in_range = (keys >= t["lo"]) & (keys <= t["hi"])
+                sel = keys[in_range]
+                bins = ((sel - t["lo"]) >> np.uint64(shift)).astype(np.int64)
+                hist += np.bincount(bins, minlength=1 << 16)
+        for t, shift, hist, rank in zip(targets, shifts, hists, ranks):
+            if t["lo"] == t["hi"]:
+                continue
+            cum = np.cumsum(hist)
+            want = rank - t["below"]  # rank within the current range
+            b = int(np.searchsorted(cum, want, side="right"))
+            t["below"] += int(cum[b - 1]) if b else 0
+            new_lo = np.uint64(int(t["lo"]) + (b << shift))
+            new_hi = np.uint64(
+                min(int(new_lo) + (1 << shift) - 1, int(t["hi"]))
+            )
+            t["lo"], t["hi"] = new_lo, new_hi
+            if shift == 0:
+                t["hi"] = t["lo"]
+    return [(int(t["lo"]), int(t["below"])) for t in targets]
+
+
+@dataclass(frozen=True)
+class TemporalSplitRule:
+    """Pure row-classification rule for the exact streaming temporal split.
+
+    Stable-sort semantics: a row's rank = #{keys < key_r} + its tie index
+    among equal keys in row order. Row is *train* iff rank < n_train,
+    *val* iff rank < n_train + n_val, else *test* — so membership needs only
+    the two boundary keys and their tie allowances.
+    """
+
+    key1: int  # key at sorted position n_train (train/val boundary)
+    m1: int  # ties of key1 admitted into train (rank space)
+    key2: int  # key at sorted position n_train + n_val (val/test boundary)
+    m2: int  # ties of key2 admitted into train+val
+    n_train: int
+    n_val: int
+    n_test: int
+
+    def classify(self, keys: np.ndarray, counters: dict[str, int]) -> np.ndarray:
+        """Labels (0 train / 1 val / 2 test) for one chunk of keys, advancing
+        the running tie ``counters`` — call strictly in row order."""
+        k1, k2 = np.uint64(self.key1), np.uint64(self.key2)
+        eq1 = keys == k1
+        eq2 = keys == k2
+        tie1 = counters.get("t1", 0) + np.cumsum(eq1) - 1
+        tie2 = counters.get("t2", 0) + np.cumsum(eq2) - 1
+        in_train = (keys < k1) | (eq1 & (tie1 < self.m1))
+        in_tv = (keys < k2) | (eq2 & (tie2 < self.m2))
+        counters["t1"] = counters.get("t1", 0) + int(eq1.sum())
+        counters["t2"] = counters.get("t2", 0) + int(eq2.sum())
+        return np.where(in_train, 0, np.where(in_tv, 1, 2)).astype(np.int8)
+
+
+class PreparedDataset:
+    """prepare-data / streaming-prepare artifact consumer.
+
+    Loads the vocab manifest (``vocab/``) and reads the encoded interaction
+    parquet column-by-column; never re-runs preprocessing. ``batch_rows``
+    caps every streamed chunk (the out-of-core contract shared with
+    ``data/streaming.py``).
+    """
+
+    def __init__(self, prepared_dir: str | Path, *, batch_rows: int = 1 << 20):
+        self.dir = Path(prepared_dir)
+        self.parquet_path = self.dir / "combined_interactions.parquet"
+        if not self.parquet_path.exists():
+            raise FileNotFoundError(
+                f"no combined_interactions.parquet under {self.dir} — run "
+                "prepare-data (optionally --streaming) first"
+            )
+        vocab_dir = self.dir / "vocab"
+        if not (vocab_dir / "user_vocab.npz").exists():
+            raise FileNotFoundError(
+                f"no vocab manifest under {vocab_dir} — the prepared artifact "
+                "is incomplete (re-run prepare-data, or migrate-reference-"
+                "artifacts for reference mappings.pkl output)"
+            )
+        self.vocab = VocabPair.load(vocab_dir)
+        self.batch_rows = int(batch_rows)
+        stats_path = self.dir / "dataset_stats.json"
+        self.stats: dict[str, Any] = (
+            json.loads(stats_path.read_text()) if stats_path.exists() else {}
+        )
+        import pyarrow.parquet as pq
+
+        self._pq = pq
+        pf = pq.ParquetFile(self.parquet_path)
+        self.num_rows = pf.metadata.num_rows
+        self.columns = {c.name for c in pf.schema_arrow}
+        for required in ("user_idx", "item_idx", "timestamp"):
+            if required not in self.columns:
+                raise ValueError(
+                    f"prepared parquet lacks {required!r} (have "
+                    f"{sorted(self.columns)}); was it written by prepare-data?"
+                )
+
+    @property
+    def num_users(self) -> int:
+        return len(self.vocab.users)
+
+    @property
+    def num_items(self) -> int:
+        return len(self.vocab.items)
+
+    @property
+    def has_text(self) -> bool:
+        return "text" in self.columns or "title" in self.columns
+
+    def log_q(self) -> np.ndarray:
+        """Log item-sampling probabilities from the manifest's global counts
+        (the log-Q correction input; same source as the legacy path's
+        rebuilt vocab)."""
+        return np.log(self.vocab.items.frequencies + 1e-12)
+
+    # -- streaming column access -------------------------------------------
+
+    def _iter_columns(self, columns: list[str]) -> Iterator[dict[str, np.ndarray]]:
+        pf = self._pq.ParquetFile(self.parquet_path)
+        for batch in pf.iter_batches(batch_size=self.batch_rows, columns=columns):
+            yield {
+                name: batch.column(name).to_numpy(zero_copy_only=False)
+                for name in columns
+            }
+
+    # -- temporal split ------------------------------------------------------
+
+    def temporal_rule(
+        self, train_split: float, val_split: float
+    ) -> TemporalSplitRule:
+        """Exact out-of-core equivalent of ``Preprocessor.split_temporal``:
+        same ``int(n * frac)`` boundary arithmetic, same stable-sort tie
+        semantics."""
+        n = self.num_rows
+        n_train = int(n * train_split)
+        n_val = int(n * val_split)
+        n_test = n - n_train - n_val
+
+        def key_chunks() -> Iterator[np.ndarray]:
+            for cols in self._iter_columns(["timestamp"]):
+                yield _to_keys(cols["timestamp"])
+
+        # Guard degenerate cuts (rank == n would index past the end).
+        ranks, idx_map = [], []
+        for rank in (n_train, n_train + n_val):
+            if 0 <= rank < n:
+                idx_map.append(len(ranks))
+                ranks.append(rank)
+            else:
+                idx_map.append(None)
+        found = _keys_at_ranks(key_chunks, ranks) if ranks else []
+        # Degenerate cut at rank >= n (empty val and/or test): key = max and
+        # count_below = 0 so the tie allowance (rank - count_below) admits
+        # every row, including max-key (NaN-timestamp) rows.
+        max_key = 0xFFFFFFFFFFFFFFFF
+        key1, below1 = (
+            found[idx_map[0]] if idx_map[0] is not None else (max_key, 0)
+        )
+        key2, below2 = (
+            found[idx_map[1]] if idx_map[1] is not None else (max_key, 0)
+        )
+        rule = TemporalSplitRule(
+            key1=key1,
+            m1=n_train - below1,
+            key2=key2,
+            m2=n_train + n_val - below2,
+            n_train=n_train,
+            n_val=n_val,
+            n_test=n_test,
+        )
+        logger.info(
+            "temporal split rule: %d train / %d val / %d test over %d rows",
+            n_train, n_val, n_test, n,
+        )
+        return rule
+
+    def load_split(
+        self,
+        rule: TemporalSplitRule,
+        subset: str,
+        *,
+        sort_by_time: bool = True,
+        extra_columns: tuple[str, ...] = (),
+    ) -> dict[str, np.ndarray]:
+        """Materialize one split's encoded columns (streaming selection pass).
+
+        ``sort_by_time=True`` returns rows in stable timestamp order — the
+        exact row order ``Preprocessor.split_temporal`` emits, so downstream
+        seeded shuffles see identical base order and training trajectories
+        bit-match the legacy in-memory path.
+        """
+        label = _SPLIT_LABELS[subset]
+        want = ["timestamp", "user_idx", "item_idx", *extra_columns]
+        parts: dict[str, list[np.ndarray]] = {c: [] for c in want}
+        counters: dict[str, int] = {}
+        for cols in self._iter_columns(want):
+            keys = _to_keys(cols["timestamp"])
+            labels = rule.classify(keys, counters)
+            mask = labels == label
+            if not mask.any():
+                continue
+            for c in want:
+                parts[c].append(cols[c][mask])
+        out = {
+            c: (
+                np.concatenate(parts[c])
+                if parts[c]
+                else np.empty(0, np.int64 if c != "timestamp" else np.float64)
+            )
+            for c in want
+        }
+        if sort_by_time and len(out["timestamp"]):
+            order = np.argsort(_to_keys(out["timestamp"]), kind="stable")
+            out = {c: v[order] for c, v in out.items()}
+        out["user_idx"] = out["user_idx"].astype(np.int32)
+        out["item_idx"] = out["item_idx"].astype(np.int32)
+        return out
+
+    # -- item text tokens (streaming) ----------------------------------------
+
+    def build_item_tokens(self, encoder: Any) -> np.ndarray | None:
+        """Per-item token table from the parquet's text/title columns,
+        first-non-empty-occurrence per item (identical selection to
+        ``features.text_encoder.select_first_item_texts``, evaluated
+        incrementally in row order). Host memory is the token table itself
+        (``num_items x max_tokens`` int32) plus one chunk."""
+        if encoder is None or not self.has_text:
+            return None
+        from twotower_tpu.features.text_encoder import (
+            PAD_ID,
+            select_first_item_texts,
+        )
+
+        cols = ["item_idx"]
+        if "text" in self.columns:
+            cols.append("text")
+        if "title" in self.columns:
+            cols.append("title")
+        table = np.full((self.num_items, encoder.max_tokens), PAD_ID, np.int32)
+        filled = np.zeros(self.num_items, bool)
+        for chunk in self._iter_columns(cols):
+            items, texts = select_first_item_texts(
+                chunk["item_idx"].astype(np.int64),
+                chunk.get("text"),
+                self.num_items,
+                titles=chunk.get("title"),
+            )
+            fresh = ~filled[items]
+            if not fresh.any():
+                continue
+            items = items[fresh]
+            texts = [t for t, f in zip(texts, fresh.tolist()) if f]
+            table[items] = encoder.encode(np.array(texts, dtype=object))
+            filled[items] = True
+        return table
+
+    # -- streaming train pipeline --------------------------------------------
+
+    def train_pipeline(
+        self,
+        rule: TemporalSplitRule,
+        batch_size: int,
+        *,
+        seed: int = 42,
+        shuffle_buffer: int = 1 << 20,
+        host_spans: list[tuple[int, int]] | None = None,
+    ) -> "StreamingTrainPipeline":
+        return StreamingTrainPipeline(
+            self,
+            rule,
+            batch_size,
+            seed=seed,
+            shuffle_buffer=shuffle_buffer,
+            host_spans=host_spans,
+        )
+
+
+class StreamingTrainPipeline:
+    """Chunked epoch iterator over the prepared parquet's train split.
+
+    Bounded host memory: one parquet chunk + a ``shuffle_buffer``-row window.
+    Shuffling is the classic buffered (windowed) shuffle — each incoming
+    block evicts uniformly-random buffer rows, seeded per ``(seed, epoch)``,
+    so epochs are deterministic but not full permutations (the trade the
+    out-of-core contract buys; at ``shuffle_buffer >= n_train`` it IS a full
+    Fisher-Yates permutation). Batch contract matches
+    ``data.pipeline.BatchPipeline``: fixed-shape ``user_idx``/``item_idx``
+    int32 + ``weight`` float32, drop-remainder, optional ``host_spans``
+    row-slicing for multi-host input (every process must stream the same
+    artifact with the same seed so global batch composition agrees).
+    """
+
+    def __init__(
+        self,
+        dataset: PreparedDataset,
+        rule: TemporalSplitRule,
+        batch_size: int,
+        *,
+        seed: int = 42,
+        shuffle_buffer: int = 1 << 20,
+        host_spans: list[tuple[int, int]] | None = None,
+    ):
+        self.dataset = dataset
+        self.rule = rule
+        self.batch_size = int(batch_size)
+        self.seed = int(seed)
+        self.shuffle_buffer = max(int(shuffle_buffer), self.batch_size)
+        self._span_rows: np.ndarray | None = None
+        if host_spans is not None:
+            for lo, hi in host_spans:
+                if not 0 <= lo < hi <= self.batch_size:
+                    raise ValueError(
+                        f"span ({lo}, {hi}) outside batch [0, {self.batch_size})"
+                    )
+            self._span_rows = np.concatenate(
+                [np.arange(lo, hi, dtype=np.int64) for lo, hi in host_spans]
+            )
+
+    def __len__(self) -> int:
+        return self.rule.n_train // self.batch_size
+
+    @property
+    def num_examples(self) -> int:
+        return self.rule.n_train
+
+    def _train_chunks(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        counters: dict[str, int] = {}
+        for cols in self.dataset._iter_columns(
+            ["timestamp", "user_idx", "item_idx"]
+        ):
+            labels = self.rule.classify(_to_keys(cols["timestamp"]), counters)
+            mask = labels == 0
+            if mask.any():
+                yield (
+                    cols["user_idx"][mask].astype(np.int32),
+                    cols["item_idx"][mask].astype(np.int32),
+                )
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.seed + epoch)
+        bs = self.batch_size
+        cap = self.shuffle_buffer
+        buf_u = np.empty(cap, np.int32)
+        buf_i = np.empty(cap, np.int32)
+        fill = 0
+        out_u: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        pending = 0
+        emitted = 0
+        limit = len(self)
+
+        def emit() -> Iterator[Batch]:
+            nonlocal pending, emitted, out_u, out_i
+            if pending < bs:
+                return
+            u = np.concatenate(out_u)
+            it = np.concatenate(out_i)
+            n_full = min(len(u) // bs, limit - emitted)
+            for b in range(n_full):
+                sel = slice(b * bs, (b + 1) * bs)
+                bu, bi = u[sel], it[sel]
+                weight = np.ones(bs, np.float32)
+                if self._span_rows is not None:
+                    bu = bu[self._span_rows]
+                    bi = bi[self._span_rows]
+                    weight = weight[self._span_rows]
+                yield {"user_idx": bu, "item_idx": bi, "weight": weight}
+            emitted += n_full
+            rest = len(u) - n_full * bs
+            out_u = [u[len(u) - rest :]] if rest else []
+            out_i = [it[len(it) - rest :]] if rest else []
+            pending = rest
+
+        for cu, ci in self._train_chunks():
+            pos = 0
+            while pos < len(cu):
+                take = min(cap - fill, len(cu) - pos)
+                if take:
+                    buf_u[fill : fill + take] = cu[pos : pos + take]
+                    buf_i[fill : fill + take] = ci[pos : pos + take]
+                    fill += take
+                    pos += take
+                if fill == cap and pos < len(cu):
+                    # Buffer full with input remaining: evict random rows,
+                    # emit them, and refill with the incoming block — the
+                    # vectorized windowed shuffle.
+                    m = min(len(cu) - pos, cap)
+                    evict = rng.choice(cap, size=m, replace=False)
+                    out_u.append(buf_u[evict].copy())
+                    out_i.append(buf_i[evict].copy())
+                    pending += m
+                    buf_u[evict] = cu[pos : pos + m]
+                    buf_i[evict] = ci[pos : pos + m]
+                    pos += m
+                    yield from emit()
+                    if emitted >= limit:
+                        return
+            yield from emit()
+            if emitted >= limit:
+                return
+        # Drain: shuffle what's left in the buffer and emit final batches.
+        if fill:
+            perm = rng.permutation(fill)
+            out_u.append(buf_u[:fill][perm].copy())
+            out_i.append(buf_i[:fill][perm].copy())
+            pending += fill
+            yield from emit()
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self.epoch(0)

@@ -32,7 +32,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--step", type=int, default=None, help="checkpoint step (default latest)")
     src = p.add_mutually_exclusive_group()
     src.add_argument("--data", type=str, default=None, help="interactions parquet")
+    src.add_argument(
+        "--prepared-dir", type=str, default=None,
+        help="prepare-data artifact directory: score the held-out slice of "
+        "the already-encoded columns without re-running preprocessing",
+    )
     src.add_argument("--synthetic", action="store_true")
+    p.add_argument(
+        "--batch-rows", type=int, default=1 << 20,
+        help="rows per streamed parquet chunk for --prepared-dir",
+    )
     p.add_argument("--synthetic-users", type=int, default=2000)
     p.add_argument("--synthetic-items", type=int, default=1000)
     p.add_argument("--synthetic-interactions", type=int, default=100_000)
@@ -67,6 +76,55 @@ def run(args, config: Config) -> dict:
     from twotower_tpu.training.train import load_interactions
 
     ckpt_dir = Path(args.checkpoint_dir)
+    if getattr(args, "prepared_dir", None):
+        # Prepared-artifact fast path: encoded columns + checkpoint vocab,
+        # no re-preprocessing (mirrors train-model --prepared-dir).
+        from twotower_tpu.data.prepared import PreparedDataset
+
+        if args.split != "temporal":
+            raise SystemExit("--prepared-dir supports the temporal split only")
+        dataset = PreparedDataset(args.prepared_dir, batch_rows=args.batch_rows)
+        rule = dataset.temporal_rule(
+            config.preprocessing.train_split, config.preprocessing.val_split
+        )
+        subset_cols = dataset.load_split(rule, args.subset)
+        num_users, num_items = dataset.num_users, dataset.num_items
+        vocab_dir = ckpt_dir / "vocab"
+        if vocab_dir.exists():
+            # Checkpoint parity check: the artifact's id spaces must be the
+            # ones the model was trained with.
+            ckpt_vocab = VocabPair.load(vocab_dir)
+            if (
+                len(ckpt_vocab.users) != num_users
+                or len(ckpt_vocab.items) != num_items
+            ):
+                raise SystemExit(
+                    f"prepared artifact vocab ({num_users} users / "
+                    f"{num_items} items) does not match the checkpoint vocab "
+                    f"({len(ckpt_vocab.users)} / {len(ckpt_vocab.items)}); "
+                    "evaluate against the artifact the model trained on"
+                )
+        params, meta = restore_params(
+            config, ckpt_dir, num_users, num_items, step=args.step
+        )
+        item_tokens = None
+        tokens_path = ckpt_dir / "item_tokens.npz"
+        if tokens_path.exists():
+            import numpy as np
+
+            with np.load(tokens_path) as tok:
+                item_tokens = tok["tokens"]
+        evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
+        metrics = evaluator.evaluate(
+            params, subset_cols["user_idx"], subset_cols["item_idx"]
+        )
+        return {
+            "subset": args.subset,
+            "rows": len(subset_cols["user_idx"]),
+            "num_items": num_items,
+            "checkpoint_step": meta.get("step"),
+            "metrics": metrics,
+        }
     data = load_interactions(args)
     pp = Preprocessor(config.preprocessing)
 

@@ -35,11 +35,34 @@ def build_argparser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group()
     src.add_argument(
         "--data", type=str, default=None,
-        help="processed interactions parquet (from prepare-data)",
+        help="raw/processed interactions parquet — re-runs the full "
+        "preprocessing pipeline. For prepare-data output use "
+        "--prepared-dir, which skips re-preprocessing entirely",
+    )
+    src.add_argument(
+        "--prepared-dir", type=str, default=None,
+        help="prepare-data artifact directory "
+        "(combined_interactions.parquet + vocab manifest): consumes the "
+        "already-encoded columns and vocab WITHOUT re-running "
+        "preprocessing — the required path at streaming-prepare scale",
     )
     src.add_argument(
         "--synthetic", action="store_true",
         help="train on seeded synthetic interactions (no network needed)",
+    )
+    p.add_argument(
+        "--stream-batches", action="store_true",
+        help="with --prepared-dir: stream train batches from the parquet "
+        "chunk-by-chunk (windowed shuffle, bounded host memory) instead of "
+        "materializing the train split in RAM",
+    )
+    p.add_argument(
+        "--shuffle-buffer", type=int, default=1 << 20,
+        help="windowed-shuffle buffer rows for --stream-batches",
+    )
+    p.add_argument(
+        "--batch-rows", type=int, default=1 << 20,
+        help="rows per streamed parquet chunk for --prepared-dir",
     )
     p.add_argument("--synthetic-users", type=int, default=2000)
     p.add_argument("--synthetic-items", type=int, default=1000)
@@ -102,10 +125,51 @@ def load_interactions(args) -> "object":
     return from_dataframe(df)
 
 
+def _resolve_text_tower(args, config: Config, has_text: bool):
+    """Build the optional text encoder + pretrained init, resolving
+    ``model.text_buckets`` into the config BEFORE the checkpoint snapshot.
+    Returns ``(config, encoder, text_embedding_init)``."""
+    if not has_text:
+        return config, None, None
+    from twotower_tpu.features.transformer_encoder import build_text_encoder
+
+    encoder = build_text_encoder(config.model)
+    text_embedding_init = None
+    if encoder is not None and config.model.text_encoder == "transformer":
+        if config.model.text_buckets != encoder.num_buckets:
+            # Resolve buckets to the tokenizer vocab BEFORE the config
+            # snapshot, so serve/evaluate rebuild the right shape.
+            config = config.with_overrides(
+                {"model.text_buckets": encoder.num_buckets}
+            )
+        if config.model.text_pretrained_init:
+            try:
+                text_embedding_init = encoder.word_embedding_init(
+                    config.model.embedding_dim
+                )
+            except (OSError, ValueError) as exc:
+                logger.warning(
+                    "no pretrained weights at %s (%s); text table keeps "
+                    "random init", config.model.text_model_path, exc,
+                )
+    return config, encoder, text_embedding_init
+
+
+class _EncodedColumns:
+    """Minimal encoded-columns view (what BatchPipeline/DeviceDataset read)."""
+
+    def __init__(self, user_idx, item_idx):
+        self.user_idx = user_idx
+        self.item_idx = item_idx
+
+    def __len__(self) -> int:
+        return len(self.user_idx)
+
+
 def run(args, config: Config) -> dict:
-    from twotower_tpu.data import BatchPipeline, Preprocessor
-    from twotower_tpu.evaluation import Evaluator
-    from twotower_tpu.training.loop import Trainer
+    if getattr(args, "prepared_dir", None):
+        return _run_prepared(args, config)
+    from twotower_tpu.data import Preprocessor
     from twotower_tpu.utils.checkpoint import CheckpointManager
     from twotower_tpu.utils.tracking import build_writers
 
@@ -126,38 +190,144 @@ def run(args, config: Config) -> dict:
     # Optional item text tower: hashed n-grams (model.text_buckets > 0) or a
     # HF tokenizer + pretrained word-embedding init
     # (model.text_encoder="transformer"; features/transformer_encoder.py).
+    config, encoder, text_embedding_init = _resolve_text_tower(
+        args, config,
+        splits.train.text is not None or splits.train.title is not None,
+    )
     item_tokens = None
-    text_embedding_init = None
-    if splits.train.text is not None or splits.train.title is not None:
-        from twotower_tpu.features.transformer_encoder import build_text_encoder
+    if encoder is not None:
+        item_tokens = encoder.encode_per_item(
+            data.item_idx, data.text, num_items, titles=data.title
+        )
+        logger.info(
+            "text tower on (%s): %d buckets x %d tokens/item",
+            config.model.text_encoder,
+            config.model.text_buckets, config.model.text_tokens,
+        )
 
-        encoder = build_text_encoder(config.model)
-        if encoder is not None and config.model.text_encoder == "transformer":
-            if config.model.text_buckets != encoder.num_buckets:
-                # Resolve buckets to the tokenizer vocab BEFORE the config
-                # snapshot below, so serve/evaluate rebuild the right shape.
-                config = config.with_overrides(
-                    {"model.text_buckets": encoder.num_buckets}
-                )
-            if config.model.text_pretrained_init:
-                try:
-                    text_embedding_init = encoder.word_embedding_init(
-                        config.model.embedding_dim
-                    )
-                except (OSError, ValueError) as exc:
-                    logger.warning(
-                        "no pretrained weights at %s (%s); text table keeps "
-                        "random init", config.model.text_model_path, exc,
-                    )
-        if encoder is not None:
-            item_tokens = encoder.encode_per_item(
-                data.item_idx, data.text, num_items, titles=data.title
+    return _fit_and_summarize(
+        args,
+        config,
+        num_users=num_users,
+        num_items=num_items,
+        log_q=np.log(pp.vocab.items.frequencies + 1e-12),
+        item_tokens=item_tokens,
+        text_embedding_init=text_embedding_init,
+        ckpt_dir=ckpt_dir,
+        manager=manager,
+        writers=writers,
+        save_vocab=lambda d: pp.vocab.save(d / "vocab"),
+        train_cols=_EncodedColumns(splits.train.user_idx, splits.train.item_idx),
+        val_arrays=(splits.val.user_idx, splits.val.item_idx),
+        test_arrays=(splits.test.user_idx, splits.test.item_idx),
+    )
+
+
+def _run_prepared(args, config: Config) -> dict:
+    """``--prepared-dir`` fast path: consume prepare-data artifacts (encoded
+    columns + vocab manifest) without re-running preprocessing — the only
+    viable route at streaming-prepare scale (BASELINE config 5, reference
+    README.md:45-47; artifact contract prepare_training_data.py:217-234)."""
+    from twotower_tpu.data.prepared import PreparedDataset
+    from twotower_tpu.utils.checkpoint import CheckpointManager
+    from twotower_tpu.utils.tracking import build_writers
+
+    if args.split != "temporal":
+        raise SystemExit(
+            "--prepared-dir supports the temporal split only (the random "
+            "split needs whole-corpus permutation; use the in-memory --data "
+            "path for --split random)"
+        )
+    dataset = PreparedDataset(args.prepared_dir, batch_rows=args.batch_rows)
+    num_users, num_items = dataset.num_users, dataset.num_items
+    rule = dataset.temporal_rule(
+        config.preprocessing.train_split, config.preprocessing.val_split
+    )
+    logger.info(
+        "prepared data: %d train / %d val / %d test; %d users, %d items",
+        rule.n_train, rule.n_val, rule.n_test, num_users, num_items,
+    )
+
+    ckpt_dir = Path(args.checkpoint_dir or config.training.checkpoint_dir)
+    manager = CheckpointManager(ckpt_dir, keep=config.training.keep_checkpoints)
+    writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
+
+    config, encoder, text_embedding_init = _resolve_text_tower(
+        args, config, dataset.has_text
+    )
+    item_tokens = dataset.build_item_tokens(encoder)
+    if item_tokens is not None:
+        logger.info(
+            "text tower on (%s): %d buckets x %d tokens/item",
+            config.model.text_encoder,
+            config.model.text_buckets, config.model.text_tokens,
+        )
+
+    val = dataset.load_split(rule, "val")
+    test = dataset.load_split(rule, "test")
+    train_cols = None
+    train_pipeline_factory = None
+    if args.stream_batches:
+        if args.device_loop:
+            raise SystemExit(
+                "--stream-batches is incompatible with --device-loop (the "
+                "device-resident epoch holds all train columns on device)"
             )
-            logger.info(
-                "text tower on (%s): %d buckets x %d tokens/item",
-                config.model.text_encoder,
-                config.model.text_buckets, config.model.text_tokens,
+
+        def train_pipeline_factory(host_spans):
+            return dataset.train_pipeline(
+                rule,
+                config.training.batch_size,
+                seed=config.training.seed,
+                shuffle_buffer=args.shuffle_buffer,
+                host_spans=host_spans,
             )
+    else:
+        train = dataset.load_split(rule, "train")
+        train_cols = _EncodedColumns(train["user_idx"], train["item_idx"])
+
+    return _fit_and_summarize(
+        args,
+        config,
+        num_users=num_users,
+        num_items=num_items,
+        log_q=dataset.log_q(),
+        item_tokens=item_tokens,
+        text_embedding_init=text_embedding_init,
+        ckpt_dir=ckpt_dir,
+        manager=manager,
+        writers=writers,
+        save_vocab=lambda d: dataset.vocab.save(d / "vocab"),
+        train_cols=train_cols,
+        train_pipeline_factory=train_pipeline_factory,
+        val_arrays=(val["user_idx"], val["item_idx"]),
+        test_arrays=(test["user_idx"], test["item_idx"]),
+    )
+
+
+def _fit_and_summarize(
+    args,
+    config: Config,
+    *,
+    num_users: int,
+    num_items: int,
+    log_q,
+    item_tokens,
+    text_embedding_init,
+    ckpt_dir: Path,
+    manager,
+    writers,
+    save_vocab,
+    val_arrays,
+    test_arrays,
+    train_cols=None,
+    train_pipeline_factory=None,
+) -> dict:
+    """Shared trainer body for the legacy and prepared data sources: config
+    snapshot -> trainer/mesh construction -> fit -> artifacts + summary."""
+    from twotower_tpu.data import BatchPipeline
+    from twotower_tpu.evaluation import Evaluator
+    from twotower_tpu.training.loop import Trainer
 
     # Snapshot the RESOLVED config with the checkpoint: serve-model and
     # evaluate-model rebuild the exact trained model shape from it without
@@ -167,12 +337,11 @@ def run(args, config: Config) -> dict:
     if item_tokens is not None:
         np.savez_compressed(ckpt_dir / "item_tokens.npz", tokens=item_tokens)
 
-    log_q = np.log(pp.vocab.items.frequencies + 1e-12)
     evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
     evaluate_fn = (
         None
-        if args.no_eval or len(splits.val) == 0
-        else evaluator.make_evaluate_fn(splits.val.user_idx, splits.val.item_idx)
+        if args.no_eval or len(val_arrays[0]) == 0
+        else evaluator.make_evaluate_fn(val_arrays[0], val_arrays[1])
     )
     from twotower_tpu.utils.profiling import GracefulShutdown, trace
 
@@ -201,7 +370,7 @@ def run(args, config: Config) -> dict:
             text_embedding_init=text_embedding_init,
         )
         train_input = DeviceDataset.from_interactions(
-            splits.train, config.training.batch_size
+            train_cols, config.training.batch_size
         )
     else:
         trainer = Trainer(
@@ -235,10 +404,13 @@ def run(args, config: Config) -> dict:
                 jax.process_index(), jax.process_count(), host_spans,
                 config.training.batch_size,
             )
-        train_input = BatchPipeline(
-            splits.train, config.training.batch_size, seed=config.training.seed,
-            host_spans=host_spans,
-        )
+        if train_pipeline_factory is not None:
+            train_input = train_pipeline_factory(host_spans)
+        else:
+            train_input = BatchPipeline(
+                train_cols, config.training.batch_size,
+                seed=config.training.seed, host_spans=host_spans,
+            )
     state = trainer.init_state(num_users, num_items)
     start_epoch = 0
     if args.resume and manager.latest_step() is not None:
@@ -257,7 +429,7 @@ def run(args, config: Config) -> dict:
     # state must always be saved — otherwise a resumed --no-eval run would
     # train past the restored step and silently persist nothing (the save
     # no-ops if that step's checkpoint already exists).
-    pp.vocab.save(ckpt_dir / "vocab")
+    save_vocab(ckpt_dir)
     if evaluate_fn is None or manager.latest_step() is None:
         # "epoch" in the metadata is where --resume restarts: without it a
         # resumed run would replay from epoch 0 on top of the restored step.
@@ -267,8 +439,8 @@ def run(args, config: Config) -> dict:
             extra={"epoch": start_epoch + len(result.history)},
         )
     test_metrics = (
-        evaluator.evaluate(result.state.params, splits.test.user_idx, splits.test.item_idx)
-        if len(splits.test)
+        evaluator.evaluate(result.state.params, test_arrays[0], test_arrays[1])
+        if len(test_arrays[0])
         else {}
     )
     for w in writers:
