@@ -38,7 +38,15 @@ class Evaluator:
         batch_size: int = 4096,
         corpus_chunk_size: int = 8192,
         item_tokens=None,
+        mesh=None,
     ):
+        """``mesh``: a multi-device mesh switches evaluation to the sharded
+        path — the encoded corpus stays row-sharded ``P(model, None)`` and
+        queries split over ``data`` (``parallel.spmd.make_sharded_eval_step``)
+        instead of replicating the corpus per device. Under multi-controller
+        runs every process passes the SAME full val arrays; each contributes
+        its addressable batch rows and the psummed metrics come back
+        identical everywhere (early stopping agrees by construction)."""
         self.config = config
         self.num_items = num_items
         tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
@@ -46,6 +54,23 @@ class Evaluator:
         self.max_k = min(max(self.ks), num_items)
         self.batch_size = batch_size
         self.corpus_chunk_size = corpus_chunk_size
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        self._span_rows = None
+        if self.mesh is not None:
+            from twotower_tpu.parallel.spmd import make_sharded_eval_step
+            from twotower_tpu.parallel.sharding import batch_shardings
+
+            self._sharded_encode, self._sharded_evalb = make_sharded_eval_step(
+                config, self.mesh, num_items, self.max_k, item_tokens=item_tokens
+            )
+            self._batch_sharding = batch_shardings(self.mesh, config.mesh)
+            if jax.process_count() > 1:
+                from twotower_tpu.parallel.sharding import process_row_spans
+
+                spans = process_row_spans(self._batch_sharding, batch_size)
+                self._span_rows = np.concatenate(
+                    [np.arange(lo, hi, dtype=np.int64) for lo, hi in spans]
+                )
 
         mcfg = config.model
 
@@ -75,6 +100,16 @@ class Evaluator:
         self._encode_corpus = _encode_corpus
         self._eval_batch = _eval_batch
 
+    def _put_batch(self, arr: np.ndarray):
+        """Host batch array -> sharded device array. Multi-controller: each
+        process supplies only its addressable rows of the (identical) global
+        batch; the runtime assembles the sharded array."""
+        if self._span_rows is not None:
+            return jax.make_array_from_process_local_data(
+                self._batch_sharding, arr[self._span_rows], arr.shape
+            )
+        return jax.device_put(arr, self._batch_sharding)
+
     def evaluate(
         self,
         params,
@@ -83,7 +118,10 @@ class Evaluator:
     ) -> dict[str, float]:
         """Single-positive protocol: for each (user, held-out item) row, rank
         the full corpus for the user and score where the item lands."""
-        corpus = self._encode_corpus(params)
+        sharded = self.mesh is not None
+        corpus = (
+            self._sharded_encode(params) if sharded else self._encode_corpus(params)
+        )
         n = len(user_idx)
         bs = self.batch_size
         batch_metrics = []
@@ -98,10 +136,19 @@ class Evaluator:
                 it = np.concatenate([it, np.zeros(pad, np.int32)])
             w = np.zeros(bs, np.float32)
             w[:real] = 1.0
-            m = self._eval_batch(
-                params, corpus, jnp.asarray(u), jnp.asarray(it), jnp.asarray(w),
-                self.max_k,
-            )
+            if sharded:
+                m = self._sharded_evalb(
+                    params,
+                    corpus,
+                    self._put_batch(u),
+                    self._put_batch(it),
+                    self._put_batch(w),
+                )
+            else:
+                m = self._eval_batch(
+                    params, corpus, jnp.asarray(u), jnp.asarray(it),
+                    jnp.asarray(w), self.max_k,
+                )
             batch_metrics.append(jax.device_get(m))
             batch_weights.append(float(real))
         out = merge_metric_sums(batch_metrics, batch_weights)

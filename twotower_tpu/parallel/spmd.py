@@ -320,37 +320,111 @@ def make_sharded_epoch_fn(
     return epoch_fn
 
 
-def make_sharded_eval_step(config: Config, mesh: Mesh, num_items: int, max_k: int):
+def make_sharded_eval_step(
+    config: Config,
+    mesh: Mesh,
+    num_items: int,
+    max_k: int,
+    *,
+    item_tokens: Any = None,
+):
     """Mesh-wide corpus encode + top-k + metrics.
 
-    The corpus stays row-sharded over ``model``; queries split over ``data``;
-    top-k runs against the (XLA-gathered) corpus with metric scalars psummed
-    to replicated outputs.
+    The encoded corpus genuinely STAYS row-sharded ``P(model, None)`` — each
+    device holds ``padded_items / num_model`` rows, never the full matrix
+    (at 10M items x 128 f32 dims the replicated alternative costs ~5 GB of
+    HBM per device during every validation pass; docs/evaluation.md has the
+    table). Queries split over ``data``; each device searches its local
+    corpus shard and the per-shard candidates merge exactly over the model
+    axis (``ops.topk.topk_mips_sharded`` — the same cross-shard merge
+    serving uses), with metric SUMS psummed over ``data`` to replicated
+    scalars, so every process sees identical metrics (multi-host early
+    stopping agrees by construction).
+
+    ``retrieval.eval_exact=false`` swaps in the per-shard
+    ``approx_max_k`` search (``topk_mips_approx_sharded``) for fast
+    validation at large corpora; final test evals should stay exact.
     """
     import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from twotower_tpu.evaluation.metrics import metrics_at_k
+    from twotower_tpu.evaluation.metrics import rank_of_true_item
     from twotower_tpu.models import two_tower
-    from twotower_tpu.ops.topk import topk_mips
+    from twotower_tpu.ops.topk import topk_mips_approx_sharded, topk_mips_sharded
 
     mcfg = config.model
     mesh_cfg = config.mesh
+    data_ax, model_ax = mesh_cfg.data_axis, mesh_cfg.model_axis
+    num_model = mesh.shape[model_ax]
     ks = tuple(k for k in sorted(config.retrieval.top_k_eval) if k <= max_k)
     rep = replicated(mesh)
     b_sh = batch_shardings(mesh, mesh_cfg)
+    corpus_sh = NamedSharding(mesh, P(model_ax, None))
+    # Equal shards need padding; pad rows are masked inside the local search
+    # (num_items bound), so they can never displace real candidates.
+    padded_items = -(-num_items // num_model) * num_model
+    exact = config.retrieval.eval_exact
+    tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
 
     def encode_corpus(params):
-        return two_tower.embed_item_table(params, mcfg, num_items)
+        full = two_tower.embed_item_table(
+            params, mcfg, num_items, item_tokens=tokens
+        )
+        return jnp.pad(full, ((0, padded_items - num_items), (0, 0)))
+
+    def body(u_loc, corpus_shard, t_loc, w_loc):
+        if exact:
+            _, topk_idx = topk_mips_sharded(
+                u_loc, corpus_shard, max_k,
+                axis_name=model_ax, num_items=num_items,
+            )
+        else:
+            _, topk_idx = topk_mips_approx_sharded(
+                u_loc, corpus_shard, max_k,
+                axis_name=model_ax, num_items=num_items,
+                recall_target=config.serving.recall_target,
+            )
+        rank = rank_of_true_item(topk_idx, t_loc)
+        w = w_loc.astype(jnp.float32)
+        gain = 1.0 / jnp.log2(rank.astype(jnp.float32) + 2.0)
+        sums: dict[str, Any] = {}
+        for k in ks:
+            hit = (rank < k).astype(jnp.float32)
+            sums[f"recall@{k}"] = (hit * w).sum()
+            sums[f"ndcg@{k}"] = (hit * gain * w).sum()
+        sums["mrr"] = (
+            (rank < max_k).astype(jnp.float32)
+            / (rank.astype(jnp.float32) + 1.0)
+            * w
+        ).sum()
+        sums["_weight"] = w.sum()
+        # Sum over data shards; model peers compute identical values (the
+        # cross-shard merge all-gathers along model), so no model reduction.
+        return {k: jax.lax.psum(v, data_ax) for k, v in sums.items()}
+
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(data_ax, None), P(model_ax, None), P(data_ax), P(data_ax)),
+        out_specs={f"recall@{k}": P() for k in ks}
+        | {f"ndcg@{k}": P() for k in ks}
+        | {"mrr": P(), "_weight": P()},
+        check_rep=False,
+    )
 
     def eval_batch(params, corpus, user_idx, true_item, weight):
+        # Query tower outside the shard_map: GSPMD handles the (possibly
+        # model-sharded) user-table gather; the island only sees [B, D].
         user_emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
-        _, topk_idx = topk_mips(user_emb, corpus, max_k)
-        return metrics_at_k(topk_idx, true_item, ks, weights=weight)
+        sums = mapped(user_emb, corpus, true_item, weight)
+        denom = jnp.maximum(sums["_weight"], 1.0)
+        return {k: v / denom for k, v in sums.items() if k != "_weight"}
 
-    encode = jax.jit(encode_corpus, out_shardings=rep)
+    encode = jax.jit(encode_corpus, out_shardings=corpus_sh)
     evalb = jax.jit(
         eval_batch,
-        in_shardings=(None, rep, b_sh, b_sh, b_sh),
+        in_shardings=(None, corpus_sh, b_sh, b_sh, b_sh),
         out_shardings={f"recall@{k}": rep for k in ks}
         | {f"ndcg@{k}": rep for k in ks}
         | {"mrr": rep},

@@ -337,12 +337,6 @@ def _fit_and_summarize(
     if item_tokens is not None:
         np.savez_compressed(ckpt_dir / "item_tokens.npz", tokens=item_tokens)
 
-    evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
-    evaluate_fn = (
-        None
-        if args.no_eval or len(val_arrays[0]) == 0
-        else evaluator.make_evaluate_fn(val_arrays[0], val_arrays[1])
-    )
     from twotower_tpu.utils.profiling import GracefulShutdown, trace
 
     mesh = None
@@ -350,6 +344,14 @@ def _fit_and_summarize(
         from twotower_tpu.parallel import build_mesh
 
         mesh = build_mesh(config.mesh)
+    # Mesh-aware evaluator: on a multi-device mesh the encoded corpus stays
+    # row-sharded P(model, None) instead of replicating per device.
+    evaluator = Evaluator(config, num_items, item_tokens=item_tokens, mesh=mesh)
+    evaluate_fn = (
+        None
+        if args.no_eval or len(val_arrays[0]) == 0
+        else evaluator.make_evaluate_fn(val_arrays[0], val_arrays[1])
+    )
     shutdown = GracefulShutdown().install()
     if args.device_loop:
         # --device-loop composes with --mesh: the epoch program runs SPMD
