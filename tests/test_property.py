@@ -80,19 +80,33 @@ class TestBucketByOwnerProperties:
         owner = np.clip(ids // rows_per_shard, 0, num_shards - 1)
         np.testing.assert_array_equal(owner[order], sorted_owner)
 
-        # Non-overflow entries go to their owner at a UNIQUE (dest, slot);
-        # overflow entries all land in the trash bucket (dest == num_shards).
+        # Non-overflow entries go to their owner; DUPLICATE ids share one
+        # (dest, slot) (dedup-before-exchange) while distinct ids never
+        # collide; overflow entries all land in the trash bucket.
         overflow = bucket_pos >= cap
         np.testing.assert_array_equal(dest[~overflow], sorted_owner[~overflow])
         assert np.all(dest[overflow] == num_shards)
-        pairs = list(zip(dest[~overflow].tolist(), slot[~overflow].tolist()))
-        assert len(pairs) == len(set(pairs))
+        slot_to_id: dict[tuple[int, int], int] = {}
+        for d, s, i in zip(
+            dest[~overflow].tolist(),
+            slot[~overflow].tolist(),
+            sorted_ids[~overflow].tolist(),
+        ):
+            assert slot_to_id.setdefault((d, s), i) == i  # no clobbering
         assert np.all(slot < cap)
 
-        # Drop accounting: exactly the entries beyond each owner's capacity.
-        want_drops = sum(
-            max(0, int((sorted_owner == s).sum()) - cap) for s in range(num_shards)
-        )
+        # Same id -> same slot everywhere (the dedup invariant).
+        for i in set(sorted_ids.tolist()):
+            sel = sorted_ids == i
+            assert len(set(zip(dest[sel].tolist(), slot[sel].tolist()))) == 1
+
+        # Drop accounting: capacity bounds UNIQUE ids per owner; an entry
+        # drops iff its id is beyond the owner's first `cap` unique ids.
+        want_drops = 0
+        for s in range(num_shards):
+            sel_ids = sorted_ids[sorted_owner == s]
+            uniq, counts = np.unique(sel_ids, return_counts=True)
+            want_drops += int(counts[cap:].sum())
         assert int(dropped) == want_drops
 
 
@@ -142,18 +156,16 @@ class TestAlltoallLookupProperties:
         for d in range(8):
             chunk = ids[d * per_dev : (d + 1) * per_dev]
             owners = chunk // rows_per_shard
-            counts = np.bincount(owners, minlength=8)
-            want_drops += int(np.maximum(counts - cap, 0).sum())
-            # Identify this device's non-overflow ids: first `cap` per owner
-            # in stable sorted-by-owner order.
-            order = np.argsort(owners, kind="stable")
-            pos_in_bucket = np.empty(per_dev, np.int64)
-            seen: dict[int, int] = {}
-            for p in order:
-                o = int(owners[p])
-                pos_in_bucket[p] = seen.get(o, 0)
-                seen[o] = seen.get(o, 0) + 1
-            ok = pos_in_bucket < cap
+            # Dedup-before-exchange: capacity bounds UNIQUE ids per owner.
+            # An entry survives iff its id is among the first `cap` unique
+            # ids (ascending — the bucketing sorts by id) of its owner.
+            ok = np.zeros(per_dev, bool)
+            for o in range(8):
+                sel = owners == o
+                uniq = np.unique(chunk[sel])  # ascending
+                kept = set(uniq[:cap].tolist())
+                ok[sel] = np.isin(chunk[sel], list(kept))
+                want_drops += int((~ok[sel]).sum())
             got = rows[d * per_dev : (d + 1) * per_dev]
             np.testing.assert_allclose(
                 got[ok], table[chunk[ok]], rtol=0, atol=0,

@@ -171,15 +171,18 @@ class TestSparseShardedStep:
 
     def test_tight_capacity_reports_drops(self, tiny_config, devices):
         """A pathologically skewed batch with a tight capacity factor must
-        surface nonzero dropped_ids instead of silently corrupting."""
+        surface nonzero dropped_ids instead of silently corrupting.
+        DISTINCT ids concentrated on one owner shard — duplicates alone no
+        longer overflow (dedup-before-exchange shares their slot)."""
         cfg, optimizer, state, batch, log_q = _setup(
             tiny_config.with_overrides({"training.batch_size": 128}), 2
         )
         cfg = cfg.with_overrides({"mesh.a2a_capacity_factor": 1.0})
-        # All items the same -> every item id routes to one owner shard;
-        # per-peer slice (16 ids) exceeds the factor-1.0 bucket (8).
+        # padded item table = 256 rows over 8 devices -> 32 rows/shard; ids
+        # 0..31 are all owner-0: each peer's 16-id slice lands 16 UNIQUE ids
+        # in one bucket, exceeding the factor-1.0 capacity (8).
         batch = dict(batch)
-        batch["item_idx"] = jnp.zeros_like(batch["item_idx"])
+        batch["item_idx"] = jnp.arange(128, dtype=jnp.int32) % 32
         mesh = build_mesh(cfg.mesh, devices)
         sharded = shard_state(mesh, state, cfg.mesh, sparse_mesh=True)
         step = make_sharded_train_step(
@@ -192,6 +195,52 @@ class TestSparseShardedStep:
             jax.device_put(jax.random.PRNGKey(0), replicated(mesh)),
         )
         assert float(metrics["dropped_ids"]) > 0
+
+    def test_flagship_capacity_factor_zero_drops(self, tiny_config, devices):
+        """The flagship presets ship a2a_capacity_factor > 0 (the traffic
+        win only materializes at capacity ~ B/S, a2a.py): with SHUFFLED
+        batches over a uniform id space, factor 1.25 must bind the buckets
+        well below worst case AND drop zero ids across several steps."""
+        from twotower_tpu.data import BatchPipeline, generate_interactions
+        from twotower_tpu.data.preprocess import Preprocessor
+        from twotower_tpu.parallel.sparse_spmd import _capacity
+
+        cfg = tiny_config.with_overrides(
+            {"training.batch_size": 8192, "mesh.num_model": 2,
+             "mesh.a2a_capacity_factor": 1.25, "model.dropout_rate": 0.0,
+             "training.sparse_table_updates": True}
+        )
+        world = 8
+        k = cfg.training.batch_size // 4 // 2  # per-peer slice
+        cap = _capacity(k, world, 1.25)
+        assert cap < k // 2, (cap, k)  # the factor genuinely binds
+
+        data = generate_interactions(
+            num_users=3000, num_items=2000, num_interactions=40_000, noise=0.3
+        )
+        pp = Preprocessor(cfg.preprocessing)
+        data = pp.process(data)
+        num_users, num_items = len(pp.vocab.users), len(pp.vocab.items)
+        optimizer = make_optimizer(cfg.training)
+        params = two_tower.init_params(
+            jax.random.PRNGKey(0), cfg.model, num_users, num_items
+        )
+        state = TrainState.for_config(params, optimizer, cfg)
+        mesh = build_mesh(cfg.mesh, devices)
+        sharded = shard_state(mesh, state, cfg.mesh, sparse_mesh=True)
+        step = make_sharded_train_step(cfg, optimizer, mesh, sharded, donate=False)
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        rng = jax.device_put(jax.random.PRNGKey(0), replicated(mesh))
+        pipe = BatchPipeline(data, cfg.training.batch_size, seed=42)
+        total_dropped = 0.0
+        for i, batch in enumerate(pipe.epoch(0)):
+            if i >= 3:
+                break
+            dev_batch = {k2: jax.device_put(jnp.asarray(v), b_sh) for k2, v in batch.items()}
+            sharded, metrics = step(sharded, dev_batch, rng)
+            assert np.isfinite(float(metrics["loss"]))
+            total_dropped += float(metrics["dropped_ids"])
+        assert total_dropped == 0.0
 
     def test_trainer_fit_sparse_on_mesh(self, tiny_config, devices):
         from twotower_tpu.data import BatchPipeline, Preprocessor, generate_interactions
@@ -261,38 +310,141 @@ class TestMixedSamplingOnMesh:
         # them by the lr scale).
         _assert_state_close(new_state, ref_state, rtol=1e-3, atol=2e-4)
 
-    def test_routing_falls_back_to_dense_on_indivisible_negs(self, tiny_config):
-        """A mixed config whose num_negatives doesn't split over the model
-        axis must ROUTE to the dense GSPMD step (which supports any count),
-        not hard-fail at startup behind the sparse routing predicate."""
+    def test_every_sampling_mode_routes_sparse(self, tiny_config):
+        """No shipped sampling configuration may silently lose the flagship
+        sparse path: in_batch, mixed (any num_negatives — indivisible counts
+        are exchange-padded) and uniform all route sparse; only non-Adam /
+        weight-decay / unsharded-table configs fall back to dense GSPMD."""
         from twotower_tpu.parallel.sparse_spmd import use_sparse_mesh_path
 
-        cfg = tiny_config.with_overrides(
-            {
-                "retrieval.candidate_sampling": "mixed",
-                "retrieval.num_negatives": 60,
-                "mesh.num_model": 8,
-            }
+        base = tiny_config.with_overrides({"mesh.num_model": 8})
+        for mode in ("in_batch", "mixed", "uniform"):
+            for negs in (60, 64):  # 60 does NOT divide the model axis
+                assert use_sparse_mesh_path(
+                    base.with_overrides(
+                        {"retrieval.candidate_sampling": mode,
+                         "retrieval.num_negatives": negs}
+                    )
+                ), (mode, negs)
+        assert not use_sparse_mesh_path(
+            base.with_overrides({"training.optimizer": "sgd"})
         )
-        assert not use_sparse_mesh_path(cfg)
-        # Divisible count (or in_batch sampling) keeps the sparse path.
-        assert use_sparse_mesh_path(
-            cfg.with_overrides({"retrieval.num_negatives": 64})
-        )
-        assert use_sparse_mesh_path(
-            cfg.with_overrides({"retrieval.candidate_sampling": "in_batch"})
+        assert not use_sparse_mesh_path(
+            base.with_overrides({"mesh.shard_embeddings": False})
         )
 
-    def test_neg_count_must_divide_model_axis(self, tiny_config, devices):
-        from twotower_tpu.parallel.sparse_spmd import make_sparse_sharded_train_step
-        from twotower_tpu.training import make_optimizer
-
+    @pytest.mark.parametrize("num_negs", [60, 61])
+    def test_indivisible_neg_count_matches_single_device(
+        self, tiny_config, devices, num_negs
+    ):
+        """num_negatives that doesn't split over the model axis: the
+        exchange pads internally, but the sampled set — and the resulting
+        numbers — must equal the single-device step exactly."""
         cfg, optimizer, state, batch, log_q = _setup(tiny_config, 8)
         cfg = cfg.with_overrides(
-            {"retrieval.candidate_sampling": "mixed", "retrieval.num_negatives": 60}
+            {"retrieval.candidate_sampling": "mixed",
+             "retrieval.num_negatives": num_negs}
         )
+        rng = jax.random.PRNGKey(13)
+        ref_step = make_train_step(
+            cfg, optimizer, log_q, donate=False, num_items=NUM_ITEMS
+        )
+        ref_state, ref_metrics = ref_step(state, batch, rng)
+
         mesh = build_mesh(cfg.mesh, devices)
-        with pytest.raises(ValueError, match="num_negatives"):
-            make_sparse_sharded_train_step(
-                cfg, optimizer, mesh, state, log_q, num_items=NUM_ITEMS
-            )
+        sharded = shard_state(mesh, state, cfg.mesh, sparse_mesh=True)
+        step = make_sharded_train_step(
+            cfg, optimizer, mesh, sharded, log_q, num_items=NUM_ITEMS, donate=False
+        )
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+        new_state, metrics = step(
+            sharded, dev_batch, jax.device_put(rng, replicated(mesh))
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+        )
+        assert float(metrics["dropped_ids"]) == 0.0
+        _assert_state_close(new_state, ref_state, rtol=1e-3, atol=2e-4)
+
+
+class TestUniformSamplingOnMesh:
+    @pytest.mark.parametrize("n_model", [2, 8])
+    def test_matches_single_device_sparse_step(self, tiny_config, devices, n_model):
+        """Uniform sampling on the sparse mesh: purely-local positive scores
+        against shared negatives (no item-column all_gather), numerically
+        identical to the single-device sparse step."""
+        cfg, optimizer, state, batch, log_q = _setup(tiny_config, n_model)
+        cfg = cfg.with_overrides(
+            {"retrieval.candidate_sampling": "uniform",
+             "retrieval.num_negatives": 64}
+        )
+        rng = jax.random.PRNGKey(7)
+        ref_step = make_train_step(
+            cfg, optimizer, log_q, donate=False, num_items=NUM_ITEMS
+        )
+        ref_state, ref_metrics = ref_step(state, batch, rng)
+
+        mesh = build_mesh(cfg.mesh, devices)
+        sharded = shard_state(mesh, state, cfg.mesh, sparse_mesh=True)
+        step = make_sharded_train_step(
+            cfg, optimizer, mesh, sharded, log_q, num_items=NUM_ITEMS, donate=False
+        )
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+        new_state, metrics = step(
+            sharded, dev_batch, jax.device_put(rng, replicated(mesh))
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(metrics["accuracy"]), float(ref_metrics["accuracy"]), atol=1e-6
+        )
+        assert float(metrics["dropped_ids"]) == 0.0
+        # atol 2.5e-3 (= 2.5x lr): the uniform loss leaves some dense-kernel
+        # grad elements near zero, where psum reduction-order noise (~1e-8)
+        # can flip the sign and step-1 Adam (update ~= lr * sign(g)) turns
+        # that into a +-lr delta. Loss/grad_norm/tables above agree to 1e-7—
+        # a real double-count would shift far more than isolated elements.
+        _assert_state_close(new_state, ref_state, rtol=1e-3, atol=2.5e-3)
+
+    def test_uniform_with_text_tower(self, tiny_config, devices):
+        cfg, optimizer, state, batch, log_q = _setup(tiny_config, 4, text=True)
+        cfg = cfg.with_overrides(
+            {"retrieval.candidate_sampling": "uniform",
+             "retrieval.num_negatives": 30}  # also indivisible by num_model
+        )
+        rng = jax.random.PRNGKey(9)
+        trng = np.random.default_rng(5)
+        tokens = trng.integers(1, 256, (NUM_ITEMS, 4)).astype(np.int32)
+        ref_step = make_train_step(
+            cfg, optimizer, log_q, item_tokens=tokens, donate=False,
+            num_items=NUM_ITEMS,
+        )
+        ref_state, ref_metrics = ref_step(state, batch, rng)
+
+        mesh = build_mesh(cfg.mesh, devices)
+        sharded = shard_state(mesh, state, cfg.mesh, sparse_mesh=True)
+        step = make_sharded_train_step(
+            cfg, optimizer, mesh, sharded, log_q, item_tokens=tokens,
+            num_items=NUM_ITEMS, donate=False,
+        )
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+        new_state, metrics = step(
+            sharded, dev_batch, jax.device_put(rng, replicated(mesh))
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+        )
+        # See test_matches_single_device_sparse_step for the atol rationale
+        # (step-1 Adam sign sensitivity on near-zero dense grads).
+        _assert_state_close(new_state, ref_state, rtol=1e-3, atol=2.5e-3)
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["text_embedding"]),
+            np.asarray(ref_state.params["text_embedding"]),
+            rtol=1e-3, atol=2.5e-3,  # same sign-flip rationale: the a2a
+            # dedup reorders near-zero token-row grad sums vs the
+            # single-device concat order
+        )

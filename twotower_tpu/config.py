@@ -243,8 +243,14 @@ class MeshConfig:
     num_model: int = 1
     shard_embeddings: bool = True
     # Sparse mesh path's all-to-all bucket sizing: <= 0 means worst-case-safe
-    # (zero dropped ids); k > 0 sizes buckets at k x the uniform expectation
-    # (drops are counted in the step metric ``dropped_ids``).
+    # (zero dropped ids, but S x more a2a traffic than necessary); f > 0
+    # sizes buckets at f x the uniform expectation of UNIQUE ids per owner
+    # (duplicates dedup before the exchange, so hot items are capacity-free).
+    # Guidance: 2.0 is +8 sigma of binomial skew at per-peer slices >= 1024
+    # over 16 devices — zero drops in practice (drops are counted in the
+    # step metric ``dropped_ids`` either way; overflow never corrupts other
+    # rows). The flagship presets set 2.0-2.5; see PARITY.md for measured
+    # traffic/step-time numbers.
     a2a_capacity_factor: float = 0.0
 
     def __post_init__(self) -> None:

@@ -300,6 +300,47 @@ def mixed_sampled_softmax_loss(
     return loss, metrics
 
 
+def uniform_softmax_block(
+    user_emb: Array,
+    pos_item_emb: Array,
+    neg_item_emb: Array,
+    pos_idx: Array | None = None,
+    neg_idx: Array | None = None,
+    *,
+    temperature: float = 0.1,
+) -> tuple[Array, Array, Array]:
+    """Per-row uniform-negative softmax CE for a row block of the batch.
+
+    The block form the sharded sparse step consumes (the uniform analog of
+    ``in_batch_softmax_block``): purely LOCAL — each row scores only its own
+    positive against the shared ``[N, D]`` negatives, so the distributed
+    step needs no item-column all_gather at all. Returns
+    ``(per_example [R], correct [R], raw_diag [R])`` with the same contract
+    as the other blocks (``raw_diag`` = raw positive score).
+    """
+    pos = jnp.einsum("bd,bd->b", user_emb, pos_item_emb).astype(jnp.float32)
+    neg = jax.lax.dot_general(
+        user_emb,
+        neg_item_emb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if pos_idx is not None and neg_idx is not None:
+        hit = neg_idx[None, :] == pos_idx[:, None]
+        neg = jnp.where(hit, _NEG_INF, neg)
+    logits = jnp.concatenate([pos[:, None], neg], axis=1) / jnp.asarray(
+        temperature, jnp.float32
+    )
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    per_example = -log_probs[:, 0]
+    correct = (jnp.argmax(logits, axis=-1) == 0).astype(jnp.float32)
+    return (
+        per_example,
+        jax.lax.stop_gradient(correct),
+        jax.lax.stop_gradient(pos),
+    )
+
+
 def uniform_sampled_softmax_loss(
     user_emb: Array,
     pos_item_emb: Array,
@@ -319,28 +360,20 @@ def uniform_sampled_softmax_loss(
     negative equal to the row's positive) are masked out.
     """
     batch = user_emb.shape[0]
-    pos = jnp.einsum("bd,bd->b", user_emb, pos_item_emb).astype(jnp.float32)
-    neg = jax.lax.dot_general(
+    per_example, correct, raw_pos = uniform_softmax_block(
         user_emb,
+        pos_item_emb,
         neg_item_emb,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        pos_idx,
+        neg_idx,
+        temperature=temperature,
     )
-    if pos_idx is not None and neg_idx is not None:
-        hit = neg_idx[None, :] == pos_idx[:, None]
-        neg = jnp.where(hit, _NEG_INF, neg)
-    logits = jnp.concatenate([pos[:, None], neg], axis=1) / jnp.asarray(
-        temperature, jnp.float32
-    )
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    per_example = -log_probs[:, 0]
     if weights is None:
         weights = jnp.ones((batch,), jnp.float32)
     weights = weights.astype(jnp.float32)
     denom = jnp.maximum(weights.sum(), 1.0)
     loss = (per_example * weights).sum() / denom
-    top1 = jnp.argmax(logits, axis=-1) == 0
     return loss, {
-        "accuracy": (top1.astype(jnp.float32) * weights).sum() / denom,
-        "logits_mean": (pos * weights).sum() / denom,
+        "accuracy": (correct * weights).sum() / denom,
+        "logits_mean": (raw_pos * weights).sum() / denom,
     }

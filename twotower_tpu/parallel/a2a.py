@@ -9,15 +9,19 @@ equivalent for use inside ``shard_map`` — the BASELINE north star's
   partial rows are summed over the model axis. Simple; moves ``B x E``
   per link — the same pattern GSPMD emits.
 - ``alltoall_lookup``: ids are bucketed by owner shard (sort + static-shape
-  capacity), exchanged with ``all_to_all``, gathered locally, and the rows
-  returned with a second ``all_to_all``. Traffic is ``S x capacity x E``
-  per device: at the safe default ``capacity=B`` (worst-case skew) that is
-  MORE than psum's ``~2 x B x E`` — the saving only materializes with
-  ``capacity ~ B/S`` (uniform ownership, e.g. shuffled batches), where it
-  is ``~B x E`` total. Callers who can bound per-shard ownership should
-  pass the tighter capacity; ids beyond a bucket's capacity fall into a
-  trash bucket (they read/write nothing real, and ``return_stats=True``
-  reports the count) — the default capacity stays worst-case-safe.
+  capacity, duplicate ids DEDUPLICATED into one slot), exchanged with
+  ``all_to_all``, gathered locally, and the rows returned with a second
+  ``all_to_all``. Traffic is ``S x capacity x E`` per device: at the safe
+  default ``capacity=B`` (worst-case skew) that is MORE than psum's
+  ``~2 x B x E`` — the saving only materializes with ``capacity ~ B/S``
+  (uniform ownership of the UNIQUE ids; duplicates are free, so zipf-hot
+  items do not consume capacity), where it is ``~B x E`` total. Callers
+  who can bound per-shard unique-id counts should pass the tighter
+  capacity (``mesh.a2a_capacity_factor``; the flagship presets ship one);
+  ids beyond a bucket's capacity fall into a trash bucket (they read/write
+  nothing real, and ``return_stats=True`` reports the count) — the default
+  capacity stays worst-case-safe. PARITY.md records the measured
+  step-time/traffic comparison.
 
 ``alltoall_row_update`` is the lookup's explicit transpose for the sparse
 training path: route row grads to owners, dedup there, lazy-Adam the local
@@ -60,23 +64,35 @@ def psum_lookup(table_shard: Array, ids: Array, *, axis_name: str) -> Array:
 
 
 def _bucket_by_owner(ids: Array, rows_per_shard: int, num_shards: int, cap: int):
-    """Stable group-by-owner with static-capacity buckets.
+    """Group-by-owner with static-capacity buckets, DEDUPLICATED slots.
+
+    Duplicate ids share one slot (sorting by id groups duplicates adjacently
+    and makes owners monotonic at once), so capacity bounds the UNIQUE ids
+    per owner — a hot item repeated hundreds of times in a batch consumes
+    one slot, not hundreds. This is what lets the flagship presets run tight
+    ``a2a_capacity_factor`` values with zero drops on realistic zipf-skewed
+    batches (tests/test_sparse_spmd.py).
 
     Returns ``(sorted_ids, sorted_owner, dest, slot, order, bucket_pos,
     dropped)``: ``dest``/``slot`` address a ``[num_shards + 1, cap]`` send
     buffer where bucket ``num_shards`` is the trash row for overflow entries
     (so an overflowing bucket can never clobber another id's valid slot),
-    ``bucket_pos`` is each entry's position within its owner's bucket
-    (pre-clamp), and ``dropped`` counts entries beyond capacity.
+    ``bucket_pos`` is each entry's unique-id position within its owner's
+    bucket (pre-clamp; duplicates share their first occurrence's position),
+    and ``dropped`` counts entries beyond capacity.
     """
     b = ids.shape[0]
     owner = jnp.clip(ids // rows_per_shard, 0, num_shards - 1)
-    order = jnp.argsort(owner)  # stable group-by-owner
+    order = jnp.argsort(ids)  # owner-monotonic AND duplicates adjacent
     sorted_ids = ids[order]
     sorted_owner = owner[order]
-    # Start offset of each owner bucket and position within it.
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    urank = jnp.cumsum(first) - 1  # unique rank; duplicates share it
     starts = jnp.searchsorted(sorted_owner, jnp.arange(num_shards))
-    bucket_pos = jnp.arange(b) - starts[sorted_owner]
+    start_urank = urank[jnp.clip(starts, 0, b - 1)]
+    bucket_pos = urank - start_urank[sorted_owner]
     overflow = bucket_pos >= cap
     dest = jnp.where(overflow, num_shards, sorted_owner)
     slot = jnp.minimum(bucket_pos, cap - 1)
@@ -201,10 +217,13 @@ def alltoall_row_update(
         .at[dest, slot]
         .set(sorted_ids.astype(jnp.int32))[:num_shards]
     )
+    # .add, not .set: duplicate ids share a slot (dedup-before-exchange), so
+    # their gradients pre-combine locally — the owner-side segment-sum then
+    # only has to merge cross-device contributions.
     send_grads = (
         jnp.zeros((num_shards + 1, cap, e), jnp.float32)
         .at[dest, slot]
-        .set(sorted_grads.astype(jnp.float32))[:num_shards]
+        .add(sorted_grads.astype(jnp.float32))[:num_shards]
     )
 
     recv_ids = jax.lax.all_to_all(

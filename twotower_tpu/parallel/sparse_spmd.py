@@ -61,29 +61,16 @@ Array = jax.Array
 
 def use_sparse_mesh_path(config: Config) -> bool:
     """Whether the mesh train step should run the sparse (a2a + scatter)
-    path. Falls back to the dense GSPMD step for configurations the sparse
-    path does not model (non-Adam optimizers, pure-uniform sampling,
-    unsharded tables, mixed sampling whose negative count does not split
-    over the model axis — the dense step handles any ``num_negatives``)."""
-    if not (
+    path. Every candidate-sampling mode (in_batch, mixed, uniform) has a
+    sparse mesh branch — mixed/uniform negative counts that don't split over
+    the model axis are padded internally, so no configuration silently loses
+    the flagship optimization. The dense GSPMD step remains only for
+    configurations the sparse math does not model: non-Adam optimizers /
+    weight decay (``effective_sparse_updates``) and unsharded tables."""
+    return bool(
         config.training.effective_sparse_updates()
-        and config.retrieval.candidate_sampling in ("in_batch", "mixed")
         and config.mesh.shard_embeddings
-    ):
-        return False
-    if (
-        config.retrieval.candidate_sampling == "mixed"
-        and config.retrieval.num_negatives % config.mesh.num_model != 0
-    ):
-        logger.warning(
-            "retrieval.num_negatives=%d does not divide by mesh.num_model=%d; "
-            "mixed sampling falls back to the dense GSPMD step (round "
-            "num_negatives to a multiple of the model axis to keep the "
-            "sparse a2a path)",
-            config.retrieval.num_negatives, config.mesh.num_model,
-        )
-        return False
-    return True
+    )
 
 
 def _capacity(k: int, num_shards: int, factor: float) -> int:
@@ -131,6 +118,7 @@ def make_sparse_sharded_train_step(
         in_batch_softmax_block,
         l2_penalty,
         mixed_softmax_block,
+        uniform_softmax_block,
     )
     from twotower_tpu.parallel.a2a import alltoall_lookup, alltoall_row_update
     from twotower_tpu.parallel.sharding import state_pspecs
@@ -147,16 +135,19 @@ def make_sparse_sharded_train_step(
     num_model = mesh.shape[model_ax]
     world = num_data * num_model
 
-    mixed = rcfg.candidate_sampling == "mixed"
-    num_negs = rcfg.num_negatives if mixed else 0
-    if mixed:
-        if num_items is None:
-            raise ValueError("mixed candidate sampling needs num_items")
-        if num_negs % num_model != 0:
-            raise ValueError(
-                f"retrieval.num_negatives={num_negs} must divide by the "
-                f"model axis ({num_model}) for the sparse mesh step"
-            )
+    mode = rcfg.candidate_sampling
+    mixed = mode == "mixed"
+    uniform = mode == "uniform"
+    sample_negs = mixed or uniform
+    num_negs = rcfg.num_negatives if sample_negs else 0
+    if sample_negs and num_items is None:
+        raise ValueError(f"{mode} candidate sampling needs num_items")
+    # The a2a gather slices ids 1/num_model per peer; counts that don't
+    # divide are padded for the EXCHANGE only (pad slots repeat neg_ids[0],
+    # are sliced off before the loss, and route zero gradients), so the
+    # sampled set — and bit parity with the single-device step — is exactly
+    # the configured num_negatives.
+    negs_padded = -(-num_negs // num_model) * num_model if sample_negs else 0
     log_uniform = -math.log(num_items) if mixed else 0.0
 
     batch_size = tcfg.batch_size
@@ -182,10 +173,10 @@ def make_sparse_sharded_train_step(
 
     out_dim = list(mcfg.item_tower_dims)[-1]
     # Fused Pallas block kernel on TPU when the [b_local, B] block fits
-    # (in-batch columns only; the mixed loss appends a uniform block and
-    # runs the XLA twin).
+    # (in-batch columns only; the mixed/uniform losses have sampled-negative
+    # blocks and run the XLA twins).
     use_pallas = (
-        not mixed
+        not sample_negs
         and pallas_enabled()
         and jax.default_backend() == "tpu"
         and pallas_kernels.supported_block(b_local, batch_size, out_dim)
@@ -249,8 +240,9 @@ def make_sparse_sharded_train_step(
         if tokens is not None:
             diff["tok_rows"] = tok_rows
         neg_ids = None
+        neg_ids_x = None
         neg_tokens = None
-        if mixed:
+        if sample_negs:
             # Shared uniform negatives: base_rng is replicated (no d_idx
             # fold), so every device samples the SAME ids — the exact fold
             # chain the single-device sparse step uses, for bit parity.
@@ -258,14 +250,27 @@ def make_sparse_sharded_train_step(
             neg_ids = jax.random.randint(
                 neg_rng, (num_negs,), 0, num_items, dtype=jnp.int32
             )
-            neg_rows, d4 = gather("item_embedding", neg_ids)
+            # Exchange-only padding up to a model-axis multiple: pad slots
+            # repeat neg_ids[0] (their gathered rows are sliced off before
+            # the loss; their routed gradients are zero).
+            pad = negs_padded - num_negs
+            neg_ids_x = (
+                jnp.concatenate(
+                    [neg_ids, jnp.broadcast_to(neg_ids[:1], (pad,))]
+                )
+                if pad
+                else neg_ids
+            )
+            neg_rows, d4 = gather("item_embedding", neg_ids_x)
             drop_fwd = drop_fwd + d4
-            diff["neg_rows"] = neg_rows
+            diff["neg_rows"] = neg_rows  # [negs_padded, E]
             if item_tok is not None:
-                neg_tokens = item_tok[neg_ids]
+                neg_tokens = item_tok[neg_ids_x]  # [negs_padded, T]
                 neg_tok_flat, d5 = gather("text_embedding", neg_tokens.reshape(-1))
                 drop_fwd = drop_fwd + d5
-                diff["neg_tok_rows"] = neg_tok_flat.reshape(num_negs, tok_width, -1)
+                diff["neg_tok_rows"] = neg_tok_flat.reshape(
+                    negs_padded, tok_width, -1
+                )
 
         def loss_fn(diff):
             dense_p = diff["dense"]
@@ -279,46 +284,62 @@ def make_sparse_sharded_train_step(
             i_emb = two_tower.apply_item_tower(
                 dense_p, item_in, mcfg, train=True, dropout_rng=i_rng
             )
-            # Item columns for the in-batch loss: the full global batch.
-            # The all_gather's transpose (psum-scatter over data) sums the
-            # column cotangents from every data shard automatically.
-            v_all = jax.lax.all_gather(i_emb, data_ax, tiled=True, axis=0)
-            idx_all = jax.lax.all_gather(ids_i, data_ax, tiled=True, axis=0)
-            w_all = jax.lax.all_gather(w, data_ax, tiled=True, axis=0)
-            if mixed:
+            neg_emb = None
+            if sample_negs:
                 # Negatives are shared by every shard: NO all_gather — each
                 # data shard's cotangent to the neg rows is its own share,
                 # summed across shards at the owner by the route's dedup.
-                neg_in = diff["neg_rows"]
+                # Exchange-padding slots are sliced off here, so the loss
+                # sees exactly num_negs candidates (single-device parity).
+                neg_in = diff["neg_rows"][:num_negs]
                 if "neg_tok_rows" in diff:
                     neg_in = neg_in + two_tower.pool_rows(
-                        diff["neg_tok_rows"], neg_tokens
+                        diff["neg_tok_rows"][:num_negs], neg_tokens[:num_negs]
                     )
                 neg_emb = two_tower.apply_item_tower(
                     dense_p, neg_in, mcfg, train=True, dropout_rng=i_rng
                 )
-                per_ex, correct, raw_diag = mixed_softmax_block(
+            if uniform:
+                # Purely local: each row scores its OWN positive against the
+                # shared negatives — no item-column all_gather at all.
+                per_ex, correct, raw_diag = uniform_softmax_block(
                     u_emb,
-                    v_all,
-                    idx_all,
-                    row_offset,
+                    i_emb,
                     neg_emb,
+                    ids_i,
                     neg_ids,
                     temperature=rcfg.temperature,
-                    log_q=lq if rcfg.logq_correction else None,
-                    log_uniform=log_uniform,
-                    weights_all=w_all,
                 )
             else:
-                per_ex, correct, raw_diag = loss_block(
-                    u_emb,
-                    v_all,
-                    idx_all,
-                    row_offset,
-                    temperature=rcfg.temperature,
-                    log_q=lq if rcfg.logq_correction else None,
-                    weights_all=w_all,
-                )
+                # Item columns for the in-batch loss: the full global batch.
+                # The all_gather's transpose (psum-scatter over data) sums
+                # the column cotangents from every data shard automatically.
+                v_all = jax.lax.all_gather(i_emb, data_ax, tiled=True, axis=0)
+                idx_all = jax.lax.all_gather(ids_i, data_ax, tiled=True, axis=0)
+                w_all = jax.lax.all_gather(w, data_ax, tiled=True, axis=0)
+                if mixed:
+                    per_ex, correct, raw_diag = mixed_softmax_block(
+                        u_emb,
+                        v_all,
+                        idx_all,
+                        row_offset,
+                        neg_emb,
+                        neg_ids,
+                        temperature=rcfg.temperature,
+                        log_q=lq if rcfg.logq_correction else None,
+                        log_uniform=log_uniform,
+                        weights_all=w_all,
+                    )
+                else:
+                    per_ex, correct, raw_diag = loss_block(
+                        u_emb,
+                        v_all,
+                        idx_all,
+                        row_offset,
+                        temperature=rcfg.temperature,
+                        log_q=lq if rcfg.logq_correction else None,
+                        weights_all=w_all,
+                    )
             denom = jnp.maximum(jax.lax.psum(jnp.sum(w), data_ax), 1.0)
             num = jnp.sum(per_ex * w)
             # This device's SHARE of the global loss: grad of the sum over
@@ -374,12 +395,13 @@ def make_sparse_sharded_train_step(
 
         item_route_ids = ids_i
         item_route_grads = grads["i_rows"]
-        if mixed:
+        if sample_negs:
             # Model peers hold identical neg grads (same data shard) and
             # each routes a distinct 1/num_model slice of the concatenation,
             # so every (shard, id) contribution is routed exactly once; the
-            # owner-side dedup sums the per-data-shard shares.
-            item_route_ids = jnp.concatenate([ids_i, neg_ids])
+            # owner-side dedup sums the per-data-shard shares. Padded slots
+            # carry zero gradients (the loss never touched them).
+            item_route_ids = jnp.concatenate([ids_i, neg_ids_x])
             item_route_grads = jnp.concatenate([grads["i_rows"], grads["neg_rows"]])
         row_work = {
             "user_embedding": (ids_u, grads["u_rows"]),
@@ -388,14 +410,14 @@ def make_sparse_sharded_train_step(
         if tokens is not None:
             tok_route_ids = tokens.reshape(-1)
             tok_route_grads = grads["tok_rows"].reshape(b_local * tok_width, -1)
-            if mixed and "neg_tok_rows" in grads:
+            if sample_negs and "neg_tok_rows" in grads:
                 tok_route_ids = jnp.concatenate(
                     [tok_route_ids, neg_tokens.reshape(-1)]
                 )
                 tok_route_grads = jnp.concatenate(
                     [
                         tok_route_grads,
-                        grads["neg_tok_rows"].reshape(num_negs * tok_width, -1),
+                        grads["neg_tok_rows"].reshape(negs_padded * tok_width, -1),
                     ]
                 )
             row_work["text_embedding"] = (tok_route_ids, tok_route_grads)
