@@ -1,6 +1,6 @@
 # Development workflow targets (the reference README declares `make
 # setup-dev` etc. at README.md:71-76 without shipping a Makefile).
-.PHONY: setup-dev test test-fast lint docs bench dryrun pipeline clean
+.PHONY: setup-dev test test-fast lint docs bench bench-check dryrun pipeline clean
 
 setup-dev:
 	pip install -e . --no-deps --no-build-isolation
@@ -22,6 +22,11 @@ docs:
 
 bench:
 	python bench.py
+
+# Bench with the perf floor enforced: exits 2 if throughput regresses more
+# than 10% vs the newest recorded BENCH_r*.json.
+bench-check:
+	python bench.py --enforce-floor
 
 # Validate the multi-chip sharded paths on 8 virtual CPU devices, exactly
 # as the driver does.

@@ -17,6 +17,13 @@ Baseline derivation (BASELINE.md): the reference reports 2.3 h training time
 for its development run (reference README.md:80) under batch 1024 x 50 epochs
 on a ~1M-interaction dev slice => ~50M examples / 8280 s ≈ 6,000 examples/s
 on the TF-CPU stack. vs_baseline = measured / 6000.
+
+Perf floor: the result is compared against the newest recorded
+``BENCH_r*.json`` in the repo root; a drop past ``FLOOR_TOLERANCE`` (10%)
+prints a loud STDERR regression warning, and with ``--enforce-floor`` (the
+``make bench-check`` CI entry) exits 2 so regressions fail the build instead
+of waiting for a human to diff round files. The JSON result line is printed
+either way.
 """
 
 from __future__ import annotations
@@ -29,6 +36,56 @@ import time
 import numpy as np
 
 BASELINE_EXAMPLES_PER_SEC = 6000.0
+FLOOR_TOLERANCE = 0.10  # fail past a 10% drop vs the last recorded round
+
+
+def last_recorded_value(root: "str | None" = None) -> float | None:
+    """Newest BENCH_r*.json value in the repo root (None if no history)."""
+    import pathlib
+    import re
+
+    here = (
+        pathlib.Path(root) if root else pathlib.Path(__file__).resolve().parent
+    )
+    rounds = []
+    for p in here.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    _, newest = max(rounds)
+    try:
+        rec = json.loads(newest.read_text())
+        # The driver wraps the bench line under "parsed"; accept both the
+        # raw {"value": ...} line and the wrapped round record.
+        if "value" not in rec and isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
+        return float(rec["value"])
+    except (ValueError, KeyError, TypeError, OSError):
+        return None
+
+
+def check_floor(value: float, root: "str | None" = None) -> bool:
+    """Compare against the last recorded round; True if within tolerance."""
+    prev = last_recorded_value(root)
+    if prev is None or prev <= 0:
+        return True
+    ratio = value / prev
+    if ratio < 1.0 - FLOOR_TOLERANCE:
+        print(
+            f"PERF REGRESSION: {value:.1f} examples/s/chip is "
+            f"{(1.0 - ratio) * 100:.1f}% below the last recorded round "
+            f"({prev:.1f}); floor is -{FLOOR_TOLERANCE * 100:.0f}%.",
+            file=sys.stderr,
+        )
+        return False
+    print(
+        f"perf floor ok: {value:.1f} vs last recorded {prev:.1f} "
+        f"({(ratio - 1.0) * 100:+.1f}%)",
+        file=sys.stderr,
+    )
+    return True
 
 # Flagship single-chip shapes: big enough to saturate the MXU, small enough
 # to compile fast. Batch 4096 (BASELINE.json config 2), 1M users, 500k items.
@@ -111,8 +168,11 @@ def main() -> None:
         )
     )
 
+    ok = check_floor(eps_per_chip)
     if "--breakdown" in sys.argv:
         breakdown(cfg, state, batches, log_q, step_ms=step_s * 1e3)
+    if not ok and "--enforce-floor" in sys.argv:
+        raise SystemExit(2)
 
 
 def _slope(fn, n1: int, n2: int) -> float:
