@@ -11,7 +11,10 @@ docs/serving.md (0.37 ms @ 500k, 4.0 ms @ 10M items on v5e).
 tunnel's D2H latency, not the serving design — see the verify skill notes.)
 
 Usage: python benchmarks/serving_http.py [--requests 2000] [--concurrency 32]
-Prints p50/p90/p99 per-request latency and sustained QPS, coalescing on/off.
+        [--routes recommend,similar_items,recommend_by_history]
+Prints p50/p90/p99 per-request latency and sustained QPS per POST route,
+coalescing on/off (all three endpoint families coalesce — each has its own
+MicroBatcher).
 """
 
 from __future__ import annotations
@@ -56,23 +59,37 @@ def build_service() -> RecommendService:
     return RecommendService(index, vocab, default_k=10)
 
 
-async def bench(service, *, coalesce: bool, n_requests: int, concurrency: int):
+def _payload(route: str, u: int) -> dict:
+    if route == "recommend":
+        return {"user_idx": u % NUM_USERS, "k": 10}
+    if route == "similar_items":
+        return {"item_idx": u % NUM_ITEMS, "k": 10}
+    if route == "recommend_by_history":
+        return {
+            "history_idx": [(u + j) % NUM_ITEMS for j in range(4)],
+            "k": 10,
+        }
+    raise ValueError(route)
+
+
+async def bench(
+    service, *, route: str, coalesce: bool, n_requests: int, concurrency: int
+):
     from aiohttp.test_utils import TestClient, TestServer
 
     app = create_app(service, coalesce=coalesce, window_ms=2.0)
     latencies: list[float] = []
     async with TestClient(TestServer(app)) as client:
         # warm the jit caches
-        await client.post("/recommend", json={"user_idx": 0, "k": 10})
+        warm = await client.post(f"/{route}", json=_payload(route, 0))
+        assert warm.status == 200, await warm.text()
 
         sem = asyncio.Semaphore(concurrency)
 
         async def one(u: int) -> None:
             async with sem:
                 t0 = time.perf_counter()
-                r = await client.post(
-                    "/recommend", json={"user_idx": u % NUM_USERS, "k": 10}
-                )
+                r = await client.post(f"/{route}", json=_payload(route, u))
                 body = await r.json()
                 latencies.append(time.perf_counter() - t0)
                 assert r.status == 200 and len(body["results"][0]["items"]) == 10
@@ -93,23 +110,30 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=2000)
     ap.add_argument("--concurrency", type=int, default=32)
+    ap.add_argument(
+        "--routes",
+        type=str,
+        default="recommend,similar_items,recommend_by_history",
+    )
     args = ap.parse_args()
 
     service = build_service()
-    for coalesce in (False, True):
-        r = asyncio.run(
-            bench(
-                service,
-                coalesce=coalesce,
-                n_requests=args.requests,
-                concurrency=args.concurrency,
+    for route in args.routes.split(","):
+        for coalesce in (False, True):
+            r = asyncio.run(
+                bench(
+                    service,
+                    route=route,
+                    coalesce=coalesce,
+                    n_requests=args.requests,
+                    concurrency=args.concurrency,
+                )
             )
-        )
-        print(
-            f"coalesce={str(coalesce):5s}  p50 {r['p50_ms']:6.2f} ms  "
-            f"p90 {r['p90_ms']:6.2f} ms  p99 {r['p99_ms']:6.2f} ms  "
-            f"{r['qps']:8.0f} req/s"
-        )
+            print(
+                f"{route:22s} coalesce={str(coalesce):5s}  "
+                f"p50 {r['p50_ms']:6.2f} ms  p90 {r['p90_ms']:6.2f} ms  "
+                f"p99 {r['p99_ms']:6.2f} ms  {r['qps']:8.0f} req/s"
+            )
 
 
 if __name__ == "__main__":

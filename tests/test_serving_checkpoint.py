@@ -582,6 +582,16 @@ class _CountingIndex:
             np.int32
         )
 
+    # All three endpoint families are coalesced now; the reload pre-swap
+    # warms every family against the fake too.
+    def similar_items(self, item_idx, k):
+        return self.recommend(item_idx, k)
+
+    def recommend_by_history(self, hist_idx, k):
+        rows = np.asarray(hist_idx)
+        first = np.where(rows.max(axis=1) >= 0, rows.max(axis=1), 0)
+        return self.recommend(first, k)
+
 
 class TestMicroBatcher:
     def test_concurrent_requests_coalesce(self):
@@ -773,6 +783,97 @@ class TestMicroBatcher:
                 assert h["coalesced_batches"] >= 1
 
         asyncio.run(go())
+
+    def test_mixed_endpoints_all_coalesce(self, service):
+        """Concurrent traffic on ALL THREE POST routes: each endpoint
+        family coalesces within its own batcher (device calls < requests)
+        and every response is correct for its request (r2 VERDICT weak #7:
+        /similar_items and /recommend_by_history used to dispatch one
+        device call per request)."""
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from twotower_tpu.serving.api import batchers_key
+
+        per_route = 8
+
+        async def go():
+            app = create_app(service, coalesce=True, window_ms=20.0)
+            async with TestClient(TestServer(app)) as client:
+                reqs = []
+                for u in range(per_route):
+                    reqs.append(
+                        client.post("/recommend", json={"user_idx": [u], "k": 3})
+                    )
+                    reqs.append(
+                        client.post(
+                            "/similar_items", json={"item_idx": [u], "k": 4}
+                        )
+                    )
+                    reqs.append(
+                        client.post(
+                            "/recommend_by_history",
+                            json={"history_idx": [u, u + 1], "k": 5},
+                        )
+                    )
+                rs = await asyncio.gather(*reqs)
+                assert all(r.status == 200 for r in rs), [
+                    (r.status, await r.text()) for r in rs if r.status != 200
+                ]
+                bodies = await asyncio.gather(*(r.json() for r in rs))
+                for i in range(per_route):
+                    rec, sim, hist = bodies[3 * i : 3 * i + 3]
+                    assert rec["results"][0]["user_idx"] == i
+                    assert len(rec["results"][0]["items"]) == 3
+                    assert sim["results"][0]["item_idx"] == i
+                    assert len(sim["results"][0]["items"]) == 4
+                    # self-neighbour excluded
+                    assert f"I{i}" not in sim["results"][0]["items"]
+                    assert len(hist["results"][0]["items"]) == 5
+                    # exclude_seen defaults on: history items filtered out
+                    got = hist["results"][0]["item_idx"]
+                    assert i not in got and (i + 1) not in got
+                # warmup issues device calls too, so count batches (which
+                # only increments on live groups) per family instead of
+                # raw index calls.
+                fams = app[batchers_key()]
+                assert set(fams) == {
+                    "recommend", "similar_items", "recommend_by_history"
+                }
+                for name, b in fams.items():
+                    assert 1 <= b.batches < per_route, (name, b.batches)
+
+        asyncio.run(go())
+
+    def test_history_coalescing_mixed_widths_and_k(self, service):
+        """History requests with different history lengths and ks coalesce
+        into shared fixed-width device calls and still slice correctly."""
+        import asyncio
+
+        from twotower_tpu.serving.api import MicroBatcher
+
+        async def go():
+            b = MicroBatcher(
+                service.index, max_batch=16, window_ms=30.0,
+                method="recommend_by_history", pad_value=-1,
+                pad_width=8, query_dtype=np.int64,
+            )
+            h1 = np.array([[2]], np.int64)
+            h2 = np.array([[3, 4, 5]], np.int64)
+            (s1, i1), (s2, i2) = await asyncio.gather(
+                b.submit(h1, 4), b.submit(h2, 6)
+            )
+            assert s1.shape == (1, 4) and i1.shape == (1, 4)
+            assert s2.shape == (1, 6) and i2.shape == (1, 6)
+            # Parity with the direct (uncoalesced, unpadded) index call.
+            ds, di = service.index.recommend_by_history(h1, 4)
+            np.testing.assert_array_equal(i1, di)
+            np.testing.assert_allclose(s1, ds, rtol=1e-5)
+            return b.batches
+
+        batches = asyncio.run(go())
+        assert batches >= 1
 
 
 class TestCheckpoint:

@@ -376,14 +376,12 @@ class RecommendService:
                 )
         return rows
 
-    def recommend_by_history(self, payload: dict) -> dict[str, Any]:
-        """POST /recommend_by_history — {history|history_idx, k?,
-        exclude?|exclude_idx?, exclude_seen?=true} -> ranked items.
-
-        Cold-start retrieval for users unseen at training time: each row's
-        query is the re-normalized mean of its history items' corpus
-        embeddings (``RetrievalIndex.recommend_by_history``). By default
-        the history items themselves are filtered from the results."""
+    def prepare_history(
+        self, payload: dict
+    ) -> tuple[np.ndarray, list, int, int, ModelSnapshot]:
+        """Validation half of /recommend_by_history: returns
+        ``(hist [N,W] padded -1, per_row_exclude, k, search_depth, snap)``
+        so the coalesced front can share the device call."""
         self._count_request()
         payload = self._check_payload(payload)
         snap = self.snapshot()
@@ -403,14 +401,18 @@ class RecommendService:
         depth = self.search_depth(
             k, max(len(e) for e in per_row), snap.index.num_items
         ) if any(len(e) for e in per_row) else k
-        t0 = time.perf_counter()
-        scores, items = snap.index.recommend_by_history(hist, depth)
+        return hist, per_row, k, depth, snap
+
+    def format_history(
+        self, scores, items, per_row, k: int, latency_ms: float, vocab
+    ) -> dict[str, Any]:
+        """Response half of /recommend_by_history (post-search filter +
+        encode)."""
         scores, items = self.filter_excluded(scores, items, per_row, k)
-        latency_ms = (time.perf_counter() - t0) * 1000
         return {
             "results": [
                 {
-                    "items": snap.vocab.items.decode(np.asarray(row_i)).tolist(),
+                    "items": vocab.items.decode(np.asarray(row_i)).tolist(),
                     "item_idx": np.asarray(row_i).tolist(),
                     "scores": [round(float(s), 6) for s in row_s],
                 }
@@ -420,8 +422,27 @@ class RecommendService:
             "latency_ms": round(latency_ms, 3),
         }
 
-    def similar_items(self, payload: dict) -> dict[str, Any]:
-        """POST /similar_items — {item_id|item_idx, k?} -> neighbours."""
+    def recommend_by_history(self, payload: dict) -> dict[str, Any]:
+        """POST /recommend_by_history — {history|history_idx, k?,
+        exclude?|exclude_idx?, exclude_seen?=true} -> ranked items.
+
+        Cold-start retrieval for users unseen at training time: each row's
+        query is the re-normalized mean of its history items' corpus
+        embeddings (``RetrievalIndex.recommend_by_history``). By default
+        the history items themselves are filtered from the results.
+
+        Synchronous path (FastAPI front, unit tests, library callers); the
+        aiohttp front coalesces concurrent calls through a MicroBatcher."""
+        hist, per_row, k, depth, snap = self.prepare_history(payload)
+        t0 = time.perf_counter()
+        scores, items = snap.index.recommend_by_history(hist, depth)
+        latency_ms = (time.perf_counter() - t0) * 1000
+        return self.format_history(scores, items, per_row, k, latency_ms, snap.vocab)
+
+    def prepare_similar(
+        self, payload: dict
+    ) -> tuple[np.ndarray, int, ModelSnapshot]:
+        """Validation half of /similar_items: ``(item_idx, k, snap)``."""
         self._count_request()
         payload = self._check_payload(payload)
         snap = self.snapshot()
@@ -451,12 +472,18 @@ class RecommendService:
             raise ServingError("item batch must be non-empty")
         if (idx < 0).any() or (idx >= snap.index.num_items).any():
             raise ServingError("item_idx out of range", status=404)
-        scores, items = snap.index.similar_items(idx.astype(np.int32), k)
+        if len(idx) > self.max_batch:
+            raise ServingError(f"batch too large: {len(idx)} > {self.max_batch}")
+        return idx, k, snap
+
+    @staticmethod
+    def format_similar(idx, scores, items, k: int, vocab) -> dict[str, Any]:
+        """Response half of /similar_items."""
         return {
             "results": [
                 {
                     "item_idx": int(i),
-                    "items": snap.vocab.items.decode(row_i).tolist(),
+                    "items": vocab.items.decode(row_i).tolist(),
                     "scores": [round(float(s), 6) for s in row_s],
                 }
                 for i, row_i, row_s in zip(idx, items, scores)
@@ -464,20 +491,38 @@ class RecommendService:
             "k": k,
         }
 
+    def similar_items(self, payload: dict) -> dict[str, Any]:
+        """POST /similar_items — {item_id|item_idx, k?} -> neighbours.
+
+        Synchronous path (FastAPI front, unit tests, library callers); the
+        aiohttp front coalesces concurrent calls through a MicroBatcher."""
+        idx, k, snap = self.prepare_similar(payload)
+        scores, items = snap.index.similar_items(idx.astype(np.int32), k)
+        return self.format_similar(idx, scores, items, k, snap.vocab)
+
 
 class MicroBatcher:
-    """Coalesces concurrent /recommend traffic into shared device calls.
+    """Coalesces concurrent search traffic into shared device calls.
 
     Under concurrency, per-request device dispatch wastes the chip: a 1-row
     and a 256-row query cost nearly the same (the corpus stream dominates —
-    see ``ops/topk.py``). Handlers enqueue ``(user_idx, k)`` and await a
+    see ``ops/topk.py``). Handlers enqueue ``(queries, k)`` and await a
     future; a single worker task drains the queue for up to
     ``window_ms`` (or until ``max_batch`` rows), issues ONE
-    ``index.recommend`` over the concatenated users in an executor thread
-    (the event loop stays free to accept requests), and scatters sliced
-    results back to each waiter. Batches are padded up to power-of-two
-    buckets so the jitted search compiles O(log max_batch) shapes, not one
-    per traffic pattern.
+    ``index.<method>`` over the concatenated query rows in an executor
+    thread (the event loop stays free to accept requests), and scatters
+    sliced results back to each waiter. Batches are padded up to
+    power-of-two buckets so the jitted search compiles O(log max_batch)
+    shapes, not one per traffic pattern.
+
+    One batcher serves one endpoint family: ``method`` names the index
+    entry point (``recommend`` for user queries, ``similar_items`` for
+    item-to-item, ``recommend_by_history`` for cold-start pooled queries —
+    the aiohttp front runs one batcher per family, so all three POST
+    routes coalesce). ``pad_value``/``pad_width`` control the filler rows:
+    user/item ids pad with a valid id 0; history rows pad with all ``-1``
+    (masked empty history) at the fixed ``pad_width`` so every group
+    shares one compiled width bucket.
 
     The window is ADAPTIVE: it only applies when other requests are already
     queued. A lone request dispatches immediately (zero added latency at
@@ -485,29 +530,50 @@ class MicroBatcher:
     device call accumulate and the next group coalesces them.
     """
 
-    def __init__(self, index, *, max_batch: int = 256, window_ms: float = 2.0):
+    def __init__(
+        self, index, *, max_batch: int = 256, window_ms: float = 2.0,
+        method: str = "recommend", pad_value: int = 0,
+        pad_width: int | None = None, query_dtype=np.int32,
+    ):
         self.index = index
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
+        self.method = method
+        self.pad_value = pad_value
+        self.pad_width = pad_width  # fixed trailing dim for 2-D queries
+        self.query_dtype = query_dtype
         self.batches = 0  # device calls issued (observability)
         self._queue: asyncio.Queue | None = None
         self._worker: asyncio.Task | None = None
 
-    async def recommend(self, user_idx: np.ndarray, k: int, index=None):
-        """Coalesced equivalent of ``index.recommend(user_idx, k)``.
+    async def submit(self, queries: np.ndarray, k: int, index=None):
+        """Coalesced equivalent of ``index.<method>(queries, k)``.
 
         ``index``: the model snapshot the request was VALIDATED against
         (defaults to the batcher's current index). Requests pinned to
         different index objects are never coalesced into one device call,
         so a hot reload mid-window cannot score a request on a model it
         did not validate against."""
+        if self.pad_width is not None:
+            # Fixed width bucket: every group concatenates cleanly and
+            # compiles ONE trailing shape (history pooling on padded -1
+            # columns is masked and costs nothing vs the corpus stream).
+            q = np.full(
+                (len(queries), self.pad_width), self.pad_value, self.query_dtype
+            )
+            q[:, : queries.shape[1]] = queries
+            queries = q
         loop = asyncio.get_running_loop()
         if self._worker is None or self._worker.done():
             self._queue = asyncio.Queue()
             self._worker = loop.create_task(self._run(self._queue))
         fut: asyncio.Future = loop.create_future()
-        self._queue.put_nowait((user_idx, k, fut, index or self.index))
+        self._queue.put_nowait((queries, k, fut, index or self.index))
         return await fut
+
+    async def recommend(self, user_idx: np.ndarray, k: int, index=None):
+        """Back-compat alias for the /recommend family's :meth:`submit`."""
+        return await self.submit(user_idx, k, index)
 
     def _bucket(self, n: int) -> int:
         # Clamped to max_batch: a non-power-of-two max_batch (say 100) must
@@ -518,14 +584,18 @@ class MicroBatcher:
             b *= 2
         return min(b, self.max_batch)
 
-    def _device_call(self, users: np.ndarray, k: int, index=None):
-        n = len(users)
+    def _device_call(self, queries: np.ndarray, k: int, index=None):
+        n = len(queries)
         if n > self.max_batch:  # HTTP fronts validate earlier; direct callers
             raise ServingError(f"batch too large: {n} > {self.max_batch}")
         padded = self._bucket(n)
-        if padded != n:  # pad with a valid row; sliced off below
-            users = np.concatenate([users, np.zeros(padded - n, users.dtype)])
-        scores, items = (index if index is not None else self.index).recommend(users, k)
+        if padded != n:  # pad with valid filler rows; sliced off below
+            filler = np.full(
+                (padded - n,) + queries.shape[1:], self.pad_value, queries.dtype
+            )
+            queries = np.concatenate([queries, filler])
+        target = index if index is not None else self.index
+        scores, items = getattr(target, self.method)(queries, k)
         return scores[:n], items[:n]
 
     def warmup(self, k: int, index=None) -> int:
@@ -543,15 +613,23 @@ class MicroBatcher:
         target = index if index is not None else self.index
         # Clamp to what the index can actually answer: default_k may exceed
         # a small catalog, and per-request validation is bypassed here.
-        k = max(1, min(k, target.num_items))
+        # similar_items searches k+1 internally (self-match), so its family
+        # clamps one tighter.
+        limit = target.num_items - (1 if self.method == "similar_items" else 0)
+        k = max(1, min(k, limit))
         sizes = []
         b = 1
         while b < self.max_batch:
             sizes.append(b)
             b *= 2
         sizes.append(self.max_batch)  # the clamp bucket (non-power-of-two too)
+        shape_tail = (self.pad_width,) if self.pad_width is not None else ()
         for b in sizes:
-            self._device_call(np.zeros(b, np.int32), k, target)
+            self._device_call(
+                np.full((b,) + shape_tail, self.pad_value, self.query_dtype),
+                k,
+                target,
+            )
         return len(sizes)
 
     async def _run(self, queue: asyncio.Queue):
@@ -641,17 +719,30 @@ def _admin_authorized(headers, admin_token: str) -> bool:
 
 
 _BATCHER_KEY = None
+_BATCHERS_KEY = None
 
 
 def batcher_key():
-    """The app key under which :func:`create_app` exposes its MicroBatcher
-    (None when coalescing is off) — for tests and observability hooks."""
+    """The app key under which :func:`create_app` exposes its /recommend
+    MicroBatcher (None when coalescing is off) — for tests and
+    observability hooks."""
     global _BATCHER_KEY
     if _BATCHER_KEY is None:
         from aiohttp import web
 
         _BATCHER_KEY = web.AppKey("batcher", object)
     return _BATCHER_KEY
+
+
+def batchers_key():
+    """App key for the full per-endpoint-family batcher dict
+    ({route_name -> MicroBatcher}; empty when coalescing is off)."""
+    global _BATCHERS_KEY
+    if _BATCHERS_KEY is None:
+        from aiohttp import web
+
+        _BATCHERS_KEY = web.AppKey("batchers", object)
+    return _BATCHERS_KEY
 
 
 def create_app(
@@ -673,16 +764,33 @@ def create_app(
     """
     from aiohttp import web
 
-    batcher = (
-        MicroBatcher(service.index, max_batch=service.max_batch, window_ms=window_ms)
-        if coalesce
-        else None
-    )
+    batcher = None
+    batchers: dict[str, MicroBatcher] = {}
+    if coalesce:
+        batcher = MicroBatcher(
+            service.index, max_batch=service.max_batch, window_ms=window_ms
+        )
+        # Fixed history width bucket: one compiled trailing shape for the
+        # whole family (pooling over padded -1 columns is masked and free
+        # next to the corpus stream).
+        hist_width = max(1, 1 << (int(service.max_history) - 1).bit_length())
+        batchers = {
+            "recommend": batcher,
+            "similar_items": MicroBatcher(
+                service.index, max_batch=service.max_batch,
+                window_ms=window_ms, method="similar_items",
+            ),
+            "recommend_by_history": MicroBatcher(
+                service.index, max_batch=service.max_batch,
+                window_ms=window_ms, method="recommend_by_history",
+                pad_value=-1, pad_width=hist_width, query_dtype=np.int64,
+            ),
+        }
 
     async def health(_request):
         body = service.health()
         if batcher is not None:
-            body["coalesced_batches"] = batcher.batches
+            body["coalesced_batches"] = sum(b.batches for b in batchers.values())
         # 503 while the model is unloaded (release-first reload in progress
         # or failed): readiness probes must pull the pod from rotation while
         # every query would 503, not keep routing to it.
@@ -706,6 +814,24 @@ def create_app(
             user_idx, scores, items, k, latency_ms, snap.vocab
         )
 
+    async def similar_coalesced(payload):
+        idx, k, snap = service.prepare_similar(payload)
+        scores, items = await batchers["similar_items"].submit(
+            idx.astype(np.int32), k, index=snap.index
+        )
+        return service.format_similar(idx, scores, items, k, snap.vocab)
+
+    async def history_coalesced(payload):
+        hist, per_row, k, depth, snap = service.prepare_history(payload)
+        t0 = time.perf_counter()
+        scores, items = await batchers["recommend_by_history"].submit(
+            hist, depth, index=snap.index
+        )
+        latency_ms = (time.perf_counter() - t0) * 1000
+        return service.format_history(
+            scores, items, per_row, k, latency_ms, snap.vocab
+        )
+
     def wrap(handler):
         is_async = asyncio.iscoroutinefunction(handler)
 
@@ -718,9 +844,9 @@ def create_app(
                 if is_async:
                     body = await handler(payload)
                 else:
-                    # Sync handlers (/similar_items, un-coalesced /recommend)
-                    # run the full-corpus device search and any cold jit
-                    # compile — off the event loop, like the batcher does.
+                    # Sync handlers (the un-coalesced POST routes) run the
+                    # full-corpus device search and any cold jit compile —
+                    # off the event loop, like the batchers do.
                     body = await asyncio.get_running_loop().run_in_executor(
                         None, handler, payload
                     )
@@ -766,14 +892,18 @@ def create_app(
             def pre_swap(new_index):
                 # configured_k (not the old catalog-clamped default_k): that
                 # is what default_k becomes after the swap on a big catalog,
-                # and warmup re-clamps it to the new index itself.
-                batcher.warmup(service.configured_k, index=new_index)
+                # and warmup re-clamps it to the new index itself. Every
+                # endpoint family's bucket shapes warm against the NEW
+                # index before the swap.
+                for b in batchers.values():
+                    b.warmup(service.configured_k, index=new_index)
         async with reload_lock:
             if release_first and batcher is not None:
-                # Drop the batcher's pin too — otherwise the old corpus's
+                # Drop the batchers' pins too — otherwise the old corpus's
                 # device buffers stay referenced through the whole rebuild,
                 # defeating the point of release-first (HBM headroom).
-                batcher.index = None
+                for b in batchers.values():
+                    b.index = None
             try:
                 info = await loop.run_in_executor(
                     None,
@@ -792,7 +922,8 @@ def create_app(
                     {"error": f"reload failed: {e}"}, status=500
                 )
             if batcher is not None:
-                batcher.index = service.index  # shapes already warmed pre-swap
+                for b in batchers.values():
+                    b.index = service.index  # shapes already warmed pre-swap
         return web.json_response(info)
 
     async def livez(_request):
@@ -804,15 +935,23 @@ def create_app(
 
     app = web.Application()
     app[batcher_key()] = batcher  # exposed for tests/observability; may be None
+    app[batchers_key()] = batchers  # per-endpoint-family batchers ({} if off)
     app.router.add_get("/health", health)
     app.router.add_get("/livez", livez)
     app.router.add_post(
         "/recommend",
         wrap(recommend_coalesced if batcher is not None else service.recommend),
     )
-    app.router.add_post("/similar_items", wrap(service.similar_items))
     app.router.add_post(
-        "/recommend_by_history", wrap(service.recommend_by_history)
+        "/similar_items",
+        wrap(similar_coalesced if batcher is not None else service.similar_items),
+    )
+    app.router.add_post(
+        "/recommend_by_history",
+        wrap(
+            history_coalesced if batcher is not None
+            else service.recommend_by_history
+        ),
     )
     app.router.add_post("/admin/reload", admin_reload)
 
@@ -820,9 +959,13 @@ def create_app(
 
         async def _warm(_app):
             loop = asyncio.get_running_loop()
-            shapes = await loop.run_in_executor(
-                None, batcher.warmup, service.default_k
-            )
+
+            def warm_all() -> int:
+                return sum(
+                    b.warmup(service.default_k) for b in batchers.values()
+                )
+
+            shapes = await loop.run_in_executor(None, warm_all)
             logger.info("serving warmup: %d bucket shapes compiled", shapes)
 
         app.on_startup.append(_warm)
