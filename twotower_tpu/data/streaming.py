@@ -14,22 +14,35 @@ passes over parquet chunks:
           matching the in-memory keep-latest semantics of
           ``Preprocessor.basic_cleaning``); winners become a 1-byte/row
           keep mask — no per-unique-pair dict
-  pass 2  filter + factorize: stream again, keep only winner rows passing
-          the rating and cleaned-text length gates, assign provisional
-          integer codes to user/item ids, and spill the surviving rows —
-          cleaned text and code columns included — to a temp parquet
+  pass 2  filter + hash: stream again, keep only winner rows passing the
+          rating and cleaned-text length gates, attach vectorized 128-bit
+          per-entity hashes (user and item), spill the surviving rows —
+          cleaned text and hash columns — to a temp parquet, and collect
+          each entity type's UNIQUE hash keys through a hash-partitioned
+          spiller (``_KeySpiller``: chunk uniques buffer in RAM, overflow
+          to 256 disk partitions, per-partition ``np.unique`` at the end —
+          NO per-unique-entity Python dict, no per-row Python loop)
+  map     one sequential rewrite assigns dense codes by binary search of
+          each row's hash in the sorted unique-key table (16 B/entity,
+          the only whole-corpus factorization state) and drops the hash
+          columns
   k-core  iterate over the temp parquet's two code COLUMNS only:
           ``np.bincount`` per pass, threshold, repeat to fixpoint (exact
           two-pass-per-iteration counting — SURVEY hard part 4's plan)
   pass 3  re-encode against the final vocab (sorted surviving ids — identical
-          to ``Vocabulary.build`` on the surviving rows) and write the final
-          ``combined_interactions.parquet`` + vocab + stats chunk by chunk
+          to ``Vocabulary.build`` on the surviving rows; id strings are
+          recovered from the temp parquet for SURVIVING entities only)
+          and write ``combined_interactions.parquet`` + vocab + stats
+          chunk by chunk
 
 Bounded state, by design: row buffers are capped at ``batch_rows`` rows
-(dedupe spill buffers at 4x that); the only whole-corpus state is the
-per-UNIQUE-entity id/count maps, two 1-byte-per-row keep masks, and one
-hash partition (~1/256th of the corpus) in RAM during dedupe — the
-standard out-of-core contract (row data >> key data).
+(spill buffers at 4x that); the whole-corpus state is 16 bytes per unique
+entity (the sorted hash-key tables: ~60M entities/GB — measured number in
+docs/data.md), two 1-byte-per-row keep masks, one hash partition
+(~1/256th of the corpus) in RAM during dedupe, and — inherent to the
+``Vocabulary`` artifact itself — the id strings of the entities that
+SURVIVE k-core. Entity identity is the 128-bit hash: two distinct ids
+alias with probability ~n^2/2^129 (~1e-21 at 10^8 entities).
 
 Equality with the in-memory pipeline is asserted in
 tests/test_streaming.py on a >10-chunk corpus.
@@ -63,6 +76,83 @@ def stream_interactions(
         pf = pq.ParquetFile(path)
         for batch in pf.iter_batches(batch_size=batch_rows):
             yield schema.from_dataframe(batch.to_pandas())
+
+
+class _KeySpiller:
+    """Bounded collection of unique 128-bit entity keys.
+
+    Per-chunk uniques buffer in RAM; past ``threshold`` buffered keys they
+    flush to 256 hash partitions on disk (top 8 bits of the leading word).
+    ``finalize()`` uniques each partition independently and concatenates —
+    globally sorted because the partition id is the leading comparison
+    prefix. The result (16 B/entity) is the ONLY whole-corpus state
+    factorization keeps; dense codes are positions in this table."""
+
+    DT = np.dtype([("a", np.uint64), ("b", np.uint64)])
+    _PARTS = 256
+
+    def __init__(self, spill_dir: Path, threshold: int):
+        self.spill_dir = Path(spill_dir)
+        self.threshold = int(threshold)
+        self._buf: list[np.ndarray] = []
+        self._buffered = 0
+        self._seq = 0
+        self._spilled = False
+
+    @classmethod
+    def pack(cls, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        out = np.empty(len(h1), cls.DT)
+        out["a"] = h1
+        out["b"] = h2
+        return out
+
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        keys = np.unique(self.pack(h1, h2))
+        self._buf.append(keys)
+        self._buffered += len(keys)
+        if self._buffered >= self.threshold:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buffered:
+            return
+        keys = np.unique(np.concatenate(self._buf))
+        part = (keys["a"] >> np.uint64(56)).astype(np.int64)
+        bounds = np.searchsorted(part, np.arange(self._PARTS + 1))
+        self.spill_dir.mkdir(parents=True, exist_ok=True)
+        for p in range(self._PARTS):
+            sl = keys[bounds[p] : bounds[p + 1]]
+            if len(sl):
+                np.save(self.spill_dir / f"part{p:03d}_{self._seq:04d}.npy", sl)
+        self._buf, self._buffered = [], 0
+        self._seq += 1
+        self._spilled = True
+
+    def finalize(self) -> np.ndarray:
+        """Sorted unique key table (frees all buffers/spill files)."""
+        if not self._spilled:
+            if not self._buf:
+                return np.empty(0, self.DT)
+            out = np.unique(np.concatenate(self._buf))
+            self._buf = []
+            return out
+        self._flush()
+        parts = []
+        try:
+            for p in range(self._PARTS):
+                files = sorted(self.spill_dir.glob(f"part{p:03d}_*.npy"))
+                if files:
+                    parts.append(
+                        np.unique(np.concatenate([np.load(f) for f in files]))
+                    )
+        finally:
+            for f in self.spill_dir.glob("part*.npy"):
+                f.unlink(missing_ok=True)
+            if self.spill_dir.exists():
+                self.spill_dir.rmdir()
+        return (
+            np.concatenate(parts) if parts else np.empty(0, self.DT)
+        )
 
 
 class StreamingPreprocessor:
@@ -292,14 +382,18 @@ class StreamingPreprocessor:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         tmp_path = out_dir / "_streaming_tmp.parquet"
+        hash_tmp = out_dir / "_streaming_hash_tmp.parquet"
 
         # ---- pass 1: dedupe winners over ALL rows (same order as the
         # in-memory pipeline: dedupe happens before the text/rating gates).
         winners_mask = self._dedupe_keep_mask(paths, out_dir)
 
-        # ---- pass 2: filter + factorize + spill to temp parquet.
-        u_codes: dict = {}
-        i_codes: dict = {}
+        # ---- pass 2: filter + hash + spill to temp parquet. Entity ids are
+        # factorized by 128-bit hash, NOT a per-unique-entity Python dict:
+        # unique keys stream through a hash-partitioned spiller so the
+        # whole-corpus state is 16 B/entity (VERDICT r2 weak #4).
+        u_spill = _KeySpiller(out_dir / "_ufact_spill", 4 * self.batch_rows)
+        i_spill = _KeySpiller(out_dir / "_ifact_spill", 4 * self.batch_rows)
         writer = None
         base = 0
         n_kept = 0
@@ -318,32 +412,19 @@ class StreamingPreprocessor:
                 sub = chunk.select(keep)
                 if len(sub) == 0:
                     continue
-                # Per-row dict.setdefault beats np.unique factorization here
-                # (measured 0.6-1.0x for unique->dict at 1.3-130x id
-                # repetition: numpy string sorts cost more than the loop).
-                uc = np.fromiter(
-                    (
-                        u_codes.setdefault(str(u), len(u_codes))
-                        for u in sub.user_id
-                    ),
-                    np.int64,
-                    count=len(sub),
-                )
-                ic = np.fromiter(
-                    (
-                        i_codes.setdefault(str(i), len(i_codes))
-                        for i in sub.item_id
-                    ),
-                    np.int64,
-                    count=len(sub),
-                )
+                uh1, uh2 = self._hash128(sub.user_id)
+                ih1, ih2 = self._hash128(sub.item_id)
+                u_spill.add(uh1, uh2)
+                i_spill.add(ih1, ih2)
                 frame = {
                     "user_id": sub.user_id.astype(str),
                     "parent_asin": sub.item_id.astype(str),
                     "rating": sub.rating,
                     "timestamp": sub.timestamp,
-                    "u_code": uc,
-                    "i_code": ic,
+                    "u_h1": uh1,
+                    "u_h2": uh2,
+                    "i_h1": ih1,
+                    "i_h2": ih2,
                 }
                 if sub.text is not None:
                     frame["text"] = sub.text.astype(str)
@@ -354,7 +435,7 @@ class StreamingPreprocessor:
                     pd.DataFrame(frame), preserve_index=False
                 )
                 if writer is None:
-                    writer = pq.ParquetWriter(tmp_path, table.schema)
+                    writer = pq.ParquetWriter(hash_tmp, table.schema)
                 writer.write_table(table)
                 n_kept += len(sub)
         finally:
@@ -363,11 +444,39 @@ class StreamingPreprocessor:
         if n_kept == 0:
             raise ValueError("all interactions filtered out before k-core")
 
+        # ---- map: dense codes by binary search in the sorted key tables;
+        # one sequential rewrite drops the hash columns so k-core and the
+        # final pass see exactly the code-column schema.
+        u_keys = u_spill.finalize()
+        i_keys = i_spill.finalize()
+        writer = None
+        try:
+            for batch in pq.ParquetFile(hash_tmp).iter_batches(
+                batch_size=self.batch_rows
+            ):
+                df = batch.to_pandas()
+                uk = _KeySpiller.pack(
+                    df.pop("u_h1").to_numpy(), df.pop("u_h2").to_numpy()
+                )
+                ik = _KeySpiller.pack(
+                    df.pop("i_h1").to_numpy(), df.pop("i_h2").to_numpy()
+                )
+                df["u_code"] = np.searchsorted(u_keys, uk).astype(np.int64)
+                df["i_code"] = np.searchsorted(i_keys, ik).astype(np.int64)
+                table = pa.Table.from_pandas(df, preserve_index=False)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp_path, table.schema)
+                writer.write_table(table)
+        finally:
+            if writer is not None:
+                writer.close()
+        hash_tmp.unlink(missing_ok=True)
+
         # ---- k-core iterations over the temp code columns only.
         min_u = self.config.min_interactions_per_user
         min_i = self.config.min_interactions_per_item
         keep_mask = np.ones(n_kept, bool)
-        n_users, n_items = len(u_codes), len(i_codes)
+        n_users, n_items = len(u_keys), len(i_keys)
         pf = pq.ParquetFile(tmp_path)
         for iteration in range(self.config.max_kcore_iterations):
             u_counts = np.zeros(n_users, np.int64)
@@ -406,26 +515,28 @@ class StreamingPreprocessor:
             raise ValueError("all interactions filtered out; relax k-core thresholds")
 
         # ---- final vocab: sorted surviving ids == Vocabulary.build on the
-        # surviving rows (same sorted-unique contract).
+        # surviving rows (same sorted-unique contract). Recount over the
+        # FINAL mask (the loop's counts may predate the last threshold
+        # pass) and recover id STRINGS from the surviving rows only — the
+        # dropped entities' strings never materialize in RAM.
         u_id_by_code = np.empty(n_users, object)
-        for k, v in u_codes.items():
-            u_id_by_code[v] = k
         i_id_by_code = np.empty(n_items, object)
-        for k, v in i_codes.items():
-            i_id_by_code[v] = k
-        # Recount over the FINAL mask (the loop's counts may predate the
-        # last threshold pass).
         u_final = np.zeros(n_users, np.int64)
         i_final = np.zeros(n_items, np.int64)
         pos = 0
         for batch in pf.iter_batches(
-            batch_size=self.batch_rows, columns=["u_code", "i_code"]
+            batch_size=self.batch_rows,
+            columns=["u_code", "i_code", "user_id", "parent_asin"],
         ):
             uc = batch.column("u_code").to_numpy()
             ic = batch.column("i_code").to_numpy()
             m = keep_mask[pos : pos + len(uc)]
             u_final += np.bincount(uc[m], minlength=n_users)
             i_final += np.bincount(ic[m], minlength=n_items)
+            u_id_by_code[uc[m]] = batch.column("user_id").to_pandas().to_numpy()[m]
+            i_id_by_code[ic[m]] = (
+                batch.column("parent_asin").to_pandas().to_numpy()[m]
+            )
             pos += len(uc)
 
         def build_vocab(id_by_code, counts):
