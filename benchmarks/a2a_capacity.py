@@ -173,8 +173,12 @@ def main() -> None:
         results.append(res)
         print(json.dumps(res), flush=True)
 
-    base = results[0]["a2a_mib_per_device_per_step"]
-    for r in results[1:]:
+    # Worst case is always factor<=0 (capacity=k), computed analytically —
+    # independent of which factors were requested or their order.
+    base = a2a_bytes_per_device(
+        args.batch, args.num_data, args.num_model, 128, 0.0
+    ) / 2**20
+    for r in results:
         r["traffic_ratio_vs_worst"] = round(
             base / r["a2a_mib_per_device_per_step"], 2
         )

@@ -20,6 +20,22 @@ import numpy as np
 
 from twotower_tpu.data.schema import Interactions
 
+
+def span_row_indices(host_spans: list, batch_size: int) -> np.ndarray:
+    """Validate ``[lo, hi)`` spans against the batch and flatten them into
+    the row-index array a process feeds to
+    ``jax.make_array_from_process_local_data``. The single source of truth
+    for span semantics — used by BatchPipeline, StreamingTrainPipeline
+    (``data/prepared.py``), and the Evaluator's multi-controller batch
+    assembly (spans themselves are derived from the sharding by
+    ``parallel.sharding.process_row_spans``)."""
+    for lo, hi in host_spans:
+        if not 0 <= lo < hi <= batch_size:
+            raise ValueError(f"span ({lo}, {hi}) outside batch [0, {batch_size})")
+    return np.concatenate(
+        [np.arange(lo, hi, dtype=np.int64) for lo, hi in host_spans]
+    )
+
 Batch = dict[str, Any]
 
 
@@ -72,14 +88,7 @@ class BatchPipeline:
         self.host_shard = host_shard
         self._span_rows: np.ndarray | None = None
         if host_spans is not None:
-            for lo, hi in host_spans:
-                if not 0 <= lo < hi <= self.batch_size:
-                    raise ValueError(
-                        f"span ({lo}, {hi}) outside batch [0, {self.batch_size})"
-                    )
-            self._span_rows = np.concatenate(
-                [np.arange(lo, hi, dtype=np.int64) for lo, hi in host_spans]
-            )
+            self._span_rows = span_row_indices(host_spans, self.batch_size)
 
     def __len__(self) -> int:
         n = len(self.user_idx)

@@ -53,6 +53,18 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def load_item_tokens(ckpt_dir: Path):
+    """Token table saved next to the checkpoint by train-model (None if
+    the model has no text tower)."""
+    tokens_path = Path(ckpt_dir) / "item_tokens.npz"
+    if not tokens_path.exists():
+        return None
+    import numpy as np
+
+    with np.load(tokens_path) as tok:
+        return tok["tokens"]
+
+
 def restore_params(config: Config, ckpt_dir: Path, num_users: int, num_items: int, step=None):
     """Restore params from a checkpoint via a freshly-initialized template."""
     from twotower_tpu.models import two_tower
@@ -107,14 +119,9 @@ def run(args, config: Config) -> dict:
         params, meta = restore_params(
             config, ckpt_dir, num_users, num_items, step=args.step
         )
-        item_tokens = None
-        tokens_path = ckpt_dir / "item_tokens.npz"
-        if tokens_path.exists():
-            import numpy as np
-
-            with np.load(tokens_path) as tok:
-                item_tokens = tok["tokens"]
-        evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
+        evaluator = Evaluator(
+            config, num_items, item_tokens=load_item_tokens(ckpt_dir)
+        )
         metrics = evaluator.evaluate(
             params, subset_cols["user_idx"], subset_cols["item_idx"]
         )
@@ -152,14 +159,9 @@ def run(args, config: Config) -> dict:
     num_users, num_items = len(pp.vocab.users), len(pp.vocab.items)
 
     params, meta = restore_params(config, ckpt_dir, num_users, num_items, step=args.step)
-    item_tokens = None
-    tokens_path = ckpt_dir / "item_tokens.npz"
-    if tokens_path.exists():
-        import numpy as np
-
-        with np.load(tokens_path) as tok:
-            item_tokens = tok["tokens"]
-    evaluator = Evaluator(config, num_items, item_tokens=item_tokens)
+    evaluator = Evaluator(
+        config, num_items, item_tokens=load_item_tokens(ckpt_dir)
+    )
     metrics = evaluator.evaluate(params, subset.user_idx, subset.item_idx)
     return {
         "subset": args.subset,

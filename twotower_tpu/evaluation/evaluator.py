@@ -65,11 +65,12 @@ class Evaluator:
             )
             self._batch_sharding = batch_shardings(self.mesh, config.mesh)
             if jax.process_count() > 1:
+                from twotower_tpu.data.pipeline import span_row_indices
                 from twotower_tpu.parallel.sharding import process_row_spans
 
-                spans = process_row_spans(self._batch_sharding, batch_size)
-                self._span_rows = np.concatenate(
-                    [np.arange(lo, hi, dtype=np.int64) for lo, hi in spans]
+                self._span_rows = span_row_indices(
+                    process_row_spans(self._batch_sharding, batch_size),
+                    batch_size,
                 )
 
         mcfg = config.model

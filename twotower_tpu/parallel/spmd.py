@@ -357,7 +357,12 @@ def make_sharded_eval_step(
     mesh_cfg = config.mesh
     data_ax, model_ax = mesh_cfg.data_axis, mesh_cfg.model_axis
     num_model = mesh.shape[model_ax]
-    ks = tuple(k for k in sorted(config.retrieval.top_k_eval) if k <= max_k)
+    # `or (max_k,)`: same tiny-corpus fallback as the replicated evaluator
+    # (evaluation/evaluator.py) — switching --mesh on must never change the
+    # metrics dict's keys.
+    ks = tuple(
+        k for k in sorted(config.retrieval.top_k_eval) if k <= max_k
+    ) or (max_k,)
     rep = replicated(mesh)
     b_sh = batch_shardings(mesh, mesh_cfg)
     corpus_sh = NamedSharding(mesh, P(model_ax, None))

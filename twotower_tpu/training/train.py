@@ -263,8 +263,6 @@ def _run_prepared(args, config: Config) -> dict:
             config.model.text_buckets, config.model.text_tokens,
         )
 
-    val = dataset.load_split(rule, "val")
-    test = dataset.load_split(rule, "test")
     train_cols = None
     train_pipeline_factory = None
     if args.stream_batches:
@@ -273,6 +271,8 @@ def _run_prepared(args, config: Config) -> dict:
                 "--stream-batches is incompatible with --device-loop (the "
                 "device-resident epoch holds all train columns on device)"
             )
+        # One classification scan materializes both held-out splits.
+        splits = dataset.load_splits(rule, ("val", "test"))
 
         def train_pipeline_factory(host_spans):
             return dataset.train_pipeline(
@@ -283,8 +283,11 @@ def _run_prepared(args, config: Config) -> dict:
                 host_spans=host_spans,
             )
     else:
-        train = dataset.load_split(rule, "train")
+        # All three splits in ONE full-corpus scan (not one scan each).
+        splits = dataset.load_splits(rule, ("train", "val", "test"))
+        train = splits["train"]
         train_cols = _EncodedColumns(train["user_idx"], train["item_idx"])
+    val, test = splits["val"], splits["test"]
 
     return _fit_and_summarize(
         args,
