@@ -144,6 +144,34 @@ class TestPreparedSplit:
             np.testing.assert_array_equal(cols["user_idx"], u_all[ref[subset]])
             np.testing.assert_array_equal(cols["item_idx"], i_all[ref[subset]])
 
+    def test_load_splits_single_scan_matches_per_split(self, tmp_path):
+        """load_splits (one classification scan for all subsets — what
+        train-model uses) must return exactly what per-subset load_split
+        calls return, and actually scan the parquet once."""
+        path, _ = _make_corpus(tmp_path)
+        cfg, out = _prepare(tmp_path, path)
+        ds = PreparedDataset(out, batch_rows=257)
+        rule = ds.temporal_rule(
+            cfg.preprocessing.train_split, cfg.preprocessing.val_split
+        )
+        scans = 0
+        orig = ds._iter_columns
+
+        def counting(*a, **k):
+            nonlocal scans
+            scans += 1
+            return orig(*a, **k)
+
+        ds._iter_columns = counting
+        combined = ds.load_splits(rule, ("train", "val", "test"))
+        assert scans == 1
+        ds._iter_columns = orig
+        for subset in ("train", "val", "test"):
+            single = ds.load_split(rule, subset)
+            assert set(single) == set(combined[subset])
+            for c, v in single.items():
+                np.testing.assert_array_equal(combined[subset][c], v)
+
     def test_split_no_val_test(self, tmp_path):
         path, _ = _make_corpus(tmp_path, n=500)
         cfg, out = _prepare(tmp_path, path)
