@@ -30,13 +30,31 @@ Array = jax.Array
 class Evaluator:
     """Recall@K / NDCG@K over the full item corpus."""
 
+    @staticmethod
+    def auto_chunk_size(num_items: int, batch_size: int) -> int:
+        """Exact-scan chunk size scaled to the corpus.
+
+        The per-chunk ``lax.top_k`` dominates the exact scan (measured
+        v5e, [4096 x 131072] f32 scores: top_k(100) 206 ms vs matmul
+        38 ms), so fewer/larger chunks win at big corpora: at 10M x 128
+        one 4096-row batch takes 42.6 s at the old fixed 8192 chunk vs
+        13.3 s at 131072 (3.2x). Target ~64-128 chunks, floor 8192 (small
+        corpora: one chunk), cap by a 2 GB score-buffer budget
+        (``batch_size x chunk x 4`` bytes) and 131072 (past which the
+        compile itself exhausts memory at eval batch sizes).
+        """
+        target = 1 << max(int(num_items / 64).bit_length() - 1, 0)
+        mem_cap = (2 << 30) // (4 * max(batch_size, 1))
+        cap = max(8192, min(131072, mem_cap))
+        return max(8192, min(target, cap))
+
     def __init__(
         self,
         config: Config,
         num_items: int,
         *,
         batch_size: int = 4096,
-        corpus_chunk_size: int = 8192,
+        corpus_chunk_size: int | None = None,
         item_tokens=None,
         mesh=None,
     ):
@@ -53,7 +71,11 @@ class Evaluator:
         self.ks = tuple(sorted(config.retrieval.top_k_eval))
         self.max_k = min(max(self.ks), num_items)
         self.batch_size = batch_size
-        self.corpus_chunk_size = corpus_chunk_size
+        self.corpus_chunk_size = (
+            corpus_chunk_size
+            if corpus_chunk_size is not None
+            else self.auto_chunk_size(num_items, batch_size)
+        )
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
         self._span_rows = None
         if self.mesh is not None:
