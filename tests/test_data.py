@@ -414,6 +414,51 @@ class TestReferenceMigration:
         )
         np.testing.assert_array_equal(ours.counts, vocab.users.counts)
 
+    def test_migrated_dir_is_a_complete_prepared_dir(self, tmp_path):
+        """The reference switch-over journey with zero manual file moves:
+        migrate-reference-artifacts output feeds train-model
+        --prepared-dir directly (parquet copied in, stats sidecar
+        written, vocab manifest loadable by PreparedDataset)."""
+        from twotower_tpu.data.migrate import main as migrate_main
+        from twotower_tpu.data.prepared import PreparedDataset
+
+        mp, pq, df = self._reference_artifacts(tmp_path)
+        out = tmp_path / "migrated"
+        rc = migrate_main(
+            ["--mappings", str(mp), "--interactions", str(pq),
+             "--output-dir", str(out)]
+        )
+        assert rc == 0
+        report = json.loads((out / "migration_report.json").read_text())
+        assert report["prepared_dir_ready"] is True
+
+        ds = PreparedDataset(out, batch_rows=64)
+        assert ds.num_rows == len(df)
+        assert (ds.num_users, ds.num_items) == (20, 10)
+        rule = ds.temporal_rule(0.8, 0.1)
+        splits = ds.load_splits(rule, ("train", "val", "test"))
+        assert sum(len(s["user_idx"]) for s in splits.values()) == len(df)
+        # Encoded columns round-trip through the migrated vocab.
+        np.testing.assert_array_equal(
+            np.sort(np.unique(splits["train"]["user_idx"])),
+            np.unique(splits["train"]["user_idx"]),
+        )
+        assert ds.log_q().shape == (10,)
+
+    def test_unsorted_mapping_not_marked_prepared_ready(self, tmp_path):
+        from twotower_tpu.data.migrate import main as migrate_main
+
+        mp, pq, _ = self._reference_artifacts(tmp_path, sorted_ids=False)
+        out = tmp_path / "migrated"
+        rc = migrate_main(
+            ["--mappings", str(mp), "--interactions", str(pq),
+             "--output-dir", str(out)]
+        )
+        assert rc == 0
+        report = json.loads((out / "migration_report.json").read_text())
+        assert report["prepared_dir_ready"] is False
+        assert not (out / "combined_interactions.parquet").exists()
+
     def test_unsorted_mapping_flagged_but_migrates(self, tmp_path):
         from twotower_tpu.data.migrate import main as migrate_main
         from twotower_tpu.data.vocab import VocabPair

@@ -155,6 +155,30 @@ def migrate(
         num_items=len(items),
         output=str(output_dir / "vocab"),
     )
+
+    # Make the output a COMPLETE --prepared-dir: copy the interactions
+    # parquet in (PreparedDataset requires combined_interactions.parquet
+    # next to the vocab manifest) and write the stats sidecar, so a
+    # reference user can go migrate -> train-model --prepared-dir with no
+    # manual file moves.
+    if interactions_path is not None and sorted_order:
+        import shutil
+
+        dest = output_dir / "combined_interactions.parquet"
+        if Path(interactions_path).resolve() != dest.resolve():
+            shutil.copyfile(interactions_path, dest)
+        stats = {
+            "num_interactions": report["num_interactions"],
+            "num_users": len(users),
+            "num_items": len(items),
+            "source": "migrate-reference-artifacts",
+        }
+        (output_dir / "dataset_stats.json").write_text(
+            json.dumps(stats, indent=2)
+        )
+        report["prepared_dir_ready"] = True
+    else:
+        report["prepared_dir_ready"] = False
     (output_dir / "migration_report.json").write_text(json.dumps(report, indent=2))
     logger.info(
         "migrated reference artifacts: %d users, %d items -> %s",
