@@ -22,6 +22,10 @@ into 500k x 128 + packed [N,2E] moments, per update):
   - gather rows + moments, scatter-SET both:           0.96 ms
   - fully packed [N,3E] state, 1 gather + 1 SET:       1.08 ms
   - Pallas per-row async-DMA kernel (128 in flight):   2.5-2.7 ms
+  - ``indices_are_sorted=True`` hints on the gather/scatters (the dedup
+    targets ARE sorted): 7.7x SLOWER (5.1 ms vs 0.67 ms at 1M rows,
+    round-3 probe) — the hint routes XLA:TPU to a worse scatter path;
+    ``unique_indices`` is a no-op. Leave the hints OFF.
 XLA's scatter-add pipeline wins outright: the update is bound by random
 row-access latency the hardware already hides as well as it can, NOT by
 transaction count (the [N,3E] repack REDUCES transactions 2.5x and still
