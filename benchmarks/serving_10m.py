@@ -124,6 +124,37 @@ def main() -> None:
             json.dumps({"dtype": dtype, "recall_at_100": round(hits / (256 * K), 4)}),
             flush=True,
         )
+
+    # Exact audit path (serving.index_type=tpu_mips_exact): two-pass exact
+    # search over the f32 corpus — measured here so the docs table stays
+    # reproducible (50 ms @ B=1 / 160 ms @ B=256 on v5e at round 3).
+    from twotower_tpu.ops.topk import topk_mips_twopass
+
+    for batch in (1, 256):
+        q = jax.random.normal(jax.random.fold_in(key, 2000 + batch), (batch, D))
+
+        def run_exact(n_calls: int) -> float:
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                vals, _ = topk_mips_twopass(q, corpus_f32, K)
+            _ = float(vals[0, 0])
+            return time.perf_counter() - t0
+
+        run_exact(2)
+        run_exact(2)
+        t1, t2 = run_exact(2), run_exact(6)
+        lat = max((t2 - t1) / 4, 1e-9)
+        print(
+            json.dumps(
+                {
+                    "dtype": "f32_exact_twopass",
+                    "batch": batch,
+                    "latency_ms": round(lat * 1e3, 2),
+                    "qps": round(batch / lat),
+                }
+            ),
+            flush=True,
+        )
     print("SERVING_10M_OK", flush=True)
 
 

@@ -153,6 +153,55 @@ class TestTopKMips:
         with pytest.raises(ValueError):
             topk_mips(q, items, 5)
 
+    @pytest.mark.parametrize(
+        "n_items,k,num_valid",
+        [
+            (60_000, 100, None),   # prefilter path, chunk-multiple padding
+            (50_000, 50, 49_777),  # prefilter + pre-padded valid mask
+            (20_000, 100, None),   # below 4*k*block -> plain-scan fallback
+            (3_000, 7, None),      # deep fallback, one chunk
+        ],
+    )
+    def test_twopass_matches_plain_scan(self, rng, n_items, k, num_valid):
+        """topk_mips_twopass (block-maxima prefilter + candidate rescore —
+        the large-corpus exact path for evaluation and exact serving) must
+        return the plain scan's values and indices, including num_valid
+        masking and the small-corpus fallback."""
+        from twotower_tpu.ops.topk import topk_mips_twopass
+
+        b, d = 16, 24
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        items = rng.normal(size=(n_items, d)).astype(np.float32)
+        kw = {} if num_valid is None else {"num_valid": num_valid}
+        v1, i1 = topk_mips(jnp.asarray(q), jnp.asarray(items), k, **kw)
+        v2, i2 = topk_mips_twopass(
+            jnp.asarray(q), jnp.asarray(items), k,
+            chunk_size=16384, block=64, row_slab=8, **kw,
+        )
+        # Values agree to the last ulp (different reduction shapes).
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=2e-6, atol=2e-6
+        )
+        # No duplicate or out-of-range indices; scores of returned indices
+        # match the reference values.
+        scores = q @ items.T
+        idx = np.asarray(i2)
+        limit = n_items if num_valid is None else num_valid
+        assert idx.max() < limit
+        for row in idx:
+            assert len(set(row.tolist())) == k
+        got = np.take_along_axis(scores, idx, axis=1)
+        np.testing.assert_allclose(got, np.asarray(v1), rtol=2e-5)
+
+    def test_twopass_rejects_bad_block(self, rng):
+        from twotower_tpu.ops.topk import topk_mips_twopass
+
+        with pytest.raises(ValueError, match="block"):
+            topk_mips_twopass(
+                jnp.zeros((2, 4)), jnp.zeros((100, 4)), 5,
+                chunk_size=100, block=64,
+            )
+
     def test_sharded_matches_global(self, rng):
         from jax.sharding import Mesh, PartitionSpec as P
         from jax.experimental.shard_map import shard_map

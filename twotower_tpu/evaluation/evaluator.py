@@ -20,7 +20,7 @@ from twotower_tpu.config import Config
 from twotower_tpu.evaluation.metrics import merge_metric_sums, metrics_at_k
 from twotower_tpu.logging_utils import get_logger
 from twotower_tpu.models import two_tower
-from twotower_tpu.ops.topk import topk_mips, topk_mips_approx
+from twotower_tpu.ops.topk import topk_mips_approx, topk_mips_twopass
 
 logger = get_logger(__name__)
 
@@ -32,21 +32,20 @@ class Evaluator:
 
     @staticmethod
     def auto_chunk_size(num_items: int, batch_size: int) -> int:
-        """Exact-scan chunk size scaled to the corpus.
+        """Corpus-stream chunk for the exact search.
 
-        The per-chunk ``lax.top_k`` dominates the exact scan (measured
-        v5e, [4096 x 131072] f32 scores: top_k(100) 206 ms vs matmul
-        38 ms), so fewer/larger chunks win at big corpora: at 10M x 128
-        one 4096-row batch takes 42.6 s at the old fixed 8192 chunk vs
-        13.3 s at 131072 (3.2x). Target ~64-128 chunks, floor 8192 (small
-        corpora: one chunk), cap by a 2 GB score-buffer budget
-        (``batch_size x chunk x 4`` bytes) and 131072 (past which the
-        compile itself exhausts memory at eval batch sizes).
+        The exact path is ``ops.topk.topk_mips_twopass`` (block-maxima
+        prefilter + candidate rescore — 1.9 s per 4096-row batch at
+        10M x 128 on v5e vs 42.6 s for the round-2 fixed-8192-chunk scan,
+        22x); its pass-1 wants the largest chunk the score buffer allows
+        (fewer scan steps), capped by a 2 GB ``batch_size x chunk x 4``
+        budget and 131072 (past which the XLA compile itself exhausts
+        memory at eval batch sizes). Small corpora fall back to the plain
+        scan inside topk_mips_twopass, where the same chunk bound holds.
         """
-        target = 1 << max(int(num_items / 64).bit_length() - 1, 0)
+        del num_items  # the internal small-corpus fallback handles scale
         mem_cap = (2 << 30) // (4 * max(batch_size, 1))
-        cap = max(8192, min(131072, mem_cap))
-        return max(8192, min(target, cap))
+        return max(8192, min(131072, mem_cap))
 
     def __init__(
         self,
@@ -96,12 +95,18 @@ class Evaluator:
                 )
 
         mcfg = config.model
+        # Encode pads the corpus to the search chunk multiple ONCE (fused
+        # into the encode program) so the per-batch search never makes a
+        # 5 GB pad copy of a 10M-row corpus inside the jit; padding rows
+        # are masked via num_valid in both search branches.
+        corpus_rows = -(-num_items // self.corpus_chunk_size) * self.corpus_chunk_size
 
         @jax.jit
         def _encode_corpus(params) -> Array:
-            return two_tower.embed_item_table(
+            emb = two_tower.embed_item_table(
                 params, mcfg, num_items, item_tokens=tokens
             )
+            return jnp.pad(emb, ((0, corpus_rows - num_items), (0, 0)))
 
         exact = config.retrieval.eval_exact
 
@@ -109,14 +114,17 @@ class Evaluator:
         def _eval_batch(params, corpus, user_idx, true_item, weight, max_k: int):
             user_emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
             if exact:
-                _, topk_idx = topk_mips(
-                    user_emb, corpus, max_k, chunk_size=self.corpus_chunk_size
+                _, topk_idx = topk_mips_twopass(
+                    user_emb, corpus, max_k,
+                    chunk_size=self.corpus_chunk_size, num_valid=num_items,
                 )
             else:
                 # approx_max_k validation path (retrieval.eval_exact=false):
                 # ~100x faster at large corpora; final test runs should stay
                 # exact for metric fidelity.
-                _, topk_idx = topk_mips_approx(user_emb, corpus, max_k)
+                _, topk_idx = topk_mips_approx(
+                    user_emb, corpus, max_k, num_valid=num_items
+                )
             ks = tuple(k for k in self.ks if k <= max_k) or (max_k,)
             return metrics_at_k(topk_idx, true_item, ks, weights=weight)
 

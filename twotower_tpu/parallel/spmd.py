@@ -380,9 +380,14 @@ def make_sharded_eval_step(
 
     def body(u_loc, corpus_shard, t_loc, w_loc):
         if exact:
+            # Large scan chunks under a 2 GB per-device score budget: the
+            # per-chunk lax.top_k dominates small chunks (same finding as
+            # Evaluator.auto_chunk_size; docs/evaluation.md).
+            chunk = max(8192, min(131072, (2 << 30) // (4 * u_loc.shape[0])))
             _, topk_idx = topk_mips_sharded(
                 u_loc, corpus_shard, max_k,
                 axis_name=model_ax, num_items=num_items,
+                chunk_size=chunk,
             )
         else:
             _, topk_idx = topk_mips_approx_sharded(

@@ -32,8 +32,8 @@ from twotower_tpu.ops.topk import (
     ann_padded_rows,
     exact_padded_rows,
     quantize_corpus,
-    topk_mips,
     topk_mips_approx,
+    topk_mips_twopass,
 )
 
 logger = get_logger(__name__)
@@ -156,7 +156,13 @@ class RetrievalIndex:
 
             def search(emb, corpus, scale, k):
                 if exact:
-                    return topk_mips(emb, corpus, k, num_valid=num_items)
+                    # Two-pass exact (block-maxima prefilter + candidate
+                    # rescore): 0.05 s @ B=1 / 0.16 s @ B=256 over 10M x 128
+                    # on v5e vs 13.3 s for the plain scan (falls back to
+                    # the scan internally below ~26k items).
+                    return topk_mips_twopass(
+                        emb, corpus, k, num_valid=num_items
+                    )
                 return topk_mips_approx(
                     emb, corpus, k, recall_target=recall, num_valid=num_items,
                     item_scale=scale,
