@@ -230,6 +230,50 @@ class TestTopKMips:
         )
 
 
+    @pytest.mark.parametrize("num_items", [None, 30_000])
+    def test_sharded_twopass_branch_matches_global(self, rng, num_items):
+        """Shards large enough to trigger the per-shard two-pass exact
+        path (rows > 4*k*block) must still merge to the global exact
+        top-k, including the uneven last shard via num_items masking."""
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("model",))
+        b, d, k = 4, 8, 8
+        rows = 4096  # per shard: 4096 > 4*8*64 = 2048 -> twopass branch
+        n_pad = rows * 8
+        n = num_items or n_pad
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        items = rng.normal(size=(n, d)).astype(np.float32)
+        items_pad = np.zeros((n_pad, d), np.float32)
+        items_pad[:n] = items
+
+        fn = shard_map(
+            lambda qq, ii: topk_mips_sharded(
+                qq, ii, k, axis_name="model", num_items=n
+            ),
+            mesh=mesh,
+            in_specs=(P(), P("model", None)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        vals, idx = fn(jnp.asarray(q), jnp.asarray(items_pad))
+        ref_vals, _ = topk_mips(jnp.asarray(q), jnp.asarray(items), k)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_vals), rtol=2e-6, atol=2e-6
+        )
+        idx = np.asarray(idx)
+        assert idx.max() < n
+        scores = q @ items.T
+        np.testing.assert_allclose(
+            np.take_along_axis(scores, idx, axis=1),
+            np.asarray(ref_vals),
+            rtol=1e-4,
+        )
+        for row in idx:
+            assert len(set(row.tolist())) == k
+
     @pytest.mark.parametrize("quant", ["none", "global", "per_row"])
     def test_approx_sharded_matches_global(self, rng, quant):
         from jax.sharding import Mesh, PartitionSpec as P
