@@ -95,11 +95,18 @@ class Evaluator:
                 )
 
         mcfg = config.model
-        # Encode pads the corpus to the search chunk multiple ONCE (fused
-        # into the encode program) so the per-batch search never makes a
-        # 5 GB pad copy of a 10M-row corpus inside the jit; padding rows
-        # are masked via num_valid in both search branches.
-        corpus_rows = -(-num_items // self.corpus_chunk_size) * self.corpus_chunk_size
+        exact = config.retrieval.eval_exact
+        # Exact mode: encode pads the corpus to the search chunk multiple
+        # ONCE (fused into the encode program) so the per-batch search
+        # never makes a 5 GB pad copy of a 10M-row corpus inside the jit;
+        # padding rows are masked via num_valid. Approx mode keeps the raw
+        # row count — approx_max_k's blocked layout prefers it (a round
+        # corpus reshapes for free; see ops.topk._blocked_layout).
+        corpus_rows = (
+            -(-num_items // self.corpus_chunk_size) * self.corpus_chunk_size
+            if exact
+            else num_items
+        )
 
         @jax.jit
         def _encode_corpus(params) -> Array:
@@ -107,8 +114,6 @@ class Evaluator:
                 params, mcfg, num_items, item_tokens=tokens
             )
             return jnp.pad(emb, ((0, corpus_rows - num_items), (0, 0)))
-
-        exact = config.retrieval.eval_exact
 
         @functools.partial(jax.jit, static_argnames=("max_k",))
         def _eval_batch(params, corpus, user_idx, true_item, weight, max_k: int):
