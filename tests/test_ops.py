@@ -193,14 +193,55 @@ class TestTopKMips:
         got = np.take_along_axis(scores, idx, axis=1)
         np.testing.assert_allclose(got, np.asarray(v1), rtol=2e-5)
 
-    def test_twopass_rejects_bad_block(self, rng):
+    def test_twopass_chunk_rounds_block_exceeds_raises(self, rng):
         from twotower_tpu.ops.topk import topk_mips_twopass
 
+        # block > chunk is a hard error...
         with pytest.raises(ValueError, match="block"):
             topk_mips_twopass(
-                jnp.zeros((2, 4)), jnp.zeros((100, 4)), 5,
-                chunk_size=100, block=64,
+                jnp.zeros((2, 4)), jnp.ones((100, 4)), 5,
+                chunk_size=100, block=256,
             )
+        # ...but a non-block-multiple chunk just rounds down internally
+        # (callers tuning memory shouldn't have to know the block): same
+        # result as the plain scan.
+        q = rng.normal(size=(4, 8)).astype(np.float32)
+        items = rng.normal(size=(40_000, 8)).astype(np.float32)
+        v1, _ = topk_mips(jnp.asarray(q), jnp.asarray(items), 10)
+        v2, _ = topk_mips_twopass(
+            jnp.asarray(q), jnp.asarray(items), 10,
+            chunk_size=10_007, block=64,  # 10007 % 64 != 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=2e-6, atol=2e-6
+        )
+
+    def test_twopass_mostly_invalid_corpus_no_duplicates(self, rng):
+        """num_valid far below the static corpus (the mostly-padding-shard
+        regime of the sharded search, valid < k*block): repeated -inf
+        block slots must NOT rescore a real block twice — results equal
+        the plain scan with no duplicated ids (r3 review finding)."""
+        from twotower_tpu.ops.topk import _twopass_core
+
+        b, d, n, k, nv = 8, 16, 60_000, 100, 150  # 150 < k*block = 6400
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        items = rng.normal(size=(n, d)).astype(np.float32)
+        v1, i1 = topk_mips(jnp.asarray(q), jnp.asarray(items), k, num_valid=nv)
+        # Call the core directly: the public wrapper's fallback would take
+        # the plain scan for such a small valid count, but the SHARDED
+        # dispatch decides on the static shard size and hits the core.
+        v2, i2 = _twopass_core(
+            jnp.asarray(q), jnp.asarray(items), k, 16384, 64, 8, nv
+        )
+        v1, v2 = np.asarray(v1), np.asarray(v2)
+        i2 = np.asarray(i2)
+        # The nv real candidates agree exactly; the rest are -inf.
+        np.testing.assert_allclose(v1[:, :nv], v2[:, :nv], rtol=2e-6, atol=2e-6)
+        assert np.all(np.isneginf(v2[:, nv:]))
+        for row_v, row_i in zip(v2, i2):
+            real = row_i[np.isfinite(row_v)]
+            assert len(set(real.tolist())) == len(real)  # no dup real ids
+            assert real.max(initial=-1) < nv
 
     def test_sharded_matches_global(self, rng):
         from jax.sharding import Mesh, PartitionSpec as P

@@ -38,14 +38,14 @@ class Evaluator:
         prefilter + candidate rescore — 1.9 s per 4096-row batch at
         10M x 128 on v5e vs 42.6 s for the round-2 fixed-8192-chunk scan,
         22x); its pass-1 wants the largest chunk the score buffer allows
-        (fewer scan steps), capped by a 2 GB ``batch_size x chunk x 4``
-        budget and 131072 (past which the XLA compile itself exhausts
-        memory at eval batch sizes). Small corpora fall back to the plain
-        scan inside topk_mips_twopass, where the same chunk bound holds.
+        (fewer scan steps). Delegates to ``ops.topk.exact_scan_chunk``
+        (power-of-two, 2 GB score budget, 131072 cap). Small corpora fall
+        back to the plain scan inside topk_mips_twopass.
         """
         del num_items  # the internal small-corpus fallback handles scale
-        mem_cap = (2 << 30) // (4 * max(batch_size, 1))
-        return max(8192, min(131072, mem_cap))
+        from twotower_tpu.ops.topk import exact_scan_chunk
+
+        return exact_scan_chunk(batch_size)
 
     def __init__(
         self,
@@ -70,8 +70,11 @@ class Evaluator:
         self.ks = tuple(sorted(config.retrieval.top_k_eval))
         self.max_k = min(max(self.ks), num_items)
         self.batch_size = batch_size
+        # Explicit chunks round down to the two-pass block multiple so the
+        # corpus pre-pad below matches the search's internal rounding (a
+        # mismatch would mean a full pad copy per batch).
         self.corpus_chunk_size = (
-            corpus_chunk_size
+            max(64, corpus_chunk_size // 64 * 64)
             if corpus_chunk_size is not None
             else self.auto_chunk_size(num_items, batch_size)
         )

@@ -71,15 +71,33 @@ def exact_padded_rows(n: int, *, chunk_size: int = 131072) -> int:
     """Corpus row count that makes the exact searches copy-free at scale.
 
     Below ~1M rows the per-call pad copy is a few MB and not worth resident
-    memory; at catalog scale the chunk-multiple pad is ~1.3% worst-case
-    overhead and saves a full-corpus HBM copy per request. The default
-    matches ``topk_mips_twopass``'s chunk (the large-corpus exact path) —
-    a multiple of it is also a multiple of any smaller power-of-two chunk
-    ``topk_mips`` runs with.
+    memory; past it the chunk-multiple pad costs up to ~12.5% extra
+    resident rows right at the threshold (1,048,577 -> 1,179,648) shrinking
+    to <1% at 10M — budget HBM off ``exact_padded_rows(n)``, not ``n``.
+    The default matches ``topk_mips_twopass``'s chunk (the large-corpus
+    exact path) — a multiple of it is also a multiple of any smaller
+    power-of-two chunk ``topk_mips`` runs with.
     """
     if n < 1 << 20:
         return n
     return -(-n // chunk_size) * chunk_size
+
+
+def exact_scan_chunk(batch_rows: int) -> int:
+    """Corpus-stream chunk for the exact searches, given the query batch.
+
+    Large chunks win (the per-chunk ``lax.top_k`` dominates small ones —
+    docs/evaluation.md), bounded by a 2 GB ``batch_rows x chunk x 4``
+    score-buffer budget and 131072 (past which the XLA compile itself
+    exhausts memory at eval batch sizes). Always a POWER OF TWO in
+    [8192, 131072], so it divides any 131072-aligned resident corpus
+    (``exact_padded_rows``) — no per-call pad copy — and is trivially a
+    two-pass block multiple. The ONE formula shared by ``Evaluator``, the
+    sharded eval step, and ``topk_mips_sharded``'s auto mode.
+    """
+    mem_cap = (2 << 30) // (4 * max(batch_rows, 1))
+    capped = min(131072, max(8192, mem_cap))
+    return 1 << (capped.bit_length() - 1)
 
 
 def _topk_mips_scan(
@@ -279,8 +297,11 @@ def topk_mips_twopass(
         raise ValueError(f"num_valid={num_valid} out of range for corpus size {n}")
     if k > n_real:
         raise ValueError(f"k={k} exceeds corpus size {n_real}")
-    if chunk_size % block:
-        raise ValueError(f"block={block} must divide chunk_size={chunk_size}")
+    if block > chunk_size:
+        raise ValueError(f"block={block} exceeds chunk_size={chunk_size}")
+    # Round down to a block multiple (the pass-1 reshape needs it; callers
+    # tuning the chunk for memory shouldn't have to know the block).
+    chunk_size = chunk_size // block * block
     # Small corpora: the prefilter needs comfortably more blocks than k to
     # pay for its second pass; the plain scan is already fast there.
     if n_real <= 4 * k * block:
@@ -304,12 +325,25 @@ def _twopass_core(
     )
 
     batch, d = query_emb.shape
+    # When fewer than k blocks have finite maxima (a traced n_real much
+    # smaller than the static corpus — e.g. a mostly-padding shard in the
+    # sharded search), top_k fills the remaining slots from -inf entries
+    # whose block ids can REPEAT (the scan's init ids overlap chunk 0's).
+    # A repeated block would rescore its valid rows twice and return
+    # duplicate item ids, so mask every slot whose block id already
+    # appeared earlier in the row. All VALID candidates survive: finite-max
+    # blocks are distinct by construction (each global block id enters the
+    # merge exactly once).
+    dup = jnp.tril(
+        blk_idx[:, :, None] == blk_idx[:, None, :], k=-1
+    ).any(axis=2)  # [B, k]: slot equals some earlier slot
     kl = k * block
     cand = (
         blk_idx[:, :, None] * block
         + jnp.arange(block, dtype=jnp.int32)[None, None, :]
     ).reshape(batch, kl)
     cand = jnp.minimum(cand, padded - 1)
+    slot_ok = jnp.repeat(~dup, block, axis=1)  # [B, kl]
 
     # Rescore in row slabs so the gathered [slab, k*block, D] candidate
     # tensor stays bounded (~`row_slab * kl * D * 4` bytes).
@@ -318,10 +352,11 @@ def _twopass_core(
     if pad_rows:
         query_emb = jnp.pad(query_emb, ((0, pad_rows), (0, 0)))
         cand = jnp.pad(cand, ((0, pad_rows), (0, 0)))
+        slot_ok = jnp.pad(slot_ok, ((0, pad_rows), (0, 0)))
     num_slabs = query_emb.shape[0] // slab
 
     def rescore(args):
-        q_s, c_s = args
+        q_s, c_s, ok_s = args
         vecs = item_emb[c_s]  # [slab, kl, D] — contiguous block segments
         # Same cast direction as the scan path: queries meet the corpus in
         # the CORPUS dtype with f32 MXU accumulation, so a bf16 corpus
@@ -333,7 +368,7 @@ def _twopass_core(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        sc = jnp.where(c_s < n_real, sc, -jnp.inf)
+        sc = jnp.where(ok_s & (c_s < n_real), sc, -jnp.inf)
         v, p = jax.lax.top_k(sc, k)
         return v, jnp.take_along_axis(c_s, p, axis=1).astype(jnp.int32)
 
@@ -342,6 +377,7 @@ def _twopass_core(
         (
             query_emb.reshape(num_slabs, slab, d),
             cand.reshape(num_slabs, slab, kl),
+            slot_ok.reshape(num_slabs, slab, kl),
         ),
     )
     vals = vals.reshape(num_slabs * slab, k)[:batch]
@@ -606,7 +642,7 @@ def topk_mips_sharded(
     k: int,
     *,
     axis_name: str,
-    chunk_size: int = 8192,
+    chunk_size: int | None = None,
     num_items: int | None = None,
 ) -> tuple[Array, Array]:
     """Cross-shard exact top-k for a corpus row-sharded over ``axis_name``.
@@ -634,18 +670,21 @@ def topk_mips_sharded(
     valid_local = (
         jnp.clip(num_items - offset, 0, rows) if num_items is not None else rows
     )
+    # Auto chunk (the shared exact_scan_chunk formula) unless the caller
+    # passed an explicit memory budget — which is then respected exactly.
+    if chunk_size is None:
+        chunk_size = exact_scan_chunk(query_emb.shape[0])
     # Large shards take the two-pass exact path (block-maxima prefilter +
     # candidate rescore — the same 5-8x win the single-device search
     # measured; the shard row count is STATIC so the dispatch is too, and
-    # the traced valid bound only feeds masks inside the core). A fully
-    # invalid shard (valid_local == 0) is safe: every score masks to -inf
-    # and the belt below voids its candidates.
+    # the traced valid bound only feeds masks inside the core, where
+    # mostly-padding shards — even valid_local < k*block — are handled by
+    # the duplicate-block mask).
     block = 64
-    if rows > 4 * local_k * block:
+    if rows > 4 * local_k * block and chunk_size >= block:
         local_vals, local_idx = _twopass_core(
             query_emb, item_emb_shard, local_k,
-            min(chunk_size if chunk_size > 8192 else 131072, 131072),
-            block, 256, valid_local,
+            chunk_size // block * block, block, 256, valid_local,
         )
     else:
         local_vals, local_idx = _topk_mips_scan(

@@ -367,9 +367,16 @@ def make_sharded_eval_step(
     b_sh = batch_shardings(mesh, mesh_cfg)
     corpus_sh = NamedSharding(mesh, P(model_ax, None))
     # Equal shards need padding; pad rows are masked inside the local search
-    # (num_items bound), so they can never displace real candidates.
-    padded_items = -(-num_items // num_model) * num_model
+    # (num_items bound), so they can never displace real candidates. Large
+    # exact-mode shards additionally align to the max scan chunk (131072,
+    # a multiple of every power-of-two auto chunk) so the per-shard search
+    # never re-pads a multi-GB shard inside the per-batch jit — the same
+    # pre-pad-once rule the replicated Evaluator applies.
+    local_rows = -(-num_items // num_model)
     exact = config.retrieval.eval_exact
+    if exact and local_rows >= 131072:
+        local_rows = -(-local_rows // 131072) * 131072
+    padded_items = local_rows * num_model
     tokens = jnp.asarray(item_tokens) if item_tokens is not None else None
 
     def encode_corpus(params):
@@ -380,14 +387,12 @@ def make_sharded_eval_step(
 
     def body(u_loc, corpus_shard, t_loc, w_loc):
         if exact:
-            # Large scan chunks under a 2 GB per-device score budget: the
-            # per-chunk lax.top_k dominates small chunks (same finding as
-            # Evaluator.auto_chunk_size; docs/evaluation.md).
-            chunk = max(8192, min(131072, (2 << 30) // (4 * u_loc.shape[0])))
+            # chunk_size=None -> ops.topk.exact_scan_chunk auto sizing
+            # (one shared formula; power-of-two, so it divides the
+            # 131072-aligned shard above).
             _, topk_idx = topk_mips_sharded(
                 u_loc, corpus_shard, max_k,
                 axis_name=model_ax, num_items=num_items,
-                chunk_size=chunk,
             )
         else:
             _, topk_idx = topk_mips_approx_sharded(
