@@ -172,3 +172,37 @@ class TestAlltoallLookupProperties:
                 err_msg=f"device {d} non-overflow rows corrupted",
             )
         assert dropped == want_drops
+
+
+class TestTwoPassProperties:
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(300, 40_000),
+        k=st.sampled_from([1, 3, 17, 64]),
+        valid_frac=st.floats(0.05, 1.0),
+        chunk=st.sampled_from([2048, 10_007, 16384]),  # incl. non-64-multiple
+    )
+    def test_twopass_equals_plain_scan(self, seed, n, k, valid_frac, chunk):
+        """For ANY corpus size, k, chunk (even non-block-multiple), and
+        valid bound, the two-pass exact search returns the plain scan's
+        values with in-range, duplicate-free finite-score indices."""
+        from twotower_tpu.ops.topk import topk_mips, topk_mips_twopass
+
+        rng = np.random.default_rng(seed)
+        nv = max(k, int(n * valid_frac))
+        q = jnp.asarray(rng.normal(size=(4, 12)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(n, 12)), jnp.float32)
+        v1, _ = topk_mips(q, items, k, num_valid=nv)
+        v2, i2 = topk_mips_twopass(
+            q, items, k, chunk_size=chunk, block=64, row_slab=2, num_valid=nv
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=3e-6, atol=3e-6
+        )
+        v2, i2 = np.asarray(v2), np.asarray(i2)
+        for row_v, row_i in zip(v2, i2):
+            finite = row_i[np.isfinite(row_v)]
+            assert len(set(finite.tolist())) == len(finite)
+            if len(finite):
+                assert finite.max() < nv
