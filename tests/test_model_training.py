@@ -173,6 +173,40 @@ class TestTraining:
             "(reference run: 0.181)"
         )
 
+    def test_bf16_eval_corpus_matches_f32_within_tolerance(self, tiny_config):
+        """retrieval.eval_corpus_dtype=bfloat16 (approx validation mode,
+        half the eval-corpus HBM) must produce metrics within bf16 noise
+        of the f32 approx evaluator, and the config must refuse bf16 with
+        the exact evaluator (which promises f32-precision scores)."""
+        import jax
+
+        from twotower_tpu.models import two_tower
+
+        cfg, pp, splits = self._setup(tiny_config)
+        num_items = len(pp.vocab.items)
+        params = two_tower.init_params(
+            jax.random.PRNGKey(3), cfg.model, len(pp.vocab.users), num_items
+        )
+        base = cfg.with_overrides({"retrieval.eval_exact": False})
+        m32 = Evaluator(base, num_items, batch_size=256).evaluate(
+            params, splits.val.user_idx, splits.val.item_idx
+        )
+        m16 = Evaluator(
+            base.with_overrides({"retrieval.eval_corpus_dtype": "bfloat16"}),
+            num_items,
+            batch_size=256,
+        ).evaluate(params, splits.val.user_idx, splits.val.item_idx)
+        assert set(m32) == set(m16)
+        for key in m32:
+            assert abs(m32[key] - m16[key]) < 0.02, (key, m32[key], m16[key])
+
+        with pytest.raises(ValueError, match="eval_exact"):
+            cfg.with_overrides(
+                {"retrieval.eval_corpus_dtype": "bfloat16"}
+            )  # eval_exact defaults True
+        with pytest.raises(ValueError, match="eval_corpus_dtype"):
+            cfg.with_overrides({"retrieval.eval_corpus_dtype": "fp8"})
+
     def test_early_stopping(self):
         es = EarlyStopping(patience=2)
         assert es.update(0.5, 1) is False

@@ -111,11 +111,16 @@ class Evaluator:
             else num_items
         )
 
+        # bf16 validation residency (retrieval.eval_corpus_dtype): halves
+        # the eval corpus HBM and its dominant stream; config validation
+        # restricts it to approx mode (the exact path promises f32 scores).
+        corpus_dtype = jnp.dtype(config.retrieval.eval_corpus_dtype)
+
         @jax.jit
         def _encode_corpus(params) -> Array:
             emb = two_tower.embed_item_table(
                 params, mcfg, num_items, item_tokens=tokens
-            )
+            ).astype(corpus_dtype)
             return jnp.pad(emb, ((0, corpus_rows - num_items), (0, 0)))
 
         @functools.partial(jax.jit, static_argnames=("max_k",))
