@@ -224,9 +224,11 @@ class RetrievalConfig:
             )
         if self.eval_corpus_dtype == "bfloat16" and self.eval_exact:
             raise ValueError(
-                "retrieval.eval_corpus_dtype='bfloat16' requires "
-                "eval_exact=false: the exact evaluator promises f32-precision "
-                "scores (use bf16 for fast approx validation only)"
+                "retrieval.eval_corpus_dtype='bfloat16' is approx-validation "
+                "only (the exact evaluator promises f32-precision scores). "
+                "Either keep eval_exact=false, or — for exact final numbers "
+                "on a bf16-validation config — override BOTH: "
+                "retrieval.eval_exact=true retrieval.eval_corpus_dtype=float32"
             )
         if self.candidate_sampling not in ("in_batch", "uniform", "mixed"):
             raise ValueError(
@@ -243,6 +245,14 @@ class RetrievalConfig:
     @property
     def max_k(self) -> int:
         return max(self.top_k_eval)
+
+    def eval_corpus_jnp_dtype(self):
+        """The eval-corpus residency dtype as a jnp dtype — the ONE
+        derivation site shared by the replicated and sharded eval encodes
+        (lazy import: the config module stays importable without jax)."""
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.eval_corpus_dtype)
 
 
 @dataclass

@@ -112,9 +112,9 @@ class Evaluator:
         )
 
         # bf16 validation residency (retrieval.eval_corpus_dtype): halves
-        # the eval corpus HBM and its dominant stream; config validation
-        # restricts it to approx mode (the exact path promises f32 scores).
-        corpus_dtype = jnp.dtype(config.retrieval.eval_corpus_dtype)
+        # the eval corpus HBM; config validation restricts it to approx
+        # mode (the exact path promises f32 scores).
+        corpus_dtype = config.retrieval.eval_corpus_jnp_dtype()
 
         @jax.jit
         def _encode_corpus(params) -> Array:

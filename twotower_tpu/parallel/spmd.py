@@ -382,7 +382,7 @@ def make_sharded_eval_step(
     def encode_corpus(params):
         full = two_tower.embed_item_table(
             params, mcfg, num_items, item_tokens=tokens
-        ).astype(jnp.dtype(config.retrieval.eval_corpus_dtype))
+        ).astype(config.retrieval.eval_corpus_jnp_dtype())
         return jnp.pad(full, ((0, padded_items - num_items), (0, 0)))
 
     def body(u_loc, corpus_shard, t_loc, w_loc):
