@@ -255,6 +255,41 @@ class TestShardedEval:
         for key in ref:
             np.testing.assert_allclose(got[key], ref[key], rtol=1e-5, atol=1e-6)
 
+    def test_mesh_evaluator_bf16_approx_mode(self, tiny_config, devices):
+        """The flagship-preset validation combo (eval_exact=false +
+        eval_corpus_dtype=bfloat16) on a mesh: metrics within bf16 noise
+        of the replicated f32 approx evaluator."""
+        from twotower_tpu.evaluation import Evaluator
+        from twotower_tpu.parallel import build_mesh
+        from twotower_tpu.parallel.sharding import state_shardings
+
+        cfg = tiny_config.with_overrides(
+            {"mesh.num_model": 2, "training.sparse_table_updates": False,
+             "model.dropout_rate": 0.0, "retrieval.eval_exact": False}
+        )
+        num_users, num_items = 180, 130
+        params = two_tower.init_params(
+            jax.random.PRNGKey(2), cfg.model, num_users, num_items
+        )
+        rng = np.random.default_rng(5)
+        users = rng.integers(0, num_users, 300).astype(np.int32)
+        items = rng.integers(0, num_items, 300).astype(np.int32)
+
+        ref = Evaluator(cfg, num_items, batch_size=128).evaluate(
+            params, users, items
+        )
+        bf16 = cfg.with_overrides({"retrieval.eval_corpus_dtype": "bfloat16"})
+        mesh = build_mesh(bf16.mesh, devices)
+        sharded_params = jax.device_put(
+            params, state_shardings(mesh, params, bf16.mesh)
+        )
+        got = Evaluator(bf16, num_items, batch_size=128, mesh=mesh).evaluate(
+            sharded_params, users, items
+        )
+        assert set(got) == set(ref)
+        for key in ref:
+            assert abs(got[key] - ref[key]) < 0.02, (key, got[key], ref[key])
+
 
 class TestMeshLoss:
     """The shard_map loss island (parallel/spmd.make_mesh_loss) must match
