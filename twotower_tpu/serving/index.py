@@ -8,7 +8,7 @@ embeddings (``ops/topk.py``), plus a native C++ CPU fallback index
 
 Exactness: the DEFAULT ``serving.index_type="tpu_mips"`` dispatches
 ``lax.approx_max_k`` (recall target 0.95 — the FAISS-equivalent ANN trade);
-choose ``tpu_mips_exact`` (chunked-scan MIPS) or ``cpu_flat`` when serving
+choose ``tpu_mips_exact`` (two-pass exact MIPS) or ``cpu_flat`` when serving
 results must match evaluation metrics bit-for-bit. The resident corpus
 precision is a further latency/recall dial (``serving.corpus_dtype``):
 bfloat16 (auto default), or int8 with a global (``"int8"``) or per-row
