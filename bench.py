@@ -40,7 +40,9 @@ FLOOR_TOLERANCE = 0.10  # fail past a 10% drop vs the last recorded round
 
 
 def last_recorded_value(root: "str | None" = None) -> float | None:
-    """Newest BENCH_r*.json value in the repo root (None if no history)."""
+    """Newest parseable BENCH_r*.json value in the repo root (None if no
+    history). A malformed newest round falls back to the next-newest
+    parseable one — a corrupt file must not silently disable the floor."""
     import pathlib
     import re
 
@@ -52,18 +54,19 @@ def last_recorded_value(root: "str | None" = None) -> float | None:
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
             rounds.append((int(m.group(1)), p))
-    if not rounds:
-        return None
-    _, newest = max(rounds)
-    try:
-        rec = json.loads(newest.read_text())
-        # The driver wraps the bench line under "parsed"; accept both the
-        # raw {"value": ...} line and the wrapped round record.
-        if "value" not in rec and isinstance(rec.get("parsed"), dict):
-            rec = rec["parsed"]
-        return float(rec["value"])
-    except (ValueError, KeyError, TypeError, OSError):
-        return None
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            rec = json.loads(path.read_text())
+            # The driver wraps the bench line under "parsed"; accept both the
+            # raw {"value": ...} line and the wrapped round record.
+            if "value" not in rec and isinstance(rec.get("parsed"), dict):
+                rec = rec["parsed"]
+            return float(rec["value"])
+        except (ValueError, KeyError, TypeError, OSError):
+            print(
+                f"perf floor: skipping malformed {path.name}", file=sys.stderr
+            )
+    return None
 
 
 def check_floor(value: float, root: "str | None" = None) -> bool:

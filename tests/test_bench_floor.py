@@ -38,6 +38,19 @@ class TestLastRecordedValue:
         (tmp_path / "BENCH_r03.json").write_text("{not json")
         assert bench.last_recorded_value(str(tmp_path)) is None
 
+    def test_malformed_newest_falls_back_to_prior_round(self, tmp_path):
+        # A corrupt newest round must not silently disable the floor
+        # (ADVICE r03): the next-newest parseable round is consulted.
+        _write(tmp_path, 2, 200.0)
+        _write(tmp_path, 3, 300.0)
+        (tmp_path / "BENCH_r04.json").write_text("{not json")
+        assert bench.last_recorded_value(str(tmp_path)) == 300.0
+
+    def test_value_missing_falls_back(self, tmp_path):
+        _write(tmp_path, 2, 200.0)
+        (tmp_path / "BENCH_r03.json").write_text(json.dumps({"rc": 0}))
+        assert bench.last_recorded_value(str(tmp_path)) == 200.0
+
     def test_repo_root_history_exists(self):
         # The real repo has round records; the default path must find them.
         assert bench.last_recorded_value() is not None

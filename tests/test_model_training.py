@@ -173,6 +173,27 @@ class TestTraining:
             "(reference run: 0.181)"
         )
 
+    def test_small_corpus_not_padded_to_full_chunk(self, tiny_config):
+        """Exact-mode auto chunking clamps to the corpus size (ADVICE r03):
+        a 120-item corpus must encode to ~120 rows, not a 131072-row
+        pre-pad that streams 1000x more matmul work per eval batch."""
+        import jax
+
+        from twotower_tpu.models import two_tower
+
+        cfg, pp, splits = self._setup(tiny_config)
+        num_items = len(pp.vocab.items)
+        params = two_tower.init_params(
+            jax.random.PRNGKey(3), cfg.model, len(pp.vocab.users), num_items
+        )
+        ev = Evaluator(cfg, num_items, batch_size=256)  # eval_exact default
+        assert ev.corpus_chunk_size <= -(-num_items // 64) * 64
+        corpus = ev._encode_corpus(params)
+        assert corpus.shape[0] < num_items + 64
+        # and the clamped evaluator still scores correctly
+        m = ev.evaluate(params, splits.val.user_idx, splits.val.item_idx)
+        assert 0.0 <= m["recall@10"] <= 1.0
+
     def test_bf16_eval_corpus_matches_f32_within_tolerance(self, tiny_config):
         """retrieval.eval_corpus_dtype=bfloat16 (approx validation mode,
         half the eval-corpus HBM) must produce metrics within bf16 noise

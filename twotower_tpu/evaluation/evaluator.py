@@ -39,13 +39,17 @@ class Evaluator:
         10M x 128 on v5e vs 42.6 s for the round-2 fixed-8192-chunk scan,
         22x); its pass-1 wants the largest chunk the score buffer allows
         (fewer scan steps). Delegates to ``ops.topk.exact_scan_chunk``
-        (power-of-two, 2 GB score budget, 131072 cap). Small corpora fall
-        back to the plain scan inside topk_mips_twopass.
+        (power-of-two, 2 GB score budget, 131072 cap) — then CLAMPS to the
+        corpus size (rounded up to the 64-row two-pass block): a 1k-item
+        corpus must not be pre-padded to a 131072-row chunk, which would
+        stream ~131x more rows per eval batch than the corpus holds.
         """
-        del num_items  # the internal small-corpus fallback handles scale
         from twotower_tpu.ops.topk import exact_scan_chunk
 
-        return exact_scan_chunk(batch_size)
+        chunk = exact_scan_chunk(batch_size)
+        if num_items < chunk:
+            chunk = max(64, -(-num_items // 64) * 64)
+        return chunk
 
     def __init__(
         self,

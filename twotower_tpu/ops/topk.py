@@ -699,8 +699,11 @@ def topk_mips_sharded(
             query_emb, item_emb_shard, local_k, chunk_size, valid_local
         )
     # Pad-slot candidates (always -inf-valued) clamp into the shard's own
-    # id range so they can never alias another shard's rows after offset.
-    local_idx = jnp.minimum(local_idx, rows - 1) + offset
+    # id range so they can never alias another shard's rows after offset —
+    # clip BOTH ends: the plain-scan path's never-filled init slots carry
+    # idx -1, which minimum() alone would send to the previous shard's last
+    # row.
+    local_idx = jnp.clip(local_idx, 0, rows - 1) + offset
     if num_items is not None:
         # Belt over the in-search mask: -inf anything pointing past the real
         # corpus (pad-slot indices from all--inf shards are arbitrary).
