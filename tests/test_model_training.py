@@ -114,6 +114,19 @@ class TestTraining:
         per_epoch = [h["examples_per_sec"] for h in res.history]
         assert res.steady_examples_per_sec == pytest.approx(max(per_epoch))
 
+    def test_dropped_ids_surfaces_as_warning(self, caplog):
+        """a2a capacity overflow must WARN the operator, not hide in a
+        metric (VERDICT r03 UX): dropped rows silently lose gradients."""
+        import logging
+
+        from twotower_tpu.training.loop import warn_dropped_ids
+
+        with caplog.at_level(logging.WARNING, logger="twotower_tpu"):
+            warn_dropped_ids({"dropped_ids": 0.0, "loss": 1.0}, epoch=0, step=1)
+            assert not caplog.records
+            warn_dropped_ids({"dropped_ids": 3.0, "loss": 1.0}, epoch=0, step=2)
+        assert any("a2a_capacity_factor" in r.message for r in caplog.records)
+
     def test_finalize_throughput(self):
         from twotower_tpu.training.loop import TrainResult
 

@@ -337,17 +337,33 @@ class TestEndToEnd:
         )
         assert rc == 0
 
-    def test_prepared_rejects_random_split(self, prepared, tmp_path):
+    def test_prepared_rejects_random_split(self, prepared, tmp_path, capsys):
+        """--prepared-dir + --split random fails AT PARSE TIME (argparse
+        exit 2 with a pointer to the temporal protocol), not 20 minutes
+        into artifact streaming (VERDICT r03 weak #7)."""
+        from twotower_tpu.evaluation.evaluate import main as eval_main
         from twotower_tpu.training.train import main as train_main
 
         _, out = prepared
-        with pytest.raises(SystemExit):
+        with pytest.raises(SystemExit) as exc:
             train_main(
                 [
                     "--prepared-dir", str(out), "--split", "random",
                     "--checkpoint-dir", str(tmp_path / "ck_r"), *self._COMMON,
                 ]
             )
+        assert exc.value.code == 2  # argparse usage error, not runtime
+        assert "temporal" in capsys.readouterr().err
+
+        with pytest.raises(SystemExit) as exc:
+            eval_main(
+                [
+                    "--prepared-dir", str(out), "--split", "random",
+                    "--checkpoint-dir", str(tmp_path / "ck_r"),
+                ]
+            )
+        assert exc.value.code == 2
+        assert "temporal" in capsys.readouterr().err
 
 
 # ---------------------------------------------------------------------------

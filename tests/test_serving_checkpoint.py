@@ -956,6 +956,47 @@ class TestCliE2E:
         out = svc.recommend({"user_idx": [0], "k": 5})
         assert len(out["results"][0]["items"]) == 5
 
+    def test_evaluate_mesh_matches_single_device(self, tmp_path, capsys):
+        """evaluate-model --mesh (VERDICT r03 weak #2): the declared CLI
+        must reach the sharded-corpus path training validation gets —
+        restore into mesh shardings, corpus row-sharded P(model, None) —
+        and produce the SAME exact-mode metrics as the single-device CLI
+        on the same checkpoint."""
+        from twotower_tpu.evaluation.evaluate import main as eval_main
+        from twotower_tpu.training.train import main as train_main
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        ckpt = tmp_path / "run"
+        overrides = [
+            "training.epochs=1", "training.batch_size=64",
+            "model.embedding_dim=16", "model.user_tower_dims=[32,16]",
+            "model.item_tower_dims=[32,16]",
+            "preprocessing.min_interactions_per_user=2",
+            "preprocessing.min_interactions_per_item=2",
+            "mesh.num_data=2", "mesh.num_model=4",
+        ]
+        common = [
+            "--synthetic", "--synthetic-users", "200", "--synthetic-items",
+            "100", "--synthetic-interactions", "5000",
+            "--checkpoint-dir", str(ckpt), "--override", *overrides,
+        ]
+        assert train_main(common + ["--writers", "stdout"]) == 0
+        capsys.readouterr()
+
+        def run_eval(extra):
+            assert eval_main(common + extra) == 0
+            out = capsys.readouterr().out.strip().splitlines()[-1]
+            return json.loads(out)
+
+        single = run_eval([])
+        sharded = run_eval(["--mesh"])
+        assert single["checkpoint_step"] == sharded["checkpoint_step"]
+        assert set(single["metrics"]) == set(sharded["metrics"])
+        for key, val in single["metrics"].items():
+            assert sharded["metrics"][key] == pytest.approx(val, abs=2e-6), key
+
     def test_no_eval_summary_is_strict_json(self, tmp_path):
         """With --no-eval there is no best metric; the summary must emit
         JSON null, not Python's non-standard ``-Infinity`` literal."""

@@ -50,6 +50,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "--subset", choices=["val", "test"], default="test",
         help="which held-out slice to score",
     )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="evaluate over the config's device mesh: the encoded corpus "
+        "stays row-sharded P(model, None) across devices instead of "
+        "replicating per device — required for corpora that exceed one "
+        "chip's HBM (same sharded path training-time validation uses)",
+    )
     return p
 
 
@@ -65,8 +72,16 @@ def load_item_tokens(ckpt_dir: Path):
         return tok["tokens"]
 
 
-def restore_params(config: Config, ckpt_dir: Path, num_users: int, num_items: int, step=None):
-    """Restore params from a checkpoint via a freshly-initialized template."""
+def restore_params(
+    config: Config, ckpt_dir: Path, num_users: int, num_items: int,
+    step=None, mesh=None,
+):
+    """Restore params from a checkpoint via a freshly-initialized template.
+
+    ``mesh``: restore INTO mesh shardings (tables row-sharded over the
+    model axis, dense replicated) — Orbax reads each device's rows
+    directly, so a corpus/table too large for one chip restores without
+    ever materializing whole on a single device."""
     from twotower_tpu.models import two_tower
     from twotower_tpu.training.state import TrainState, make_optimizer
     from twotower_tpu.utils.checkpoint import CheckpointManager
@@ -76,6 +91,10 @@ def restore_params(config: Config, ckpt_dir: Path, num_users: int, num_items: in
         jax.random.PRNGKey(0), config.model, num_users, num_items
     )
     template = TrainState.for_config(params, optimizer, config)
+    if mesh is not None and mesh.devices.size > 1:
+        from twotower_tpu.parallel import shard_state
+
+        template = shard_state(mesh, template, config.mesh)
     manager = CheckpointManager(ckpt_dir)
     state, meta = manager.restore(template, step=step)
     return state.params, meta
@@ -88,6 +107,11 @@ def run(args, config: Config) -> dict:
     from twotower_tpu.training.train import load_interactions
 
     ckpt_dir = Path(args.checkpoint_dir)
+    mesh = None
+    if getattr(args, "mesh", False):
+        from twotower_tpu.parallel import build_mesh
+
+        mesh = build_mesh(config.mesh)
     if getattr(args, "prepared_dir", None):
         # Prepared-artifact fast path: encoded columns + checkpoint vocab,
         # no re-preprocessing (mirrors train-model --prepared-dir).
@@ -117,10 +141,10 @@ def run(args, config: Config) -> dict:
                     "evaluate against the artifact the model trained on"
                 )
         params, meta = restore_params(
-            config, ckpt_dir, num_users, num_items, step=args.step
+            config, ckpt_dir, num_users, num_items, step=args.step, mesh=mesh
         )
         evaluator = Evaluator(
-            config, num_items, item_tokens=load_item_tokens(ckpt_dir)
+            config, num_items, item_tokens=load_item_tokens(ckpt_dir), mesh=mesh
         )
         metrics = evaluator.evaluate(
             params, subset_cols["user_idx"], subset_cols["item_idx"]
@@ -158,9 +182,11 @@ def run(args, config: Config) -> dict:
     subset = splits.val if args.subset == "val" else splits.test
     num_users, num_items = len(pp.vocab.users), len(pp.vocab.items)
 
-    params, meta = restore_params(config, ckpt_dir, num_users, num_items, step=args.step)
+    params, meta = restore_params(
+        config, ckpt_dir, num_users, num_items, step=args.step, mesh=mesh
+    )
     evaluator = Evaluator(
-        config, num_items, item_tokens=load_item_tokens(ckpt_dir)
+        config, num_items, item_tokens=load_item_tokens(ckpt_dir), mesh=mesh
     )
     metrics = evaluator.evaluate(params, subset.user_idx, subset.item_idx)
     return {
@@ -177,7 +203,14 @@ def main(argv: list[str] | None = None) -> int:
 
     respect_env_platform()
     setup_logging()
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if args.prepared_dir and args.split == "random":
+        parser.error(
+            "--prepared-dir supports --split temporal only (the reference's "
+            "temporal 80/10/10 protocol); for --split random use the "
+            "in-memory --data path"
+        )
     config = load_config_for_checkpoint(
         args.checkpoint_dir, args.config, parse_cli_overrides(args.override)
     )

@@ -29,7 +29,7 @@ import numpy as np
 
 from twotower_tpu.config import Config
 from twotower_tpu.logging_utils import get_logger
-from twotower_tpu.training.loop import EarlyStopping, TrainResult
+from twotower_tpu.training.loop import EarlyStopping, TrainResult, warn_dropped_ids
 from twotower_tpu.training.state import TrainState, make_optimizer
 
 logger = get_logger(__name__)
@@ -208,6 +208,7 @@ class DeviceTrainer:
                     state, columns, epoch_rng, self.log_q, self.item_tokens
                 )
             host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            warn_dropped_ids(host, epoch=epoch, step=int(state.step))
             epoch_time = time.perf_counter() - t_epoch
             train_time += epoch_time
             eps = dataset.num_examples / max(epoch_time, 1e-9)

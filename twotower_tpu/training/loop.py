@@ -213,6 +213,21 @@ def make_train_step(
     return step
 
 
+def warn_dropped_ids(host: dict, *, epoch: int, step: int) -> None:
+    """Surface a2a capacity overflow as an operator WARNING, not just a
+    metric (VERDICT r03 UX): dropped ids mean ``mesh.a2a_capacity_factor``
+    is sized too tight for this batch distribution — those rows read zeros
+    and their gradients are lost, silently degrading training quality."""
+    dropped = host.get("dropped_ids", 0.0)
+    if dropped and dropped > 0:
+        logger.warning(
+            "epoch %d step %d: a2a capacity overflow — %d embedding ids "
+            "dropped (read zeros / gradients lost); raise "
+            "mesh.a2a_capacity_factor (0 disables capacity limiting)",
+            epoch, step, int(dropped),
+        )
+
+
 @dataclass
 class EarlyStopping:
     """Patience-based early stopping on a maximized metric
@@ -387,6 +402,7 @@ class Trainer:
                 if pending is not None and steps % cfg.log_every_steps == 0:
                     host = {k: float(v) for k, v in jax.device_get(pending).items()}
                     self._write({f"train/{k}": v for k, v in host.items()}, int(state.step))
+                    warn_dropped_ids(host, epoch=epoch, step=int(state.step))
                     logger.info(
                         "epoch %d step %d loss %.4f acc %.4f",
                         epoch, int(state.step), host.get("loss", np.nan),
@@ -400,6 +416,7 @@ class Trainer:
             record.update(timer.summary())
             if pending is not None:
                 record.update({k: float(v) for k, v in jax.device_get(pending).items()})
+                warn_dropped_ids(record, epoch=epoch, step=int(state.step))
 
             if self.evaluate_fn is not None and (epoch + 1) % cfg.validation_freq == 0:
                 val = self.evaluate_fn(state.params)

@@ -477,7 +477,18 @@ def main(argv: list[str] | None = None) -> int:
 
     respect_env_platform()
     setup_logging()
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if args.prepared_dir and args.split == "random":
+        # Fail at parse time, not 20 minutes into artifact streaming: the
+        # prepared layout is temporally ordered (the reference's evaluation
+        # protocol — preprocessor.py:510-543); a random split would need a
+        # whole-corpus permutation the streamed artifact cannot provide.
+        parser.error(
+            "--prepared-dir supports --split temporal only (the reference's "
+            "temporal 80/10/10 protocol); for --split random use the "
+            "in-memory --data path"
+        )
     if args.coordinator is not None:
         # Must run before anything touches the JAX backend.
         from twotower_tpu.parallel.mesh import initialize_multihost
