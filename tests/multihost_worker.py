@@ -94,7 +94,12 @@ def main() -> int:
     from twotower_tpu.training import Trainer
 
     if phase == "train":
-        cfg, pp, splits, mesh, log_q, pipe = _build({"mesh.num_model": num_model})
+        cfg, pp, splits, mesh, log_q, pipe = _build(
+            {"mesh.num_model": num_model,
+             # num_model=4 spans both 2-device processes on purpose (the
+             # replica-group-crosses-hosts topology); opt past the DCN guard.
+             "mesh.allow_dcn_model_axis": num_model > 2}
+        )
         trainer = Trainer(cfg, log_q=log_q, mesh=mesh)
         state = trainer.init_state(len(pp.vocab.users), len(pp.vocab.items))
         res = trainer.fit(state, pipe)
@@ -109,6 +114,7 @@ def main() -> int:
     assert ckpt_dir, "lifecycle/resume phases need a shared checkpoint dir"
     overrides = {
         "mesh.num_model": num_model,
+        "mesh.allow_dcn_model_axis": num_model > 2,
         "training.epochs": 3,
         "training.patience": 1,
         "training.validation_freq": 1,

@@ -58,6 +58,18 @@ class TestMultiProcessPlacement:
         with pytest.raises(ValueError, match="ride DCN"):
             mesh_device_grid(MeshConfig(num_data=8, num_model=8), devs)
 
+    def test_allow_dcn_model_axis_escape_hatch(self, caplog):
+        # Explicit opt-out (dense/replicated topologies, tests): warns
+        # loudly and falls back to the contiguous reshape.
+        import logging
+
+        devs = fake_slice(2, 2)
+        cfg = MeshConfig(num_data=1, num_model=4, allow_dcn_model_axis=True)
+        with caplog.at_level(logging.WARNING, logger="twotower_tpu"):
+            grid = mesh_device_grid(cfg, devs)
+        assert grid.shape == (1, 4)
+        assert any("DCN" in r.message for r in caplog.records)
+
     def test_interleaved_device_order(self):
         # jax.devices() order is not guaranteed host-contiguous; placement
         # must group by process_index, not by list position.

@@ -280,6 +280,11 @@ class MeshConfig:
     # rows). The flagship presets set 2.0-2.5; see PARITY.md for measured
     # traffic/step-time numbers.
     a2a_capacity_factor: float = 0.0
+    # Model groups crossing hosts route the embedding all-to-all over DCN
+    # instead of ICI — build_mesh rejects that loudly unless this explicit
+    # escape hatch is set (legitimate only when the model axis carries no
+    # table traffic, e.g. dense replicated-table topologies or tests).
+    allow_dcn_model_axis: bool = False
 
     def __post_init__(self) -> None:
         if self.num_model < 1:

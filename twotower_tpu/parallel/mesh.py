@@ -81,7 +81,7 @@ def mesh_device_grid(config: MeshConfig, devices: list) -> np.ndarray:
         local_counts = {p: len(ds) for p, ds in by_proc.items()}
         bad = {p: c for p, c in local_counts.items() if c % num_model != 0}
         if bad:
-            raise ValueError(
+            msg = (
                 f"mesh.num_model={num_model} does not divide the per-process "
                 f"device counts {dict(sorted(local_counts.items()))}: a model "
                 "group would span hosts and the embedding-table all-to-all "
@@ -90,6 +90,13 @@ def mesh_device_grid(config: MeshConfig, devices: list) -> np.ndarray:
                 f"divisor of {min(local_counts.values())} (the smallest "
                 "per-host device count) or restructure the slice."
             )
+            if not config.allow_dcn_model_axis:
+                raise ValueError(msg)
+            logger.warning(
+                "%s Proceeding because mesh.allow_dcn_model_axis=true — "
+                "model-axis collectives WILL cross hosts.", msg
+            )
+            return np.array(devices).reshape(num_data, num_model)
         # Per-process blocks of model groups, concatenated along data.
         grid = np.concatenate(
             [
