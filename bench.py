@@ -127,6 +127,21 @@ def main() -> None:
         }
         for _ in range(8)
     ]
+    if cfg.training.host_dedup and cfg.training.effective_sparse_updates():
+        # The shipped input pipeline precomputes id dedup on the host
+        # (training/host_dedup.py, hidden behind DevicePrefetcher overlap);
+        # pre-augmenting the benchmark batches measures the same program.
+        from twotower_tpu.models.two_tower import dead_row
+        from twotower_tpu.training.host_dedup import augment_batch
+
+        host_batches = [
+            augment_batch(
+                b,
+                user_dead=dead_row(params["user_embedding"]),
+                item_dead=dead_row(params["item_embedding"]),
+            )
+            for b in host_batches
+        ]
     batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in host_batches]
     step_rng = jax.random.PRNGKey(1)
 

@@ -307,3 +307,124 @@ class TestMixedSampling:
         cfg = cfg.with_overrides({"retrieval.candidate_sampling": "mixed"})
         with pytest.raises(ValueError):
             make_sparse_step_fn(cfg, opt)
+
+
+class TestHostDedup:
+    """Host-precomputed dedup (training/host_dedup.py): same targets/valid
+    as the in-device dedup, summed grads equal up to f32 summation order,
+    and the augmented step matches the plain step."""
+
+    def test_matches_device_dedup(self):
+        from twotower_tpu.training.host_dedup import dedup_host
+
+        rng = np.random.default_rng(0)
+        ids_np = rng.integers(0, 40, 256).astype(np.int32)  # heavy duplicates
+        grads = jnp.asarray(rng.normal(size=(256, 8)), jnp.float32)
+        t_d, s_d, v_d = dedup_rows(jnp.asarray(ids_np), grads, dead=99)
+        t_h, seg, v_h = dedup_host(ids_np, dead=99)
+        np.testing.assert_array_equal(np.asarray(t_d), t_h)
+        np.testing.assert_array_equal(np.asarray(v_d), v_h)
+        summed_h = jnp.zeros_like(grads).at[jnp.asarray(seg)].add(grads)
+        np.testing.assert_allclose(
+            np.asarray(s_d) * np.asarray(v_d)[:, None],
+            np.asarray(summed_h) * v_h[:, None],
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def _augment(self, batch, params, *, items: bool):
+        from twotower_tpu.models.two_tower import dead_row
+        from twotower_tpu.training.host_dedup import augment_batch
+
+        out = augment_batch(
+            {k: np.asarray(v) for k, v in batch.items()},
+            user_dead=dead_row(params["user_embedding"]),
+            item_dead=dead_row(params["item_embedding"]) if items else None,
+        )
+        return {k: jnp.asarray(v) for k, v in out.items()}
+
+    def test_step_matches_plain(self, tiny_config):
+        cfg, opt, params, state, batch, _ = _setup(tiny_config, sparse=True)
+        cfg2, opt2, _, state2, _, _ = _setup(tiny_config, sparse=True)
+        step = make_sparse_step_fn(cfg, opt)
+        aug = self._augment(batch, params, items=True)
+        new_a, m_a = step(state, aug, jax.random.PRNGKey(3))
+        new_p, m_p = step(state2, batch, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_p["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(m_a["grad_norm"]), float(m_p["grad_norm"]), rtol=1e-5
+        )
+        for name in ("user_embedding", "item_embedding"):
+            np.testing.assert_allclose(
+                np.asarray(new_a.params[name]),
+                np.asarray(new_p.params[name]),
+                rtol=1e-4, atol=5e-5,
+            )
+
+    def test_sampled_negative_modes_ignore_item_precompute(self, tiny_config):
+        # uniform/mixed: item grads include device-sampled negatives the
+        # host never saw — the i_* keys must be ignored, u_* still used.
+        for mode in ("uniform", "mixed"):
+            cfg, opt, params, state, batch, _ = _setup(tiny_config, sparse=True)
+            cfg = cfg.with_overrides(
+                {"retrieval.candidate_sampling": mode, "retrieval.num_negatives": 32}
+            )
+            _, _, _, state2, _, _ = _setup(tiny_config, sparse=True)
+            step = make_sparse_step_fn(cfg, opt, num_items=200)
+            aug = self._augment(batch, params, items=True)
+            new_a, m_a = step(state, aug, jax.random.PRNGKey(3))
+            new_p, m_p = step(state2, batch, jax.random.PRNGKey(3))
+            np.testing.assert_allclose(
+                float(m_a["loss"]), float(m_p["loss"]), rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_a.params["item_embedding"]),
+                np.asarray(new_p.params["item_embedding"]),
+                rtol=1e-4, atol=5e-5,
+            )
+
+    def test_trainer_integration(self, tiny_config):
+        """Trainer.fit with host_dedup on/off converges to close params —
+        the augmentation is wired through the epoch iterator + prefetcher."""
+        from twotower_tpu.data.pipeline import BatchPipeline
+        from twotower_tpu.training.loop import Trainer
+
+        rng = np.random.default_rng(7)
+        n = 512
+        users = rng.integers(0, 50, n).astype(np.int32)
+        items = rng.integers(0, 40, n).astype(np.int32)
+
+        finals = {}
+        for flag in (True, False):
+            cfg = tiny_config.with_overrides(
+                {
+                    "training.host_dedup": flag,
+                    "training.epochs": 2,
+                    "training.batch_size": 64,
+                    "model.dropout_rate": 0.0,
+                }
+            )
+            trainer = Trainer(cfg)
+            state = trainer.init_state(50, 40)
+            from dataclasses import dataclass
+
+            @dataclass
+            class Cols:
+                user_idx: np.ndarray
+                item_idx: np.ndarray
+
+            pipe = BatchPipeline(Cols(users, items), 64, seed=5)
+            result = trainer.fit(state, pipe)
+            finals[flag] = np.asarray(result.state.params["user_embedding"])
+            assert np.isfinite(result.history[-1]["loss"])
+        np.testing.assert_allclose(finals[True], finals[False], rtol=2e-3, atol=2e-4)
+
+    def test_wants_host_dedup_gating(self, tiny_config):
+        from twotower_tpu.training.host_dedup import wants_host_dedup
+
+        cfg = tiny_config
+        assert wants_host_dedup(cfg, None)
+        assert not wants_host_dedup(cfg, object())  # mesh path: owner-side dedup
+        off = cfg.with_overrides({"training.host_dedup": False})
+        assert not wants_host_dedup(off, None)
+        dense = cfg.with_overrides({"training.sparse_table_updates": False})
+        assert not wants_host_dedup(dense, None)

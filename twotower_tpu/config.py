@@ -173,6 +173,12 @@ class TrainingConfig:
     # TPU-native fast path (training/sparse.py); disable for exact dense
     # optax semantics.
     sparse_table_updates: bool = True
+    # Precompute id dedup on the HOST input pipeline (np.unique per batch,
+    # hidden behind prefetch) instead of in-device argsort+segment ops —
+    # measured −7.2% step time on v5e (training/host_dedup.py). Applies to
+    # the single-device sparse step; the mesh path dedups at the owner
+    # shard after the a2a regardless.
+    host_dedup: bool = True
     log_every_steps: int = 100
     checkpoint_dir: str = "models/artifacts"
     keep_checkpoints: int = 3

@@ -387,13 +387,37 @@ class Trainer:
             def to_device(b):
                 return {k: jnp.asarray(v) for k, v in b.items()}
 
+        # Host-side dedup precompute (training/host_dedup.py): ship per-batch
+        # unique-id segments so the device step skips its argsort+segment
+        # dedup (−7.2% step time measured). Single-device sparse path only.
+        from twotower_tpu.training.host_dedup import augment_epoch, wants_host_dedup
+
+        dedup_deads: tuple[int, int | None] | None = None
+        if wants_host_dedup(self.config, self.mesh):
+            from twotower_tpu.models.two_tower import dead_row
+
+            item_dead = (
+                dead_row(state.params["item_embedding"])
+                if self.config.retrieval.candidate_sampling == "in_batch"
+                else None
+            )
+            dedup_deads = (dead_row(state.params["user_embedding"]), item_dead)
+
+        def epoch_batches(epoch: int):
+            it = pipeline.epoch(epoch)
+            if dedup_deads is not None:
+                it = augment_epoch(
+                    it, user_dead=dedup_deads[0], item_dead=dedup_deads[1]
+                )
+            return it
+
         train_time = 0.0
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()
             steps = 0
             # Background host->device prefetch: input transfer overlaps the
             # previous step's device execution.
-            for device_batch in DevicePrefetcher(pipeline.epoch(epoch), to_device):
+            for device_batch in DevicePrefetcher(epoch_batches(epoch), to_device):
                 state, metrics = self.train_step(state, device_batch, rng)
                 timer.tick()
                 steps += 1

@@ -327,6 +327,19 @@ def make_sparse_step_fn(
                     [tok_grads, grads["neg_tok_rows"].reshape(n_ids.shape[0], -1)]
                 )
             row_grads["text_embedding"] = (tok_ids, tok_grads)
+        # Host-precomputed dedup (training/host_dedup.py): users always,
+        # items only when the grads are purely the batch's ids (in_batch
+        # sampling — sampled negatives are device-generated, the host never
+        # sees them).
+        pre: dict[str, tuple[Array, Array, Array]] = {}
+        if "u_targets" in batch:
+            pre["user_embedding"] = (
+                batch["u_targets"], batch["u_seg"], batch["u_valid"]
+            )
+        if "i_targets" in batch and not sample_negs:
+            pre["item_embedding"] = (
+                batch["i_targets"], batch["i_seg"], batch["i_valid"]
+            )
         step_num = state.step + 1
         new_tables, new_table_state, tbl_norm_sq = sparse_table_updates(
             tables,
@@ -334,6 +347,7 @@ def make_sparse_step_fn(
             row_grads,
             lr=lr_fn(state.step),
             step=step_num,
+            pre=pre or None,
         )
         metrics["grad_norm"] = jnp.sqrt(
             optax.global_norm(grads["dense"]) ** 2 + tbl_norm_sq
@@ -359,12 +373,17 @@ def sparse_table_updates(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    pre: dict[str, tuple[Array, Array, Array]] | None = None,
 ) -> tuple[dict, dict, Array]:
     """Apply row updates for every table with gradients this step.
 
     ``row_grads``: table name -> (ids [R], grads [R, E]); ids may repeat.
-    Returns (new tables dict, new table_state dict, grad-norm-squared
-    contribution).
+    ``pre``: optional host-precomputed dedup per table —
+    ``name -> (targets [R], seg [R], valid [R])`` from
+    ``training.host_dedup`` — which replaces the in-device argsort+segment
+    dedup with one grads scatter-add (``summed[seg[j]] += grads[j]``);
+    tables absent from ``pre`` keep the in-device path. Returns (new tables
+    dict, new table_state dict, grad-norm-squared contribution).
     """
     from twotower_tpu.models.two_tower import dead_row
 
@@ -373,7 +392,11 @@ def sparse_table_updates(
     new_state = {k: dict(v) for k, v in table_state.items()}
     for name, (ids, grads) in row_grads.items():
         table = tables[name]
-        targets, summed, valid = dedup_rows(ids, grads, dead_row(table))
+        if pre is not None and name in pre:
+            targets, seg, valid = pre[name]
+            summed = jnp.zeros_like(grads).at[seg].add(grads)
+        else:
+            targets, summed, valid = dedup_rows(ids, grads, dead_row(table))
         t, mo = adam_row_update_packed(
             table,
             table_state[name]["moments"],
