@@ -9,6 +9,11 @@ argv: config_path n_devices num_users num_items
 """
 
 import sys
+from pathlib import Path
+
+# Self-sufficient import: the repo package is used from the source tree (not
+# pip-installed), and a script's sys.path[0] is tests/, not the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:

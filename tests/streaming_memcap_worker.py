@@ -13,6 +13,10 @@ import resource
 import sys
 from pathlib import Path
 
+# Self-sufficient import: the repo package is used from the source tree (not
+# pip-installed), and a script's sys.path[0] is tests/, not the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 
