@@ -1,6 +1,6 @@
 # Development workflow targets (the reference README declares `make
 # setup-dev` etc. at README.md:71-76 without shipping a Makefile).
-.PHONY: setup-dev test test-fast lint docs bench bench-check dryrun pipeline clean
+.PHONY: setup-dev test test-fast lint docs bench bench-check dryrun pipeline parity clean
 
 setup-dev:
 	pip install -e . --no-deps --no-build-isolation
@@ -33,6 +33,18 @@ bench-check:
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# Metric-parity packet (NEEDS NETWORK EGRESS): download the reference's
+# 5-core categories, prepare, train a BASELINE preset, evaluate exactly, and
+# print Recall@10/NDCG@10 next to the reference's published 0.342/0.287
+# (reference README.md:80). See benchmarks/parity_packet.py and BASELINE.md.
+#   make parity                                               # config 2
+#   make parity PARITY_CONFIG=configs/full_category_8chip.yaml \
+#               PARITY_FLAGS="--train-flags --mesh"           # config 3
+PARITY_CONFIG ?= configs/books_1m.yaml
+PARITY_FLAGS ?=
+parity:
+	python benchmarks/parity_packet.py --config $(PARITY_CONFIG) $(PARITY_FLAGS)
 
 # One-command data pipeline (download -> prepare), dev sample size.
 pipeline:
