@@ -73,6 +73,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--clusters", type=int, default=2048)
     p.add_argument("--epochs", type=int, default=None,
                    help="override training.epochs (default: config value, 50)")
+    p.add_argument(
+        "--val-rows", type=int, default=500_000,
+        help="per-epoch validation cap (strided subsample; full test-split "
+        "metrics still come from the exact evaluate stage). At 50M scale "
+        "the uncapped ~5M-row validation costs ~10x the epoch itself",
+    )
     p.add_argument("--skip-prepare", action="store_true",
                    help="reuse <workdir>/prepared from a previous run")
     p.add_argument("--smoke", action="store_true",
@@ -147,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         "--prepared-dir", str(prepared),
         "--stream-batches",
         "--checkpoint-dir", str(ckpt_dir),
+        "--val-rows", str(args.val_rows),
     ]
     overrides = []
     if args.epochs is not None:

@@ -127,6 +127,56 @@ class TestTraining:
             warn_dropped_ids({"dropped_ids": 3.0, "loss": 1.0}, epoch=0, step=2)
         assert any("a2a_capacity_factor" in r.message for r in caplog.records)
 
+    def test_strided_subsample(self):
+        """--val-rows cap (full-corpus-scale runs): deterministic, evenly
+        spread over the index range (a temporal split stays representative),
+        identity when the cap covers the split."""
+        from twotower_tpu.training.train import strided_subsample
+
+        sel = strided_subsample(1_000_000, 1000)
+        assert len(sel) == 1000
+        assert sel[0] == 0 and sel[-1] == 999_999
+        assert np.all(np.diff(sel) > 0)  # strictly increasing, no dups
+        # evenly spread: stride variance is at most one index
+        strides = np.diff(sel)
+        assert strides.max() - strides.min() <= 1
+        np.testing.assert_array_equal(sel, strided_subsample(1_000_000, 1000))
+        np.testing.assert_array_equal(strided_subsample(10, 50), np.arange(10))
+        np.testing.assert_array_equal(strided_subsample(10, 10), np.arange(10))
+
+    def test_train_cli_val_rows_cap(self, tmp_path, monkeypatch):
+        """--val-rows subsamples per-epoch validation without touching the
+        final full-split metrics path (train CLI e2e, tiny synthetic)."""
+        from twotower_tpu.evaluation.evaluator import Evaluator
+        from twotower_tpu.training.train import main as train_main
+
+        bound_sizes = []
+        orig = Evaluator.make_evaluate_fn
+
+        def spy(self, user_idx, item_idx):
+            bound_sizes.append(len(user_idx))
+            return orig(self, user_idx, item_idx)
+
+        monkeypatch.setattr(Evaluator, "make_evaluate_fn", spy)
+        rc = train_main(
+            [
+                "--synthetic", "--synthetic-users", "120",
+                "--synthetic-items", "60",
+                "--synthetic-interactions", "3000",
+                "--checkpoint-dir", str(tmp_path / "ckpt"),
+                "--val-rows", "64",
+                "--override", "training.epochs=1",
+                "training.batch_size=64", "model.embedding_dim=16",
+                "model.user_tower_dims=[16]", "model.item_tower_dims=[16]",
+                "preprocessing.min_interactions_per_user=2",
+                "preprocessing.min_interactions_per_item=2",
+            ]
+        )
+        assert rc == 0
+        # the per-epoch validation hook was bound to exactly the capped
+        # subsample (the full held-out split is larger)
+        assert bound_sizes == [64]
+
     def test_finalize_throughput(self):
         from twotower_tpu.training.loop import TrainResult
 

@@ -87,6 +87,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--split", choices=["temporal", "random"], default="temporal")
     p.add_argument("--no-eval", action="store_true", help="skip validation/early stop")
     p.add_argument(
+        "--val-rows", type=int, default=None,
+        help="cap per-epoch validation to a strided subsample of this many "
+        "held-out rows (full-corpus-scale runs: scoring millions of val "
+        "rows every epoch can dwarf the epoch itself). Early stopping "
+        "then tracks the subsample; the final test metrics and "
+        "evaluate-model always score the FULL split",
+    )
+    p.add_argument(
         "--profile-dir", type=str, default=None,
         help="write a jax.profiler device trace for the training run",
     )
@@ -112,6 +120,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     return p
+
+
+def strided_subsample(n: int, cap: int) -> np.ndarray:
+    """Indices of an evenly-spaced size-<=cap subsample of ``range(n)``.
+
+    Deterministic (no RNG state) and uniform over the index range, so a
+    temporally-sorted validation split stays temporally representative.
+    """
+    if cap >= n:
+        return np.arange(n)
+    return np.linspace(0, n - 1, num=cap, dtype=np.int64)
 
 
 def load_interactions(args) -> "object":
@@ -358,10 +377,21 @@ def _fit_and_summarize(
     # Mesh-aware evaluator: on a multi-device mesh the encoded corpus stays
     # row-sharded P(model, None) instead of replicating per device.
     evaluator = Evaluator(config, num_items, item_tokens=item_tokens, mesh=mesh)
+    val_u, val_i = val_arrays
+    cap = getattr(args, "val_rows", None)
+    if cap and cap < len(val_u):
+        # Strided subsample: deterministic and spread uniformly across the
+        # temporal window (a head slice would only see the oldest rows).
+        sel = strided_subsample(len(val_u), cap)
+        logger.info(
+            "validation capped: %d of %d held-out rows (stride %d)",
+            len(sel), len(val_u), sel[1] - sel[0] if len(sel) > 1 else 1,
+        )
+        val_u, val_i = val_u[sel], val_i[sel]
     evaluate_fn = (
         None
-        if args.no_eval or len(val_arrays[0]) == 0
-        else evaluator.make_evaluate_fn(val_arrays[0], val_arrays[1])
+        if args.no_eval or len(val_u) == 0
+        else evaluator.make_evaluate_fn(val_u, val_i)
     )
     shutdown = GracefulShutdown().install()
     if args.device_loop:
