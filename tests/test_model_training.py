@@ -257,6 +257,33 @@ class TestTraining:
         m = ev.evaluate(params, splits.val.user_idx, splits.val.item_idx)
         assert 0.0 <= m["recall@10"] <= 1.0
 
+    @pytest.mark.parametrize("exact", [True, False])
+    def test_eval_scan_matches_per_batch_loop(self, tiny_config, exact):
+        """The device-resident lax.scan evaluation (single metrics fetch)
+        must reproduce the per-batch host loop bit-for-bit in both search
+        modes, including the ragged final batch."""
+        import jax
+
+        from twotower_tpu.models import two_tower
+
+        cfg, pp, splits = self._setup(tiny_config)
+        cfg = cfg.with_overrides({"retrieval.eval_exact": exact})
+        num_items = len(pp.vocab.items)
+        params = two_tower.init_params(
+            jax.random.PRNGKey(3), cfg.model, len(pp.vocab.users), num_items
+        )
+        # batch 256 over a ~600-row split: >1 scan step + a ragged tail
+        u, it = splits.val.user_idx, splits.val.item_idx
+        scan_ev = Evaluator(cfg, num_items, batch_size=256)
+        m_scan = scan_ev.evaluate(params, u, it)
+        assert scan_ev._scan_ok is True
+        loop_ev = Evaluator(cfg, num_items, batch_size=256)
+        loop_ev._scan_ok = False  # force the per-batch fallback path
+        m_loop = loop_ev.evaluate(params, u, it)
+        assert set(m_scan) == set(m_loop)
+        for key in m_scan:
+            assert m_scan[key] == pytest.approx(m_loop[key], abs=1e-6), key
+
     def test_bf16_eval_corpus_matches_f32_within_tolerance(self, tiny_config):
         """retrieval.eval_corpus_dtype=bfloat16 (approx validation mode,
         half the eval-corpus HBM) must produce metrics within bf16 noise

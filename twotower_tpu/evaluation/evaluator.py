@@ -127,8 +127,7 @@ class Evaluator:
             ).astype(corpus_dtype)
             return jnp.pad(emb, ((0, corpus_rows - num_items), (0, 0)))
 
-        @functools.partial(jax.jit, static_argnames=("max_k",))
-        def _eval_batch(params, corpus, user_idx, true_item, weight, max_k: int):
+        def _batch_metrics(params, corpus, user_idx, true_item, weight, max_k: int):
             user_emb = two_tower.embed_users(params, user_idx, mcfg, train=False)
             if exact:
                 _, topk_idx = topk_mips_twopass(
@@ -145,8 +144,50 @@ class Evaluator:
             ks = tuple(k for k in self.ks if k <= max_k) or (max_k,)
             return metrics_at_k(topk_idx, true_item, ks, weights=weight)
 
+        @functools.partial(jax.jit, static_argnames=("max_k",))
+        def _eval_batch(params, corpus, user_idx, true_item, weight, max_k: int):
+            return _batch_metrics(params, corpus, user_idx, true_item, weight, max_k)
+
+        @functools.partial(jax.jit, static_argnames=("max_k",))
+        def _eval_scan(params, corpus, u, it, w, max_k: int):
+            """Whole-split evaluation as ONE device program.
+
+            The per-batch host loop costs ~0.44 s/batch of pure transport on
+            the axon tunnel (3 device_puts + a sync device_get per 4096-row
+            batch) while the approx search itself is 9.9 ms/batch at
+            10M x 128 (measured round 4, slope method) — a 44x overhead. A
+            ``lax.scan`` over pre-staged ``[nb, bs]`` index arrays keeps the
+            whole validation on device with a single scalar-tree fetch at
+            the end, the TPU-native shape for this loop.
+            """
+
+            def body(carry, batch):
+                bu, bi, bw = batch
+                m = _batch_metrics(params, corpus, bu, bi, bw, max_k)
+                # metrics_at_k returns weighted MEANS over max(sum(w),1);
+                # multiplying back by sum(w) recovers exact sums (padding
+                # batches have sum(w)==0 and contribute nothing).
+                wsum = bw.sum()
+                sums, tot = carry
+                return ({k: sums[k] + m[k] * wsum for k in sums}, tot + wsum), None
+
+            ks = tuple(k for k in self.ks if k <= max_k) or (max_k,)
+            keys = (
+                [f"recall@{k}" for k in ks]
+                + [f"ndcg@{k}" for k in ks]
+                + ["mrr"]
+            )
+            init = ({k: jnp.float32(0) for k in keys}, jnp.float32(0))
+            (sums, total), _ = jax.lax.scan(body, init, (u, it, w))
+            return sums, total
+
         self._encode_corpus = _encode_corpus
         self._eval_batch = _eval_batch
+        self._eval_scan = _eval_scan
+        # None = untried; False = scan compile failed once (giant exact score
+        # buffers can OOM the compiler when nested in the outer scan) ->
+        # permanently fall back to the per-batch loop for this evaluator.
+        self._scan_ok: bool | None = None
 
     def _put_batch(self, arr: np.ndarray):
         """Host batch array -> sharded device array. Multi-controller: each
@@ -158,6 +199,20 @@ class Evaluator:
             )
         return jax.device_put(arr, self._batch_sharding)
 
+    def _pack_batches(self, user_idx: np.ndarray, item_idx: np.ndarray):
+        """Pad + reshape an eval split to ``[nb, batch_size]`` scan operands
+        (padding rows carry weight 0)."""
+        n = len(user_idx)
+        bs = self.batch_size
+        nb = max(1, -(-n // bs))
+        u = np.zeros(nb * bs, np.int32)
+        it = np.zeros(nb * bs, np.int32)
+        w = np.zeros(nb * bs, np.float32)
+        u[:n] = user_idx
+        it[:n] = item_idx
+        w[:n] = 1.0
+        return u.reshape(nb, bs), it.reshape(nb, bs), w.reshape(nb, bs)
+
     def evaluate(
         self,
         params,
@@ -165,11 +220,44 @@ class Evaluator:
         item_idx: np.ndarray,
     ) -> dict[str, float]:
         """Single-positive protocol: for each (user, held-out item) row, rank
-        the full corpus for the user and score where the item lands."""
+        the full corpus for the user and score where the item lands.
+
+        Single-device: the whole split runs as one jitted ``lax.scan`` with a
+        single metrics fetch (see ``_eval_scan``). Mesh-sharded: per-batch
+        dispatch (multi-controller batches are assembled per process via
+        ``make_array_from_process_local_data``; metrics psum inside the step).
+        """
         sharded = self.mesh is not None
         corpus = (
             self._sharded_encode(params) if sharded else self._encode_corpus(params)
         )
+        if not sharded and self._scan_ok is not False:
+            u, it, w = self._pack_batches(user_idx, item_idx)
+            try:
+                sums, total = self._eval_scan(
+                    params, corpus,
+                    jnp.asarray(u), jnp.asarray(it), jnp.asarray(w),
+                    self.max_k,
+                )
+                sums = jax.device_get(sums)
+                self._scan_ok = True
+            except Exception:
+                if self._scan_ok:  # worked before: a real runtime error
+                    raise
+                logger.warning(
+                    "device-resident eval scan failed to compile; falling "
+                    "back to the per-batch loop", exc_info=True,
+                )
+                self._scan_ok = False
+            else:
+                denom = max(float(total), 1e-12)
+                out = {k: float(v) / denom for k, v in sums.items()}
+                logger.info(
+                    "evaluated %d rows over %d items: %s",
+                    len(user_idx), self.num_items,
+                    {k: round(v, 4) for k, v in sorted(out.items())},
+                )
+                return out
         n = len(user_idx)
         bs = self.batch_size
         batch_metrics = []
