@@ -257,6 +257,35 @@ class TestTraining:
         m = ev.evaluate(params, splits.val.user_idx, splits.val.item_idx)
         assert 0.0 <= m["recall@10"] <= 1.0
 
+    def test_segment_steps_matches_per_step_loop(self, tiny_config):
+        """training.segment_steps (scan S stacked batches per dispatch) must
+        follow the same trajectory as per-step dispatch: same seeded
+        pipeline, same rng folding by state.step — with a segment size that
+        does NOT divide the epoch's batch count (tail segment retrace)."""
+        from twotower_tpu.data import BatchPipeline
+
+        cfg, pp, splits = self._setup(tiny_config)
+        cfg = cfg.with_overrides({"training.epochs": 2})
+        nu, ni = len(pp.vocab.users), len(pp.vocab.items)
+        log_q = np.log(pp.vocab.items.frequencies + 1e-12)
+        results = {}
+        for seg in (0, 6):
+            c = cfg.with_overrides({"training.segment_steps": seg})
+            trainer = Trainer(c, log_q=log_q, num_items=ni)
+            state = trainer.init_state(nu, ni)
+            pipe = BatchPipeline(splits.train, c.training.batch_size)
+            assert seg == 0 or len(pipe) % seg != 0  # exercise the tail
+            results[seg] = trainer.fit(state, pipe)
+        import jax
+
+        p0 = jax.device_get(results[0].state.params)
+        p5 = jax.device_get(results[6].state.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-7),
+            p0, p5,
+        )
+        assert int(results[0].state.step) == int(results[6].state.step)
+
     @pytest.mark.parametrize("exact", [True, False])
     def test_eval_scan_matches_per_batch_loop(self, tiny_config, exact):
         """The device-resident lax.scan evaluation (single metrics fetch)

@@ -183,6 +183,17 @@ class TrainingConfig:
     checkpoint_dir: str = "models/artifacts"
     keep_checkpoints: int = 3
     early_stopping_metric: str = "recall@10"
+    # Host-loop segment size: >1 groups that many consecutive train steps
+    # into ONE jitted lax.scan dispatch over stacked [S, B] batches. On a
+    # high-latency device transport (the tunneled single-chip path) the
+    # per-step dispatch overhead dominates streamed-input training
+    # (measured ~8.7 ms/step at B=8192 vs ~6 ms of device compute); the
+    # segment scan amortizes it S-fold while keeping the streaming input
+    # path's bounded memory. 0/1 = per-step dispatch (default). Applies to
+    # the single-device host loop; --device-loop subsumes it in-memory,
+    # and the mesh path keeps per-step dispatch (multi-host batch
+    # assembly is per-process).
+    segment_steps: int = 0
 
     def effective_sparse_updates(self) -> bool:
         """Sparse row updates implement lazy ADAM specifically; fall back to
@@ -200,6 +211,8 @@ class TrainingConfig:
             raise ValueError("training.learning_rate must be positive")
         if self.patience < 0:
             raise ValueError("training.patience must be >= 0")
+        if self.segment_steps < 0:
+            raise ValueError("training.segment_steps must be >= 0")
 
 
 @dataclass

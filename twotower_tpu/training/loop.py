@@ -213,6 +213,67 @@ def make_train_step(
     return step
 
 
+def make_segment_runner(
+    config: Config,
+    optimizer: optax.GradientTransformation,
+    log_q: Array | None = None,
+    *,
+    item_tokens: Array | None = None,
+    num_items: int | None = None,
+):
+    """Jitted multi-step dispatch: ``runner(state, batches, rng)`` scans the
+    train step over ``batches`` — a batch dict whose arrays carry a leading
+    segment axis ``[S, B, ...]`` — and returns ``(state, mean metrics)``.
+
+    This is the streamed-input counterpart of ``training/device_loop.py``:
+    the input pipeline stays out-of-core (bounded host memory), but the
+    device sees ONE dispatch per S steps instead of per step, amortizing
+    the per-step host/transport overhead that bounds streamed wall rate on
+    a high-latency link (see ``TrainingConfig.segment_steps``). Distinct
+    segment lengths (the epoch tail) retrace automatically. Metrics come
+    back as means over the segment (``dropped_ids > 0`` detection is
+    preserved — a positive per-step count stays positive in the mean).
+    """
+    if config.training.effective_sparse_updates():
+        from twotower_tpu.training.sparse import make_sparse_step_fn
+
+        raw = make_sparse_step_fn(config, optimizer, num_items=num_items)
+    else:
+        raw = make_step_fn(config, optimizer, num_items=num_items)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_segment(state, batches, rng, log_q, item_tokens):
+        def body(st, b):
+            return raw(st, b, rng, log_q, item_tokens)
+
+        state, stacked = jax.lax.scan(body, state, batches)
+        return state, {k: v.mean() for k, v in stacked.items()}
+
+    lq = jnp.asarray(log_q, jnp.float32) if log_q is not None else None
+    tok = jnp.asarray(item_tokens) if item_tokens is not None else None
+
+    def runner(state, batches: Batch, rng: Array):
+        return run_segment(state, batches, rng, lq, tok)
+
+    return runner
+
+
+def pack_segments(batches, segment_steps: int):
+    """Group an epoch's batch dicts into stacked ``[S, ...]`` segment dicts
+    (host-side, runs on the prefetch thread). The final segment carries the
+    epoch remainder (shorter leading axis)."""
+    buf: list[Batch] = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == segment_steps:
+            yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+            buf = []
+    if buf:
+        yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+
+
 def warn_dropped_ids(host: dict, *, epoch: int, step: int) -> None:
     """Surface a2a capacity overflow as an operator WARNING, not just a
     metric (VERDICT r03 UX): dropped ids mean ``mesh.a2a_capacity_factor``
@@ -322,6 +383,8 @@ class Trainer:
         self.checkpoint_manager = checkpoint_manager
         # Preemption-aware stop flag provider (utils.profiling.GracefulShutdown).
         self.shutdown = shutdown
+        # Built lazily in fit() when training.segment_steps > 1.
+        self._segment_run = None
 
     def init_state(self, num_users: int, num_items: int) -> TrainState:
         from twotower_tpu.training.state import init_train_state
@@ -411,19 +474,54 @@ class Trainer:
                 )
             return it
 
+        # Segmented dispatch (training.segment_steps > 1): scan S stacked
+        # batches per device call — streamed input with device-loop-like
+        # dispatch amortization. Single-device host loop only (the mesh
+        # path's per-process batch assembly is per-step by construction).
+        seg = cfg.segment_steps if self.mesh is None else 0
+        if cfg.segment_steps > 1 and self.mesh is not None:
+            logger.warning(
+                "training.segment_steps=%d ignored on the mesh path "
+                "(per-step multi-host batch assembly); use --device-loop "
+                "for device-resident mesh epochs", cfg.segment_steps,
+            )
+        if seg > 1 and self._segment_run is None:
+            self._segment_run = make_segment_runner(
+                self.config, self.optimizer, self.log_q,
+                item_tokens=self._item_tokens, num_items=self.num_items,
+            )
+
         train_time = 0.0
         for epoch in range(start_epoch, cfg.epochs):
             t_epoch = time.perf_counter()
             steps = 0
             # Background host->device prefetch: input transfer overlaps the
             # previous step's device execution.
-            for device_batch in DevicePrefetcher(epoch_batches(epoch), to_device):
-                state, metrics = self.train_step(state, device_batch, rng)
+            if seg > 1:
+                source = DevicePrefetcher(
+                    pack_segments(epoch_batches(epoch), seg), to_device
+                )
+            else:
+                source = DevicePrefetcher(epoch_batches(epoch), to_device)
+            for device_batch in source:
+                if seg > 1:
+                    n_steps = int(device_batch["user_idx"].shape[0])
+                    rows = int(device_batch["user_idx"].shape[1])
+                    state, metrics = self._segment_run(state, device_batch, rng)
+                else:
+                    n_steps, rows = 1, int(device_batch["user_idx"].shape[0])
+                    state, metrics = self.train_step(state, device_batch, rng)
                 timer.tick()
-                steps += 1
-                examples_seen += int(device_batch["user_idx"].shape[0])
-                # Fetch the *previous* step's metrics — keeps dispatch async.
-                if pending is not None and steps % cfg.log_every_steps == 0:
+                prev_steps = steps
+                steps += n_steps
+                examples_seen += n_steps * rows
+                # Fetch the *previous* dispatch's metrics — keeps dispatch
+                # async. (Crossing test, not modulo: segments advance steps
+                # by S at a time.)
+                if pending is not None and (
+                    prev_steps // cfg.log_every_steps
+                    != steps // cfg.log_every_steps
+                ):
                     host = {k: float(v) for k, v in jax.device_get(pending).items()}
                     self._write({f"train/{k}": v for k, v in host.items()}, int(state.step))
                     warn_dropped_ids(host, epoch=epoch, step=int(state.step))
@@ -437,7 +535,13 @@ class Trainer:
             train_time += epoch_time
             eps = steps * cfg.batch_size / max(epoch_time, 1e-9)
             record: dict[str, float] = {"epoch": float(epoch), "examples_per_sec": eps}
-            record.update(timer.summary())
+            timing = timer.summary()
+            if seg > 1:  # ticks are per-segment, not per-step: say so
+                timing = {
+                    k.replace("step_time", "segment_time"): v
+                    for k, v in timing.items()
+                }
+            record.update(timing)
             if pending is not None:
                 record.update({k: float(v) for k, v in jax.device_get(pending).items()})
                 warn_dropped_ids(record, epoch=epoch, step=int(state.step))
