@@ -913,6 +913,70 @@ class TestCheckpoint:
         with pytest.raises(FileNotFoundError):
             mgr.restore(None)
 
+    def test_async_save_flush_and_coalesce(self, tiny_config_module, tmp_path):
+        """async_save: saves return immediately from a device snapshot, a
+        worker writes them; rapid-fire requests coalesce to the newest
+        (save requests come only from improving epochs) and flush()
+        guarantees the final (= best) one reaches disk and restores."""
+        import time as _time
+
+        cfg = tiny_config_module
+        optimizer = make_optimizer(cfg.training)
+        mgr = CheckpointManager(tmp_path / "ckpt", keep=10, async_save=True)
+        assert mgr.async_save  # single-process: stays enabled
+
+        slow_orig = mgr._save_now
+
+        def slow_save(step, state, **kw):
+            _time.sleep(0.2)  # hold the worker so later requests coalesce
+            return slow_orig(step, state, **kw)
+
+        mgr._save_now = slow_save
+        expect = None
+        for s in (1, 2, 3):
+            params = two_tower.init_params(
+                jax.random.PRNGKey(s), cfg.model, 30, 20
+            )
+            state = TrainState.create(params, optimizer)
+            if s == 3:
+                expect = np.asarray(state.params["user_embedding"]).copy()
+            mgr.save(s, state, metrics={"recall@10": s / 10})
+            # drop the live state right after save returns: the on-device
+            # snapshot must be independent of later donation/free
+            del state, params
+        mgr.flush()
+        steps = mgr.all_steps()
+        assert steps[-1] == 3  # the newest request always lands
+        # the worker was busy >=0.2s per write while all three requests
+        # arrived within ~ms: at least one middle request must coalesce away
+        assert len(steps) <= 2
+        template = TrainState.create(
+            two_tower.init_params(jax.random.PRNGKey(9), cfg.model, 30, 20),
+            optimizer,
+        )
+        restored, meta = mgr.restore(template, step=3)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["user_embedding"]), expect
+        )
+        assert meta["metrics"]["recall@10"] == pytest.approx(0.3)
+
+    def test_async_save_worker_failure_surfaces(self, tiny_config_module, tmp_path):
+        cfg = tiny_config_module
+        optimizer = make_optimizer(cfg.training)
+        state = TrainState.create(
+            two_tower.init_params(jax.random.PRNGKey(0), cfg.model, 20, 20),
+            optimizer,
+        )
+        mgr = CheckpointManager(tmp_path / "ckpt", keep=2, async_save=True)
+
+        def boom(step, s, **kw):
+            raise RuntimeError("disk on fire")
+
+        mgr._save_now = boom
+        mgr.save(1, state)
+        with pytest.raises(RuntimeError, match="disk on fire"):
+            mgr.flush()
+
 
 class TestCliE2E:
     def test_train_then_evaluate_then_serve(self, tmp_path):

@@ -182,6 +182,15 @@ class TrainingConfig:
     log_every_steps: int = 100
     checkpoint_dir: str = "models/artifacts"
     keep_checkpoints: int = 3
+    # Background checkpoint writes (single-controller runs): save() snapshots
+    # the state on device (HBM copy, ~ms) and a worker thread does the
+    # device->host fetch + Orbax write while training continues; pending
+    # saves coalesce to the newest (= best) state and flush() at the end of
+    # fit guarantees durability. On a high-latency transport the fetch is
+    # the whole save cost (measured 270 s for the 5.7 GB config-3 state vs
+    # the 63 s epoch it blocked). Costs one extra state copy in HBM until
+    # fetched. Multi-process runs ignore this (collective sync save).
+    async_checkpoint: bool = True
     early_stopping_metric: str = "recall@10"
     # Host-loop segment size: >1 groups that many consecutive train steps
     # into ONE jitted lax.scan dispatch over stacked [S, B] batches. On a

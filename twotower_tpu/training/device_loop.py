@@ -260,6 +260,9 @@ class DeviceTrainer:
                 logger.warning("graceful shutdown after epoch %d", epoch)
                 break
 
+        if self.checkpoint_manager is not None:
+            # Drain async saves (no-op when synchronous).
+            self.checkpoint_manager.flush()
         total = time.perf_counter() - t_start
         result.state = state
         result.best_metric = stopper.best

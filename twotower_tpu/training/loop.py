@@ -590,6 +590,11 @@ class Trainer:
                 logger.warning("graceful shutdown after epoch %d", epoch)
                 break
 
+        if self.checkpoint_manager is not None:
+            # Drain async saves (no-op when synchronous): the best state
+            # must be durable before fit returns — counted in e2e wall
+            # time, outside the train-phase time.
+            self.checkpoint_manager.flush()
         total_time = time.perf_counter() - t_start
         result.state = state
         result.best_metric = stopper.best

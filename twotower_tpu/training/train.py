@@ -210,7 +210,10 @@ def run(args, config: Config) -> dict:
     )
 
     ckpt_dir = Path(args.checkpoint_dir or config.training.checkpoint_dir)
-    manager = CheckpointManager(ckpt_dir, keep=config.training.keep_checkpoints)
+    manager = CheckpointManager(
+        ckpt_dir, keep=config.training.keep_checkpoints,
+        async_save=config.training.async_checkpoint,
+    )
     writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
 
     # Optional item text tower: hashed n-grams (model.text_buckets > 0) or a
@@ -275,7 +278,10 @@ def _run_prepared(args, config: Config) -> dict:
     )
 
     ckpt_dir = Path(args.checkpoint_dir or config.training.checkpoint_dir)
-    manager = CheckpointManager(ckpt_dir, keep=config.training.keep_checkpoints)
+    manager = CheckpointManager(
+        ckpt_dir, keep=config.training.keep_checkpoints,
+        async_save=config.training.async_checkpoint,
+    )
     writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
 
     config, encoder, text_embedding_init = _resolve_text_tower(
@@ -481,6 +487,7 @@ def _fit_and_summarize(
             result.state,
             extra={"epoch": start_epoch + len(result.history)},
         )
+    manager.flush()  # async managers: durability before the CLI returns
     test_metrics = (
         evaluator.evaluate(result.state.params, test_arrays[0], test_arrays[1])
         if len(test_arrays[0])

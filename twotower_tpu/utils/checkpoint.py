@@ -13,6 +13,7 @@ or for serving-side model load. No pickle anywhere (the reference had to
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
 from typing import Any
 
@@ -29,13 +30,90 @@ class CheckpointManager:
 
     Orbax handles sharded arrays natively: on a mesh, each host writes only
     its addressable shards, and restore re-shards to the target topology.
+
+    ``async_save=True`` (single-controller only — multi-process runs
+    silently keep the synchronous collective save) moves the whole save off
+    the training thread: ``save`` snapshots the state ON DEVICE (an
+    HBM-to-HBM copy — milliseconds; the training step is then free to
+    donate the live buffers) and enqueues it for a background worker that
+    performs the device->host fetch and the Orbax write. On a
+    high-latency device transport the fetch dominates the save (measured
+    270 s for the 5.7 GB config-3 train state on the tunneled v5e — 4x the
+    63 s epoch it interrupted); async saving overlaps it with subsequent
+    epochs. Pending saves COALESCE: if a newer save request arrives while
+    one is in flight, any not-yet-started older request is dropped — save
+    requests come only from improving epochs, so the newest pending request
+    is always the best state so far, and ``flush()`` (called at the end of
+    ``Trainer.fit`` and on preemption) guarantees it reaches disk before
+    the process exits. Costs one extra state copy in HBM until fetched —
+    budget for it at >5M-item scale.
     """
 
-    def __init__(self, directory: str | Path, *, keep: int = 3):
+    def __init__(
+        self, directory: str | Path, *, keep: int = 3, async_save: bool = False
+    ):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.keep = keep
         self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = bool(async_save) and jax.process_count() == 1
+        if async_save and not self.async_save:
+            logger.info(
+                "async_save requested but %d processes need the collective "
+                "synchronous save; disabled", jax.process_count(),
+            )
+        self._lock = threading.Lock()
+        self._pending: tuple | None = None  # newest not-yet-started request
+        self._work = threading.Semaphore(0)
+        self._idle = threading.Event()
+        self._idle.set()
+        self._worker: threading.Thread | None = None
+        self._worker_err: BaseException | None = None
+
+    # -- async machinery -----------------------------------------------------
+
+    def _ensure_worker(self) -> None:
+        if self._worker is not None and self._worker.is_alive():
+            return
+
+        def loop() -> None:
+            while True:
+                self._work.acquire()
+                with self._lock:
+                    req = self._pending
+                    self._pending = None
+                    if req is None:  # coalesced away or shutdown sentinel
+                        if self._pending is None:
+                            self._idle.set()
+                        continue
+                    self._idle.clear()
+                step, snapshot, metrics, extra = req
+                del req
+                try:
+                    host_state = jax.device_get(snapshot)
+                    del snapshot  # free the HBM copy before the disk write
+                    self._save_now(step, host_state, metrics=metrics, extra=extra)
+                except BaseException as e:  # surface on the next save/flush
+                    logger.exception("async checkpoint save failed at step %d", step)
+                    self._worker_err = e
+                finally:
+                    with self._lock:
+                        if self._pending is None:
+                            self._idle.set()
+
+        self._worker = threading.Thread(
+            target=loop, name="ckpt-saver", daemon=True
+        )
+        self._worker.start()
+
+    def flush(self, timeout: float | None = None) -> None:
+        """Block until every pending async save has reached disk (no-op for
+        synchronous managers). Raises if the worker failed."""
+        if self._worker is not None:
+            self._idle.wait(timeout)
+        if self._worker_err is not None:
+            err, self._worker_err = self._worker_err, None
+            raise err
 
     # ------------------------------------------------------------------
 
@@ -67,7 +145,47 @@ class CheckpointManager:
         metrics: dict[str, float] | None = None,
         extra: dict[str, Any] | None = None,
     ) -> Path:
-        """Save state + metadata; prune beyond ``keep`` oldest-first."""
+        """Save state + metadata; prune beyond ``keep`` oldest-first.
+
+        Async managers return immediately after an on-device snapshot (see
+        class docstring); call :meth:`flush` to guarantee durability."""
+        path = self._step_dir(step)
+        if not self.async_save:
+            if self._worker_err is not None:
+                self.flush()  # re-raise a prior async failure
+            return self._save_now(step, state, metrics=metrics, extra=extra)
+        if self._worker_err is not None:
+            self.flush()
+        self._ensure_worker()
+        # Device-side snapshot: the training loop donates the live state
+        # buffers on its next step, so the copy must exist BEFORE save
+        # returns. HBM-to-HBM, so it costs milliseconds, not the transport.
+        import jax.numpy as jnp
+
+        snapshot = jax.tree_util.tree_map(jnp.copy, state)
+        with self._lock:
+            dropped = self._pending
+            fresh = self._pending is None
+            self._pending = (step, snapshot, metrics, extra)
+            self._idle.clear()
+            if fresh:
+                self._work.release()
+        if dropped is not None:
+            logger.info(
+                "async checkpoint: superseding queued step %d with step %d "
+                "(the newer state is strictly better — saves happen on "
+                "improvement)", dropped[0], step,
+            )
+        return path
+
+    def _save_now(
+        self,
+        step: int,
+        state: Any,
+        *,
+        metrics: dict[str, float] | None = None,
+        extra: dict[str, Any] | None = None,
+    ) -> Path:
         path = self._step_dir(step)
         if (path / "meta.json").exists():
             logger.info("checkpoint step %d already exists, skipping", step)
