@@ -81,6 +81,10 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--skip-prepare", action="store_true",
                    help="reuse <workdir>/prepared from a previous run")
+    p.add_argument("--resume-train", action="store_true",
+                   help="pass --resume to the train stage (continue from "
+                   "the newest checkpoint in <workdir>/checkpoints, e.g. "
+                   "after a preemption)")
     p.add_argument("--smoke", action="store_true",
                    help="seconds-scale sizes for CI (overrides size flags)")
     return p
@@ -155,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
         "--checkpoint-dir", str(ckpt_dir),
         "--val-rows", str(args.val_rows),
     ]
+    if args.resume_train:
+        train_cmd.append("--resume")
     overrides = []
     if args.epochs is not None:
         overrides.append(f"training.epochs={args.epochs}")
