@@ -191,6 +191,12 @@ class TrainingConfig:
     # the 63 s epoch it blocked). Costs one extra state copy in HBM until
     # fetched. Multi-process runs ignore this (collective sync save).
     async_checkpoint: bool = True
+    # Minimum seconds between async checkpoint write STARTS (0 = none).
+    # When every epoch improves, saves coalesce to the newest state but an
+    # unthrottled worker keeps the device transport continuously busy
+    # fetching; an idle window between writes gives input transfers and
+    # validation fetches clean air. flush() ignores the window.
+    checkpoint_min_interval_s: float = 0.0
     early_stopping_metric: str = "recall@10"
     # Host-loop segment size: >1 groups that many consecutive train steps
     # into ONE jitted lax.scan dispatch over stacked [S, B] batches. On a

@@ -517,11 +517,15 @@ class Trainer:
                 examples_seen += n_steps * rows
                 # Fetch the *previous* dispatch's metrics — keeps dispatch
                 # async. (Crossing test, not modulo: segments advance steps
-                # by S at a time.)
+                # by S at a time.) Skipped while an async checkpoint fetch
+                # holds the transport: this readback is advisory, and on a
+                # single-queue link it would stall the loop behind the bulk
+                # state fetch (measured minutes mid-epoch). The epoch-end
+                # record still fetches unconditionally.
                 if pending is not None and (
                     prev_steps // cfg.log_every_steps
                     != steps // cfg.log_every_steps
-                ):
+                ) and not getattr(self.checkpoint_manager, "is_busy", False):
                     host = {k: float(v) for k, v in jax.device_get(pending).items()}
                     self._write({f"train/{k}": v for k, v in host.items()}, int(state.step))
                     warn_dropped_ids(host, epoch=epoch, step=int(state.step))

@@ -213,6 +213,7 @@ def run(args, config: Config) -> dict:
     manager = CheckpointManager(
         ckpt_dir, keep=config.training.keep_checkpoints,
         async_save=config.training.async_checkpoint,
+        min_interval_s=config.training.checkpoint_min_interval_s,
     )
     writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
 
@@ -281,6 +282,7 @@ def _run_prepared(args, config: Config) -> dict:
     manager = CheckpointManager(
         ckpt_dir, keep=config.training.keep_checkpoints,
         async_save=config.training.async_checkpoint,
+        min_interval_s=config.training.checkpoint_min_interval_s,
     )
     writers = build_writers(args.writers, jsonl_path=ckpt_dir / "metrics.jsonl")
 

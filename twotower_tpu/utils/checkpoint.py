@@ -50,7 +50,13 @@ class CheckpointManager:
     """
 
     def __init__(
-        self, directory: str | Path, *, keep: int = 3, async_save: bool = False
+        self,
+        directory: str | Path,
+        *,
+        keep: int = 3,
+        async_save: bool = False,
+        fetch_chunk_mb: int = 64,
+        min_interval_s: float = 0.0,
     ):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
@@ -62,6 +68,19 @@ class CheckpointManager:
                 "async_save requested but %d processes need the collective "
                 "synchronous save; disabled", jax.process_count(),
             )
+        # The background fetch streams each big array in row slices of this
+        # many MB: a single-queue transport (the tunneled chip) would
+        # otherwise block every foreground fetch (validation results,
+        # metric readbacks) behind a monolithic multi-GB device_get —
+        # measured as multi-minute mid-epoch stalls. Chunking bounds any
+        # foreground wait to ~one chunk.
+        self.fetch_chunk_bytes = int(fetch_chunk_mb) << 20
+        # Minimum seconds between background write STARTS: with saves
+        # cheaper than epochs (they coalesce), a write finishing always
+        # finds a newer pending best — an unthrottled worker would keep
+        # the transport 100% busy. An idle window between writes gives
+        # input transfers and fetches contention-free time.
+        self.min_interval_s = float(min_interval_s)
         self._lock = threading.Lock()
         self._pending: tuple | None = None  # newest not-yet-started request
         self._work = threading.Semaphore(0)
@@ -69,6 +88,35 @@ class CheckpointManager:
         self._idle.set()
         self._worker: threading.Thread | None = None
         self._worker_err: BaseException | None = None
+        self._last_write_start = 0.0
+        self._rush = threading.Event()
+
+    @property
+    def is_busy(self) -> bool:
+        """An async save is queued or being written (advisory: callers may
+        defer optional foreground fetches to avoid transport contention)."""
+        return not self._idle.is_set()
+
+    def _fetch_chunked(self, tree: Any) -> Any:
+        """device_get a pytree, streaming big arrays in row slices so other
+        threads' fetches can interleave between chunks."""
+        import numpy as np
+
+        chunk = self.fetch_chunk_bytes
+
+        def fetch(x):
+            size = getattr(x, "nbytes", 0)
+            if size <= chunk or getattr(x, "ndim", 0) == 0:
+                return jax.device_get(x)
+            row_bytes = max(1, size // x.shape[0])
+            rows = max(1, chunk // row_bytes)
+            parts = [
+                jax.device_get(x[i : i + rows])
+                for i in range(0, x.shape[0], rows)
+            ]
+            return np.concatenate(parts, axis=0)
+
+        return jax.tree_util.tree_map(fetch, tree)
 
     # -- async machinery -----------------------------------------------------
 
@@ -76,9 +124,18 @@ class CheckpointManager:
         if self._worker is not None and self._worker.is_alive():
             return
 
+        import time as _time
+
         def loop() -> None:
             while True:
                 self._work.acquire()
+                # Idle window between write starts (pending keeps coalescing
+                # to the newest request while we wait).
+                wait = self.min_interval_s - (
+                    _time.monotonic() - self._last_write_start
+                )
+                if wait > 0:
+                    self._rush.wait(wait)  # flush() cuts the idle window short
                 with self._lock:
                     req = self._pending
                     self._pending = None
@@ -87,10 +144,11 @@ class CheckpointManager:
                             self._idle.set()
                         continue
                     self._idle.clear()
+                self._last_write_start = _time.monotonic()
                 step, snapshot, metrics, extra = req
                 del req
                 try:
-                    host_state = jax.device_get(snapshot)
+                    host_state = self._fetch_chunked(snapshot)
                     del snapshot  # free the HBM copy before the disk write
                     self._save_now(step, host_state, metrics=metrics, extra=extra)
                 except BaseException as e:  # surface on the next save/flush
@@ -110,7 +168,9 @@ class CheckpointManager:
         """Block until every pending async save has reached disk (no-op for
         synchronous managers). Raises if the worker failed."""
         if self._worker is not None:
+            self._rush.set()  # skip any inter-write idle window
             self._idle.wait(timeout)
+            self._rush.clear()
         if self._worker_err is not None:
             err, self._worker_err = self._worker_err, None
             raise err
