@@ -913,11 +913,12 @@ class TestCheckpoint:
         with pytest.raises(FileNotFoundError):
             mgr.restore(None)
 
-    def test_async_save_flush_and_coalesce(self, tiny_config_module, tmp_path):
+    def test_async_save_flush_and_busy_skip(self, tiny_config_module, tmp_path):
         """async_save: saves return immediately from a device snapshot, a
-        worker writes them; rapid-fire requests coalesce to the newest
-        (save requests come only from improving epochs) and flush()
-        guarantees the final (= best) one reaches disk and restores."""
+        worker writes them. HBM discipline: at most ONE snapshot alive —
+        requests while a save is in flight are skipped (no allocation);
+        a later request with an idle worker is accepted, and flush()
+        drains everything to disk before returning."""
         import time as _time
 
         cfg = tiny_config_module
@@ -928,37 +929,62 @@ class TestCheckpoint:
         slow_orig = mgr._save_now
 
         def slow_save(step, state, **kw):
-            _time.sleep(0.2)  # hold the worker so later requests coalesce
+            _time.sleep(0.3)  # hold the worker so later requests hit busy-skip
             return slow_orig(step, state, **kw)
 
         mgr._save_now = slow_save
-        expect = None
-        for s in (1, 2, 3):
+
+        def make_state(s):
             params = two_tower.init_params(
                 jax.random.PRNGKey(s), cfg.model, 30, 20
             )
-            state = TrainState.create(params, optimizer)
-            if s == 3:
-                expect = np.asarray(state.params["user_embedding"]).copy()
-            mgr.save(s, state, metrics={"recall@10": s / 10})
-            # drop the live state right after save returns: the on-device
-            # snapshot must be independent of later donation/free
-            del state, params
+            return TrainState.create(params, optimizer)
+
+        state1 = make_state(1)
+        expect1 = np.asarray(state1.params["user_embedding"]).copy()
+        mgr.save(1, state1, metrics={"recall@10": 0.1})
+        del state1  # snapshot must be independent of the live buffers
+        _time.sleep(0.05)  # let the worker take the request
+        mgr.save(2, make_state(2))  # in-flight -> skipped, no snapshot
         mgr.flush()
-        steps = mgr.all_steps()
-        assert steps[-1] == 3  # the newest request always lands
-        # the worker was busy >=0.2s per write while all three requests
-        # arrived within ~ms: at least one middle request must coalesce away
-        assert len(steps) <= 2
+        assert mgr.all_steps() == [1]  # 2 was busy-skipped
+        state3 = make_state(3)
+        expect3 = np.asarray(state3.params["user_embedding"]).copy()
+        mgr.save(3, state3, metrics={"recall@10": 0.3})  # idle -> accepted
+        del state3
+        mgr.flush()
+        assert mgr.all_steps() == [1, 3]
         template = TrainState.create(
             two_tower.init_params(jax.random.PRNGKey(9), cfg.model, 30, 20),
             optimizer,
         )
         restored, meta = mgr.restore(template, step=3)
         np.testing.assert_array_equal(
-            np.asarray(restored.params["user_embedding"]), expect
+            np.asarray(restored.params["user_embedding"]), expect3
         )
         assert meta["metrics"]["recall@10"] == pytest.approx(0.3)
+        restored1, _ = mgr.restore(template, step=1)
+        np.testing.assert_array_equal(
+            np.asarray(restored1.params["user_embedding"]), expect1
+        )
+
+    def test_async_save_accept_interval(self, tiny_config_module, tmp_path):
+        """min_interval_s gates ACCEPTED requests: a second improving save
+        inside the window is skipped without allocating a snapshot."""
+        cfg = tiny_config_module
+        optimizer = make_optimizer(cfg.training)
+        mgr = CheckpointManager(
+            tmp_path / "ckpt", keep=10, async_save=True, min_interval_s=60
+        )
+        state = TrainState.create(
+            two_tower.init_params(jax.random.PRNGKey(0), cfg.model, 20, 20),
+            optimizer,
+        )
+        mgr.save(1, state)
+        mgr.flush()
+        mgr.save(2, state)  # inside the 60s window -> skipped
+        mgr.flush()
+        assert mgr.all_steps() == [1]
 
     def test_async_save_worker_failure_surfaces(self, tiny_config_module, tmp_path):
         cfg = tiny_config_module

@@ -40,13 +40,21 @@ class CheckpointManager:
     high-latency device transport the fetch dominates the save (measured
     270 s for the 5.7 GB config-3 train state on the tunneled v5e — 4x the
     63 s epoch it interrupted); async saving overlaps it with subsequent
-    epochs. Pending saves COALESCE: if a newer save request arrives while
-    one is in flight, any not-yet-started older request is dropped — save
-    requests come only from improving epochs, so the newest pending request
-    is always the best state so far, and ``flush()`` (called at the end of
-    ``Trainer.fit`` and on preemption) guarantees it reaches disk before
-    the process exits. Costs one extra state copy in HBM until fetched —
-    budget for it at >5M-item scale.
+    epochs.
+
+    HBM discipline: at most ONE snapshot exists at a time — ``save``
+    requests arriving while the worker is busy, or within
+    ``min_interval_s`` of the last accepted request, are SKIPPED (no
+    snapshot allocated; logged). Unbounded snapshotting OOMed a 16 GB
+    chip at config-3 scale: live state 5.7 GB + in-fetch snapshot +
+    superseding pending snapshot = 17.1 GB. The worker also frees each
+    snapshot leaf as soon as it is fetched, so in-fetch residency decays
+    to zero. The trade: the best checkpoint on disk is at most one
+    accepted-save interval older than the true best validation — save
+    requests fire only on improving epochs, so late-training (rare)
+    improvements almost always find the worker idle and are captured
+    exactly; ``flush()`` at the end of ``fit`` drains the in-flight save
+    before the process exits.
     """
 
     def __init__(
@@ -75,11 +83,10 @@ class CheckpointManager:
         # measured as multi-minute mid-epoch stalls. Chunking bounds any
         # foreground wait to ~one chunk.
         self.fetch_chunk_bytes = int(fetch_chunk_mb) << 20
-        # Minimum seconds between background write STARTS: with saves
-        # cheaper than epochs (they coalesce), a write finishing always
-        # finds a newer pending best — an unthrottled worker would keep
-        # the transport 100% busy. An idle window between writes gives
-        # input transfers and fetches contention-free time.
+        # Minimum seconds between ACCEPTED save requests: with epochs far
+        # cheaper than saves, accepting every improving epoch would keep
+        # the transport 100% busy fetching state (and pile up snapshots in
+        # HBM). Requests inside the window are skipped outright.
         self.min_interval_s = float(min_interval_s)
         self._lock = threading.Lock()
         self._pending: tuple | None = None  # newest not-yet-started request
@@ -88,8 +95,7 @@ class CheckpointManager:
         self._idle.set()
         self._worker: threading.Thread | None = None
         self._worker_err: BaseException | None = None
-        self._last_write_start = 0.0
-        self._rush = threading.Event()
+        self._last_accept = 0.0
 
     @property
     def is_busy(self) -> bool:
@@ -97,9 +103,12 @@ class CheckpointManager:
         defer optional foreground fetches to avoid transport contention)."""
         return not self._idle.is_set()
 
-    def _fetch_chunked(self, tree: Any) -> Any:
+    def _fetch_chunked(self, tree: Any, *, free_leaves: bool = False) -> Any:
         """device_get a pytree, streaming big arrays in row slices so other
-        threads' fetches can interleave between chunks."""
+        threads' fetches can interleave between chunks. ``free_leaves``
+        deletes each device buffer as soon as its host copy lands (snapshot
+        trees only — nothing else may reference them), so HBM residency
+        decays to zero over the fetch instead of holding the full tree."""
         import numpy as np
 
         chunk = self.fetch_chunk_bytes
@@ -107,14 +116,18 @@ class CheckpointManager:
         def fetch(x):
             size = getattr(x, "nbytes", 0)
             if size <= chunk or getattr(x, "ndim", 0) == 0:
-                return jax.device_get(x)
-            row_bytes = max(1, size // x.shape[0])
-            rows = max(1, chunk // row_bytes)
-            parts = [
-                jax.device_get(x[i : i + rows])
-                for i in range(0, x.shape[0], rows)
-            ]
-            return np.concatenate(parts, axis=0)
+                out = jax.device_get(x)
+            else:
+                row_bytes = max(1, size // x.shape[0])
+                rows = max(1, chunk // row_bytes)
+                parts = [
+                    jax.device_get(x[i : i + rows])
+                    for i in range(0, x.shape[0], rows)
+                ]
+                out = np.concatenate(parts, axis=0)
+            if free_leaves and isinstance(x, jax.Array):
+                x.delete()
+            return out
 
         return jax.tree_util.tree_map(fetch, tree)
 
@@ -129,13 +142,6 @@ class CheckpointManager:
         def loop() -> None:
             while True:
                 self._work.acquire()
-                # Idle window between write starts (pending keeps coalescing
-                # to the newest request while we wait).
-                wait = self.min_interval_s - (
-                    _time.monotonic() - self._last_write_start
-                )
-                if wait > 0:
-                    self._rush.wait(wait)  # flush() cuts the idle window short
                 with self._lock:
                     req = self._pending
                     self._pending = None
@@ -144,12 +150,14 @@ class CheckpointManager:
                             self._idle.set()
                         continue
                     self._idle.clear()
-                self._last_write_start = _time.monotonic()
                 step, snapshot, metrics, extra = req
                 del req
                 try:
-                    host_state = self._fetch_chunked(snapshot)
-                    del snapshot  # free the HBM copy before the disk write
+                    # free_leaves: each snapshot buffer is deleted the
+                    # moment its host copy lands, so the extra HBM decays
+                    # to zero across the fetch.
+                    host_state = self._fetch_chunked(snapshot, free_leaves=True)
+                    del snapshot
                     self._save_now(step, host_state, metrics=metrics, extra=extra)
                 except BaseException as e:  # surface on the next save/flush
                     logger.exception("async checkpoint save failed at step %d", step)
@@ -168,9 +176,7 @@ class CheckpointManager:
         """Block until every pending async save has reached disk (no-op for
         synchronous managers). Raises if the worker failed."""
         if self._worker is not None:
-            self._rush.set()  # skip any inter-write idle window
             self._idle.wait(timeout)
-            self._rush.clear()
         if self._worker_err is not None:
             err, self._worker_err = self._worker_err, None
             raise err
@@ -217,6 +223,29 @@ class CheckpointManager:
         if self._worker_err is not None:
             self.flush()
         self._ensure_worker()
+        # HBM discipline (class docstring): at most one snapshot alive.
+        # A request while the worker is busy, or inside the accept
+        # interval, is skipped WITHOUT allocating — three state copies
+        # (live + in-fetch + superseding) OOMed a 16 GB chip at config-3
+        # scale. A later improving epoch (or flush-time durability of the
+        # in-flight save) covers the skip.
+        import time as _time
+
+        now = _time.monotonic()
+        if self.is_busy:
+            logger.info(
+                "async checkpoint: skipping step %d (a save is in flight; "
+                "one snapshot max in HBM)", step,
+            )
+            return path
+        if now - self._last_accept < self.min_interval_s:
+            logger.info(
+                "async checkpoint: skipping step %d (%.0fs into the %.0fs "
+                "accept interval)", step, now - self._last_accept,
+                self.min_interval_s,
+            )
+            return path
+        self._last_accept = now
         # Device-side snapshot: the training loop donates the live state
         # buffers on its next step, so the copy must exist BEFORE save
         # returns. HBM-to-HBM, so it costs milliseconds, not the transport.
@@ -224,18 +253,11 @@ class CheckpointManager:
 
         snapshot = jax.tree_util.tree_map(jnp.copy, state)
         with self._lock:
-            dropped = self._pending
             fresh = self._pending is None
             self._pending = (step, snapshot, metrics, extra)
             self._idle.clear()
             if fresh:
                 self._work.release()
-        if dropped is not None:
-            logger.info(
-                "async checkpoint: superseding queued step %d with step %d "
-                "(the newer state is strictly better — saves happen on "
-                "improvement)", dropped[0], step,
-            )
         return path
 
     def _save_now(
