@@ -187,6 +187,10 @@ def main(argv: list[str] | None = None) -> int:
             "--override",
             "retrieval.eval_exact=true",
             "retrieval.eval_corpus_dtype=float32",
+            # The proven path at this extreme: a ~1200-step scan of exact
+            # two-pass searches crashed the TPU worker (round 4); the
+            # per-batch loop ran the same shapes fine.
+            "retrieval.eval_device_scan=false",
         ],
         results,
     )

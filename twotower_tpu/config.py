@@ -248,6 +248,14 @@ class RetrievalConfig:
     # MXU-bound, not stream-bound). Validation mode only (eval_exact=false;
     # the exact path promises f32 scores).
     eval_corpus_dtype: str = "float32"
+    # Whole-split lax.scan evaluation (one dispatch, one metrics fetch).
+    # false = per-batch dispatch. The scan is the right default — but a
+    # thousand-step scan whose body is the exact two-pass search over a
+    # ~1M-row corpus builds a very large program that crashed the TPU
+    # worker on the tunneled single chip (config-3 exact eval, round 4);
+    # the per-batch loop is the proven path at that extreme, so full-scale
+    # exact CLI runs set this false.
+    eval_device_scan: bool = True
     top_k_eval: list[int] = field(default_factory=lambda: [1, 5, 10, 20, 50, 100])
 
     def __post_init__(self) -> None:

@@ -184,10 +184,12 @@ class Evaluator:
         self._encode_corpus = _encode_corpus
         self._eval_batch = _eval_batch
         self._eval_scan = _eval_scan
-        # None = untried; False = scan compile failed once (giant exact score
-        # buffers can OOM the compiler when nested in the outer scan) ->
-        # permanently fall back to the per-batch loop for this evaluator.
-        self._scan_ok: bool | None = None
+        # None = untried; False = scan disabled (retrieval.eval_device_scan
+        # false, or a compile failure — giant exact score buffers can OOM
+        # the compiler when nested in the outer scan) -> per-batch loop.
+        self._scan_ok: bool | None = (
+            None if config.retrieval.eval_device_scan else False
+        )
 
     def _put_batch(self, arr: np.ndarray):
         """Host batch array -> sharded device array. Multi-controller: each
