@@ -57,8 +57,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "materializing the train split in RAM",
     )
     p.add_argument(
-        "--shuffle-buffer", type=int, default=1 << 20,
-        help="windowed-shuffle buffer rows for --stream-batches",
+        "--shuffle-buffer", type=int, default=1 << 23,
+        help="windowed-shuffle buffer rows for --stream-batches (64 MB of "
+        "host ids at the default 8M rows). Window size is a QUALITY dial "
+        "on temporally-sorted artifacts: at 50M rows, epoch-5 val "
+        "recall@10 measured 0.0046 (1M window) / 0.0065 (8M) / 0.0072 "
+        "(--device-loop full permutation) — size it as large as host "
+        "memory allows",
     )
     p.add_argument(
         "--shard-input", action="store_true",
