@@ -968,6 +968,39 @@ class TestCheckpoint:
             np.asarray(restored1.params["user_embedding"]), expect1
         )
 
+    def test_starvation_backstop_persists_final_state(
+        self, tiny_config_module, tmp_path
+    ):
+        """Round-4 incident regression: when every improving save after the
+        first is busy-skipped (save slower than improvement cadence), the
+        end-of-fit backstop must persist the FINAL state so the newest
+        durable checkpoint never predates the best validation."""
+        from twotower_tpu.training.loop import EarlyStopping, ensure_final_persisted
+
+        cfg = tiny_config_module
+        optimizer = make_optimizer(cfg.training)
+        state = TrainState.create(
+            two_tower.init_params(jax.random.PRNGKey(0), cfg.model, 20, 20),
+            optimizer,
+        )
+        mgr = CheckpointManager(
+            tmp_path / "ckpt", keep=3, async_save=True, min_interval_s=3600
+        )
+        mgr.save(10, state)  # epoch-0 save accepted
+        mgr.flush()
+        # later improving epochs: all skipped (interval), best at step 50
+        mgr.save(50, state)
+        mgr.flush()
+        assert mgr.all_steps() == [10]
+        stopper = EarlyStopping(patience=5)
+        stopper.best, stopper.best_step = 0.5, 50
+        final = TrainState(step=jax.numpy.int32(60), params=state.params,
+                           opt_state=state.opt_state)
+        ensure_final_persisted(mgr, final, stopper, epoch=7)
+        assert mgr.latest_step() == 60  # force= bypassed the interval
+        _, meta = mgr.restore(final, step=60)
+        assert meta.get("post_starvation_final") is True
+
     def test_async_save_accept_interval(self, tiny_config_module, tmp_path):
         """min_interval_s gates ACCEPTED requests: a second improving save
         inside the window is skipped without allocating a snapshot."""

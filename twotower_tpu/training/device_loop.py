@@ -261,8 +261,15 @@ class DeviceTrainer:
                 break
 
         if self.checkpoint_manager is not None:
-            # Drain async saves (no-op when synchronous).
+            # Drain async saves (no-op when synchronous), then backstop
+            # save-starvation (see loop.ensure_final_persisted).
+            from twotower_tpu.training.loop import ensure_final_persisted
+
             self.checkpoint_manager.flush()
+            ensure_final_persisted(
+                self.checkpoint_manager, state, stopper,
+                epoch=start_epoch + len(result.history),
+            )
         total = time.perf_counter() - t_start
         result.state = state
         result.best_metric = stopper.best

@@ -274,6 +274,36 @@ def pack_segments(batches, segment_steps: int):
         yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
 
 
+def ensure_final_persisted(manager, state, stopper: "EarlyStopping", *, epoch: int) -> None:
+    """Async save-starvation backstop (round-4 incident): when saves are
+    slower than the improvement cadence, every improving-epoch save after
+    the first gets busy-skipped and the newest durable checkpoint can be
+    MANY epochs behind the best validation (a 50M device-loop run ended
+    with only epoch 0 on disk while the summary claimed the epoch-13
+    best). After the final flush, if the newest durable step predates the
+    best validation step, persist the FINAL state — not bit-identical to
+    the best epoch's params, but within the early-stopping patience of it,
+    and categorically better than an epoch-0 artifact — then flush again.
+    """
+    if manager is None:
+        return
+    latest = manager.latest_step()
+    if stopper.best_step and (latest is None or latest < stopper.best_step):
+        logger.warning(
+            "async checkpoint starvation: newest durable checkpoint (step "
+            "%s) predates the best validation (step %d); persisting the "
+            "final state (step %d)", latest, stopper.best_step,
+            int(state.step),
+        )
+        manager.save(
+            int(state.step), state,
+            metrics={"best_val_at_stop": stopper.best},
+            extra={"epoch": epoch, "post_starvation_final": True},
+            force=True,
+        )
+        manager.flush()
+
+
 def warn_dropped_ids(host: dict, *, epoch: int, step: int) -> None:
     """Surface a2a capacity overflow as an operator WARNING, not just a
     metric (VERDICT r03 UX): dropped ids mean ``mesh.a2a_capacity_factor``
@@ -599,6 +629,10 @@ class Trainer:
             # must be durable before fit returns — counted in e2e wall
             # time, outside the train-phase time.
             self.checkpoint_manager.flush()
+            ensure_final_persisted(
+                self.checkpoint_manager, state, stopper,
+                epoch=start_epoch + len(result.history),
+            )
         total_time = time.perf_counter() - t_start
         result.state = state
         result.best_metric = stopper.best

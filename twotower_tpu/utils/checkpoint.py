@@ -210,8 +210,11 @@ class CheckpointManager:
         *,
         metrics: dict[str, float] | None = None,
         extra: dict[str, Any] | None = None,
+        force: bool = False,
     ) -> Path:
         """Save state + metadata; prune beyond ``keep`` oldest-first.
+        ``force`` bypasses the busy/interval skip (end-of-fit backstop;
+        callers must flush() first so only one snapshot exists).
 
         Async managers return immediately after an on-device snapshot (see
         class docstring); call :meth:`flush` to guarantee durability."""
@@ -232,19 +235,20 @@ class CheckpointManager:
         import time as _time
 
         now = _time.monotonic()
-        if self.is_busy:
-            logger.info(
-                "async checkpoint: skipping step %d (a save is in flight; "
-                "one snapshot max in HBM)", step,
-            )
-            return path
-        if now - self._last_accept < self.min_interval_s:
-            logger.info(
-                "async checkpoint: skipping step %d (%.0fs into the %.0fs "
-                "accept interval)", step, now - self._last_accept,
-                self.min_interval_s,
-            )
-            return path
+        if not force:
+            if self.is_busy:
+                logger.info(
+                    "async checkpoint: skipping step %d (a save is in "
+                    "flight; one snapshot max in HBM)", step,
+                )
+                return path
+            if now - self._last_accept < self.min_interval_s:
+                logger.info(
+                    "async checkpoint: skipping step %d (%.0fs into the "
+                    "%.0fs accept interval)", step, now - self._last_accept,
+                    self.min_interval_s,
+                )
+                return path
         self._last_accept = now
         # Device-side snapshot: the training loop donates the live state
         # buffers on its next step, so the copy must exist BEFORE save
