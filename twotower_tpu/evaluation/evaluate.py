@@ -96,7 +96,27 @@ def restore_params(
 
         template = shard_state(mesh, template, config.mesh)
     manager = CheckpointManager(ckpt_dir)
+    if step is None:
+        # Prefer the highest-validation-metric durable step over the merely
+        # newest one: after async save starvation the NEWEST checkpoint is
+        # the post-patience final state (strictly worse than the epoch
+        # best), so "eval the latest" would silently disagree with
+        # train_summary.json's best metric.
+        step = manager.best_step()
+        if step is not None and step != manager.latest_step():
+            logger.warning(
+                "restoring best-metric checkpoint step %d (latest is %d)",
+                step, manager.latest_step(),
+            )
     state, meta = manager.restore(template, step=step)
+    if meta.get("post_starvation_final"):
+        logger.warning(
+            "restored checkpoint is the POST-STARVATION FINAL state, not "
+            "the best epoch: the best validation (%.6g) was achieved at a "
+            "step whose save was skipped; metrics from this restore will "
+            "be worse than train_summary.json's best",
+            meta.get("metrics", {}).get("best_val_at_stop", float("nan")),
+        )
     return state.params, meta
 
 

@@ -252,10 +252,14 @@ class DeviceTrainer:
                     w.write(record, step=int(state.step))
 
             if self.shutdown is not None and self.shutdown.should_stop:
+                # flush() then force=True so the preemption save cannot be
+                # busy/interval-skipped (see loop.py shutdown branch).
                 if self.checkpoint_manager is not None:
+                    self.checkpoint_manager.flush()
                     self.checkpoint_manager.save(
                         int(state.step), state,
                         extra={"epoch": epoch + 1, "preempted": True},
+                        force=True,
                     )
                 logger.warning("graceful shutdown after epoch %d", epoch)
                 break

@@ -617,9 +617,16 @@ class Trainer:
 
             if self.shutdown is not None and self.shutdown.should_stop:
                 # Preemption: persist progress before exiting the loop.
+                # flush() then force=True — a plain save() would be silently
+                # busy/interval-skipped (async default + 900s accept window
+                # in the lifecycle config means the skip is the COMMON case)
+                # and the {epoch, preempted} resume metadata would be lost.
                 if self.checkpoint_manager is not None:
+                    self.checkpoint_manager.flush()
                     self.checkpoint_manager.save(
-                        int(state.step), state, extra={"epoch": epoch + 1, "preempted": True}
+                        int(state.step), state,
+                        extra={"epoch": epoch + 1, "preempted": True},
+                        force=True,
                     )
                 logger.warning("graceful shutdown after epoch %d", epoch)
                 break

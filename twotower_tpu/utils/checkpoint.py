@@ -95,7 +95,10 @@ class CheckpointManager:
         self._idle.set()
         self._worker: threading.Thread | None = None
         self._worker_err: BaseException | None = None
-        self._last_accept = 0.0
+        # -inf, not 0.0: time.monotonic() is time-since-boot on Linux, so a
+        # freshly booted host would otherwise treat the FIRST improving-epoch
+        # save as inside the accept interval and skip it.
+        self._last_accept = float("-inf")
 
     @property
     def is_busy(self) -> bool:
@@ -174,9 +177,16 @@ class CheckpointManager:
 
     def flush(self, timeout: float | None = None) -> None:
         """Block until every pending async save has reached disk (no-op for
-        synchronous managers). Raises if the worker failed."""
+        synchronous managers). Raises if the worker failed, and raises
+        ``TimeoutError`` if the pending save did not reach disk within
+        ``timeout`` seconds — a timed flush that returned silently would give
+        the caller neither durability nor an error."""
         if self._worker is not None:
-            self._idle.wait(timeout)
+            drained = self._idle.wait(timeout)
+            if not drained:
+                raise TimeoutError(
+                    f"async checkpoint save still in flight after {timeout}s"
+                )
         if self._worker_err is not None:
             err, self._worker_err = self._worker_err, None
             raise err
@@ -200,6 +210,35 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         steps = self.all_steps()
         return steps[-1] if steps else None
+
+    def best_step(self, metric: str | None = None) -> int | None:
+        """The durable step with the highest recorded validation metric
+        (``metric`` names a key in the save-time ``metrics`` dict; None
+        accepts any sole recorded metric). Steps without the metric — e.g.
+        preemption saves or the save-starvation final backstop, which
+        records ``best_val_at_stop`` (the metric of a DIFFERENT, lost
+        step), not its own quality — are skipped. None when no durable
+        step carries a metric, in which case callers fall back to latest."""
+        best: tuple[float, int] | None = None
+        for step in self.all_steps():
+            try:
+                meta = json.loads((self._step_dir(step) / "meta.json").read_text())
+            except (OSError, ValueError):
+                continue
+            metrics = meta.get("metrics") or {}
+            if meta.get("post_starvation_final"):
+                continue  # best_val_at_stop describes a lost step, not this one
+            if metric is not None:
+                value = metrics.get(metric)
+            elif len(metrics) == 1:
+                value = next(iter(metrics.values()))
+            else:
+                value = None
+            if value is None:
+                continue
+            if best is None or float(value) > best[0]:
+                best = (float(value), step)
+        return best[1] if best else None
 
     # ------------------------------------------------------------------
 
