@@ -305,10 +305,47 @@ class TestMixedSamplingOnMesh:
         # Looser than the in-batch parity test: rows hit by positives AND
         # shared negatives sum up to num_data+dup contributions, and the a2a
         # bucketing reorders that f32 summation vs the single-device concat —
-        # squaring into the nu moment amplifies the rounding to ~1e-4
-        # (params themselves agree to <1e-5; a real double-count would shift
-        # them by the lr scale).
-        _assert_state_close(new_state, ref_state, rtol=1e-3, atol=2e-4)
+        # squaring into the nu moment amplifies the rounding to ~1e-4.
+        # Rows in BOTH the positive and sampled-negative sets are the one
+        # principled exception: their pull/push contributions cancel to
+        # bf16 rounding noise, and lazy-Adam's first step normalizes
+        # g/sqrt(g^2) — sign noise becomes a full +-lr step (measured: the
+        # f64 gradient element is exactly 0.0 where the paths disagree).
+        # Those rows are asserted within the Adam step bound instead; a
+        # real double-count would blow past it on NON-colliding rows too.
+        lr = cfg.training.learning_rate
+
+        def close_or_adam_noise(got, want, name):
+            got, want = np.asarray(got), np.asarray(want)
+            diff = np.abs(got - want)
+            strict = 2e-4 + 1e-3 * np.abs(want)
+            frac = float((diff <= strict).mean())
+            assert frac >= 0.98, f"{name}: only {frac:.3f} strictly close"
+            assert diff.max() <= 2.2 * lr + strict.max(), (
+                f"{name}: max diff {diff.max()} beyond the Adam step bound"
+            )
+
+        for t in ("user_embedding", "item_embedding"):
+            close_or_adam_noise(
+                new_state.params[t], ref_state.params[t], t
+            )
+            # Moments are linear/quadratic in g — a double-counted or lost
+            # contribution shifts them proportionally, so they stay STRICT.
+            np.testing.assert_allclose(
+                np.asarray(new_state.table_state[t]["moments"]),
+                np.asarray(ref_state.table_state[t]["moments"]),
+                rtol=1e-3, atol=2e-4, err_msg=f"{t} moments",
+            )
+        close_or_adam_noise(
+            new_state.params["user_tower"][0]["kernel"],
+            ref_state.params["user_tower"][0]["kernel"],
+            "user_tower.0.kernel",
+        )
+        close_or_adam_noise(
+            new_state.params["item_tower"][-1]["kernel"],
+            ref_state.params["item_tower"][-1]["kernel"],
+            "item_tower.-1.kernel",
+        )
 
     def test_every_sampling_mode_routes_sparse(self, tiny_config):
         """No shipped sampling configuration may silently lose the flagship
@@ -448,3 +485,140 @@ class TestUniformSamplingOnMesh:
             # dedup reorders near-zero token-row grad sums vs the
             # single-device concat order
         )
+
+
+class TestShardLocalNegatives:
+    """retrieval.shard_local_negatives: in-batch columns stay per data
+    shard (no data-axis item-column all_gather — the pod-scale scaling
+    wall, docs/architecture.md dossier)."""
+
+    @pytest.mark.parametrize("mode", ["in_batch", "mixed"])
+    def test_single_data_shard_matches_global(self, tiny_config, devices, mode):
+        """With num_data=1 (mesh 1x8) local columns ARE the global batch:
+        shard_local must be numerically identical to the global-column
+        step, whatever the model-axis factorization."""
+        cfg, optimizer, state, batch, log_q = _setup(tiny_config, 8)
+        over = {"retrieval.candidate_sampling": mode}
+        if mode == "mixed":
+            over["retrieval.num_negatives"] = 64
+        cfg_g = cfg.with_overrides(over)
+        cfg_l = cfg_g.with_overrides({"retrieval.shard_local_negatives": True})
+        rng = jax.random.PRNGKey(11)
+        mesh = build_mesh(cfg_g.mesh, devices)
+        b_sh = batch_shardings(mesh, cfg_g.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+
+        results = []
+        for c in (cfg_g, cfg_l):
+            sharded = shard_state(mesh, state, c.mesh, sparse_mesh=True)
+            step = make_sharded_train_step(
+                c, optimizer, mesh, sharded, log_q,
+                num_items=NUM_ITEMS, donate=False,
+            )
+            results.append(
+                step(sharded, dev_batch, jax.device_put(rng, replicated(mesh)))
+            )
+        (st_g, m_g), (st_l, m_l) = results
+        np.testing.assert_allclose(
+            float(m_l["loss"]), float(m_g["loss"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_l.params["item_embedding"]),
+            np.asarray(st_g.params["item_embedding"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_local_columns_match_per_shard_reference(self, tiny_config, devices):
+        """On a 4x2 mesh the shard-local loss must equal the hand-computed
+        mean over shards of in-batch blocks restricted to each shard's own
+        columns (dropout 0 => towers deterministic)."""
+        from twotower_tpu.ops.losses import in_batch_softmax_block
+
+        cfg, optimizer, state, batch, log_q = _setup(tiny_config, 2)
+        cfg = cfg.with_overrides(
+            {"retrieval.shard_local_negatives": True,
+             "model.l2_regularization": 0.0}
+        )
+        rng = jax.random.PRNGKey(13)
+        mesh = build_mesh(cfg.mesh, devices)
+        sharded = shard_state(mesh, state, cfg.mesh, sparse_mesh=True)
+        step = make_sharded_train_step(
+            cfg, optimizer, mesh, sharded, log_q, num_items=NUM_ITEMS,
+            donate=False,
+        )
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+        _, metrics = step(
+            sharded, dev_batch, jax.device_put(rng, replicated(mesh))
+        )
+
+        # Reference: towers on the full batch, loss per data-shard block
+        # against that shard's columns only.
+        params = state.params
+        u_rows = params["user_embedding"][np.asarray(batch["user_idx"])]
+        i_rows = params["item_embedding"][np.asarray(batch["item_idx"])]
+        ue = two_tower.apply_user_tower(
+            params, u_rows, cfg.model, train=True, dropout_rng=rng
+        )
+        ie = two_tower.apply_item_tower(
+            params, i_rows, cfg.model, train=True, dropout_rng=rng
+        )
+        w = np.asarray(batch["weight"], np.float32)
+        idx = np.asarray(batch["item_idx"])
+        num_data = cfg.mesh.num_data if cfg.mesh.num_data > 0 else 4
+        bs = cfg.training.batch_size
+        b_local = bs // 4  # devices fixture: 8 devices, num_model=2
+        num = 0.0
+        for d in range(4):
+            sl = slice(d * b_local, (d + 1) * b_local)
+            per_ex, _, _ = in_batch_softmax_block(
+                ue[sl], ie[sl], jnp.asarray(idx[sl]), 0,
+                temperature=cfg.retrieval.temperature,
+                log_q=jnp.asarray(log_q),
+                weights_all=jnp.asarray(w[sl]),
+            )
+            num += float(np.sum(np.asarray(per_ex) * w[sl]))
+        expected = num / max(w.sum(), 1.0)
+        np.testing.assert_allclose(float(metrics["loss"]), expected, rtol=2e-5)
+
+
+class TestBf16DenseGradPsum:
+    def test_runs_and_tracks_f32(self, tiny_config, devices):
+        """mesh.dense_grad_dtype=bfloat16 halves the ring-all-reduce bytes;
+        the update must stay within bf16 rounding of the f32 path (moments
+        and params move together — Adam still applied in f32)."""
+        cfg, optimizer, state, batch, log_q = _setup(tiny_config, 2)
+        rng = jax.random.PRNGKey(17)
+        mesh = build_mesh(cfg.mesh, devices)
+        b_sh = batch_shardings(mesh, cfg.mesh)
+        dev_batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+        outs = {}
+        for dt in ("float32", "bfloat16"):
+            c = cfg.with_overrides({"mesh.dense_grad_dtype": dt})
+            sharded = shard_state(mesh, state, c.mesh, sparse_mesh=True)
+            step = make_sharded_train_step(
+                c, optimizer, mesh, sharded, log_q, donate=False
+            )
+            outs[dt] = step(
+                sharded, dev_batch, jax.device_put(rng, replicated(mesh))
+            )
+        st32, m32 = outs["float32"]
+        st16, m16 = outs["bfloat16"]
+        np.testing.assert_allclose(
+            float(m16["loss"]), float(m32["loss"]), rtol=1e-6
+        )  # loss is computed before the grad cast
+        # Tables don't ride the dense psum: bit-identical.
+        np.testing.assert_allclose(
+            np.asarray(st16.params["item_embedding"]),
+            np.asarray(st32.params["item_embedding"]),
+            rtol=1e-6, atol=1e-7,
+        )
+        # Dense kernels: bf16 grad rounding can flip step-1 Adam signs on
+        # near-zero elements (same mechanism as the mixed-parity note) —
+        # bound by the Adam step, require the bulk strictly close.
+        k16 = np.asarray(st16.params["user_tower"][0]["kernel"])
+        k32 = np.asarray(st32.params["user_tower"][0]["kernel"])
+        diff = np.abs(k16 - k32)
+        lr = cfg.training.learning_rate
+        assert (diff <= 2e-4 + 1e-2 * np.abs(k32)).mean() >= 0.9
+        assert diff.max() <= 2.2 * lr

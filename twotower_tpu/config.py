@@ -239,6 +239,17 @@ class RetrievalConfig:
     logq_correction: bool = True
     # uniform/mixed branches: shared negatives sampled per step
     num_negatives: int = 1024
+    # Sparse MESH step only: keep the in-batch candidate columns shard-
+    # LOCAL (each data shard's rows score that shard's b/D item columns,
+    # plus — for mixed — the shared sampled negatives) instead of
+    # all-gathering the full global item-column block along ``data``. At
+    # pod scale the item-column all_gather is the scaling wall (60 MiB/
+    # step/device at 64 chips — docs/architecture.md dossier); dropping it
+    # restores comm < compute. The negative pool per row shrinks from B-1
+    # to b/D-1 (+num_negatives for mixed) — prefer mixed with a larger
+    # num_negatives when enabling this. No-op on a single data shard
+    # (local == global) and for uniform sampling (already gather-free).
+    shard_local_negatives: bool = False
     # exact brute-force eval (metric-faithful) vs approx_max_k (fast val)
     eval_exact: bool = True
     # Validation-corpus residency: "bfloat16" halves the eval corpus HBM
@@ -327,10 +338,21 @@ class MeshConfig:
     # escape hatch is set (legitimate only when the model axis carries no
     # table traffic, e.g. dense replicated-table topologies or tests).
     allow_dcn_model_axis: bool = False
+    # Dense-tower gradient all-reduce precision on the sparse mesh path:
+    # "bfloat16" halves the ring-all-reduce bytes (the second-largest term
+    # of the pod-scale step traffic — docs/architecture.md dossier); Adam
+    # moments and the update itself stay f32. Default f32 preserves bit
+    # parity with the single-device step.
+    dense_grad_dtype: str = "float32"
 
     def __post_init__(self) -> None:
         if self.num_model < 1:
             raise ValueError("mesh.num_model must be >= 1")
+        if self.dense_grad_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "mesh.dense_grad_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.dense_grad_dtype!r}"
+            )
 
 
 @dataclass

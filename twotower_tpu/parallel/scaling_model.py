@@ -16,25 +16,36 @@ k = b/M, E = embedding dim, F = tower output dim, cap = a2a bucket
 capacity, P = dense tower params):
 
 1. table a2a over the COMBINED axis: 4 calls (2 lookups + 2 row-update
-   routes) x W*cap*(4 + 4E) bytes out of every device
-   (sparse_spmd.py:215,384; a2a.py). NOTE the exchange spans ALL W
-   devices: intra-host destinations ride ICI, the rest ride DCN — placing
-   the model axis intra-host does NOT keep this term off DCN (it keeps
-   term 2 off DCN).
-2. lookup reassembly all_gather + its reduce_scatter transpose along
-   ``model``: 2 tables x 2 directions x b*E*4 x (M-1)/M (sparse_spmd.py:222).
-   Intra-host by construction (parallel/mesh.py topology guarantee).
-3. item-column all_gather along ``data`` for the in-batch loss + its
-   psum-scatter transpose: (2*B*F*4 + 8B) x (D-1)/D per device
-   (sparse_spmd.py:317-319).
-4. dense-grad psum over ``data``: ring all-reduce, 2*(D-1)/D * 4P bytes
-   per device (sparse_spmd.py:372).
+   routes) x W*cap*(4 + 4E) bytes out of every device (sparse_spmd.py
+   ``gather``/``route_update``; a2a.py), plus — for mixed/uniform — the
+   shared-negative lookup and the negative share of the item update
+   route. NOTE the exchange spans ALL W devices: intra-host destinations
+   ride ICI, the rest ride DCN — placing the model axis intra-host does
+   NOT keep this term off DCN (it keeps term 2 off DCN).
+2. TOWER-OUTPUT reassembly all_gather + its reduce_scatter transpose
+   along ``model`` (model-axis tower sharding: each peer towers its 1/M
+   row slice; embedding/token rows never leave their peer): item columns
+   2 directions x b*F*4 x (M-1)/M, negatives 2 x negs*F*4 x (M-1)/M;
+   user outputs are consumed per-peer (no gather); uniform sampling
+   gathers negatives only. Intra-host by construction (parallel/mesh.py
+   topology guarantee).
+3. item-column all_gather along ``data`` for the in_batch/mixed loss +
+   its psum-scatter transpose: (2*B*F*4 + 8B) x (D-1)/D per device —
+   zero for uniform sampling and for ``retrieval.shard_local_negatives``.
+4. dense-grad psum over the COMBINED axis (peers tower distinct row
+   blocks): ring all-reduce, 2*(W-1)/W * g*P bytes per device, g = 4 or
+   2 (``mesh.dense_grad_dtype=bfloat16``).
 5. metric psums: scalars, ignored.
 
-Term 3 applies to ``in_batch`` candidate sampling only: the mixed/uniform
-sampled-softmax mesh branches share one negative set across shards and
-need NO item-column all_gather at all (sparse_spmd.py:289-304) — at pod
-scale this is the decisive traffic difference between the two losses.
+Term 3 applies to the in_batch AND mixed losses — both score against the
+full global item-column block (sparse_spmd.py: the ``else`` branch
+all_gathers ``i_emb`` along ``data``; mixed merely appends shared sampled
+negatives). Only two configurations avoid it: ``uniform`` sampling (purely
+local positives vs shared negatives, sparse_spmd.py uniform branch) and
+``retrieval.shard_local_negatives`` (in-batch columns stay shard-local) —
+at pod scale this is the decisive traffic dial. The shared-negative
+exchange of mixed/uniform adds its own a2a + model-gather terms
+(``num_negatives`` rows), which this model counts.
 
 Link classes. A v5e pod *slice* (all five BASELINE configs name one —
 v5e-8 .. v5e-64) is a single 2D-torus ICI domain: "hosts" are VM
@@ -115,47 +126,80 @@ def sparse_step_traffic(
     dense_params: int,
     chips_per_host: int,
     text_tokens: int = 0,
-    in_batch: bool = True,
+    sampling: str = "in_batch",
+    shard_local: bool = False,
+    num_negatives: int = 0,
+    dense_grad_bytes: int = 4,
     single_slice: bool = True,
 ) -> StepTraffic:
     """Exact per-step traffic of the sparse mesh step (terms 1-4 above).
 
     ``text_tokens > 0`` adds the text-table exchange: one more a2a pair
-    (lookup + update) over ``b*T`` flattened token ids. ``in_batch=False``
-    drops term 3 (the mixed/uniform mesh branches share negatives — no
-    item-column all_gather). ``single_slice`` selects the link-class split
-    (see module docstring).
+    (lookup + update) over ``b*T`` flattened token ids. ``sampling`` /
+    ``shard_local`` select the term-3 treatment (module docstring): the
+    item-column all_gather applies to in_batch and mixed, unless
+    ``shard_local`` keeps the columns per-shard. mixed/uniform add the
+    shared-negative exchange (``num_negatives`` rows): one more a2a lookup,
+    their model-axis reassembly gather, and a larger item update route.
+    ``single_slice`` selects the link-class split (module docstring).
     """
     world = num_data * num_model
     hosts = max(1, world // chips_per_host)
     b = batch // num_data
     f = out_dim
+    sample_negs = sampling in ("mixed", "uniform")
+    negs_padded = (
+        -(-num_negatives // num_model) * num_model if sample_negs else 0
+    )
+    row_bytes = 4 + 4 * emb_dim  # int32 id + f32 row, both directions
 
-    # term 1: table a2a over the combined axis
+    # term 1: table a2a over the combined axis — base 4 calls (user/item
+    # lookup + user/item update) at k = b/M ids per peer each.
     a2a = a2a_bytes_per_device(batch, num_data, num_model, emb_dim, capacity_factor)
     if text_tokens:
         k_tok = b * text_tokens // num_model
         cap_t = a2a_capacity(k_tok, world, capacity_factor)
-        a2a += 2 * world * cap_t * (4 + 4 * emb_dim)
+        a2a += 2 * world * cap_t * row_bytes
+    if sample_negs:
+        k = b // num_model
+        k_neg = negs_padded // num_model
+        # neg lookup (one call at k_neg)...
+        a2a += world * a2a_capacity(k_neg, world, capacity_factor) * row_bytes
+        # ...and the item UPDATE route grows from k to (b+negs)/M ids
+        # (sparse_spmd routes the concatenation of item + neg grads).
+        k_up = (b + negs_padded) // num_model
+        a2a += world * row_bytes * (
+            a2a_capacity(k_up, world, capacity_factor)
+            - a2a_capacity(k, world, capacity_factor)
+        )
 
-    # term 2: model-axis all_gather + reduce_scatter of the looked-up rows
-    # (user rows b + item rows b + text-token rows b*T, each E wide, both
-    # directions)
-    gathered_rows = 2 * b + b * text_tokens
+    # term 2: model-axis all_gather + reduce_scatter of TOWER OUTPUTS
+    # (model-axis tower sharding: embedding rows and token rows never
+    # leave their peer — only the F-wide item-column outputs, plus the
+    # shared-negative outputs, are reassembled; user outputs are consumed
+    # per-peer and never gathered; uniform sampling gathers negatives only)
+    gathered_rows = negs_padded
+    if sampling != "uniform":
+        gathered_rows += b
     model_ag = (
-        2 * gathered_rows * emb_dim * 4 * (num_model - 1) // max(num_model, 1)
+        2 * gathered_rows * f * 4 * (num_model - 1) // max(num_model, 1)
     )
 
     # term 3: data-axis item-column all_gather (+ idx + weights) and the
-    # psum-scatter transpose of the backward — in_batch sampling only
+    # psum-scatter transpose of the backward — in_batch/mixed losses with
+    # global columns (uniform and shard_local skip it)
+    has_item_ag = sampling in ("in_batch", "mixed") and not shard_local
     data_ag = (
         (2 * batch * f * 4 + 8 * batch) * (num_data - 1) // max(num_data, 1)
-        if in_batch
+        if has_item_ag
         else 0
     )
 
-    # term 4: dense-grad ring all-reduce over data
-    dense_psum = 2 * (num_data - 1) * 4 * dense_params // max(num_data, 1)
+    # term 4: dense-grad ring all-reduce over the COMBINED axis (each peer
+    # towers a distinct row block); mesh.dense_grad_dtype=bfloat16 halves it
+    dense_psum = (
+        2 * (world - 1) * dense_grad_bytes * dense_params // max(world, 1)
+    )
 
     if single_slice:
         # One ICI torus (any v5e slice): no DCN anywhere in the step.
@@ -168,8 +212,8 @@ def sparse_step_traffic(
         # intra-host by construction (parallel/mesh.py).
         c = min(chips_per_host, world)
         a2a_dcn_frac = (world - c) / world
-        data_payload = (2 * batch * f * 4 + 8 * batch) if in_batch else 0
-        psum_payload = 2 * 4 * dense_params
+        data_payload = (2 * batch * f * 4 + 8 * batch) if has_item_ag else 0
+        psum_payload = 2 * dense_grad_bytes * dense_params
         dcn_per_host = int(
             c * a2a * a2a_dcn_frac
             + (data_payload + psum_payload) * (hosts - 1) / max(hosts, 1)
@@ -233,10 +277,13 @@ def predicted_efficiency(
 
 
 def preset_report(config, *, compute_ms: float, dense_params: int,
-                  chips_per_host: int, single_slice: bool = True) -> EfficiencyReport:
+                  chips_per_host: int, single_slice: bool = True,
+                  ici_bytes_per_s: float = V5E_ICI_BYTES_PER_S,
+                  dcn_bytes_per_s: float = V5E_DCN_BYTES_PER_S) -> EfficiencyReport:
     """Efficiency prediction for a loaded Config's mesh/model/loss settings
     (``retrieval.candidate_sampling`` selects the term-3 treatment)."""
     m = config.mesh
+    r = config.retrieval
     traffic = sparse_step_traffic(
         batch=config.training.batch_size,
         num_data=m.num_data,
@@ -246,16 +293,23 @@ def preset_report(config, *, compute_ms: float, dense_params: int,
         capacity_factor=m.a2a_capacity_factor,
         dense_params=dense_params,
         chips_per_host=chips_per_host,
-        in_batch=config.retrieval.candidate_sampling == "in_batch",
+        text_tokens=(config.model.text_tokens if config.model.text_buckets else 0),
+        sampling=r.candidate_sampling,
+        shard_local=r.shard_local_negatives,
+        num_negatives=r.num_negatives,
+        dense_grad_bytes=(2 if m.dense_grad_dtype == "bfloat16" else 4),
         single_slice=single_slice,
     )
     return predicted_efficiency(
         traffic,
         compute_ms=compute_ms,
+        ici_bytes_per_s=ici_bytes_per_s,
+        dcn_bytes_per_s=dcn_bytes_per_s,
         mesh=f"{m.num_data}x{m.num_model}",
         batch=config.training.batch_size,
         chips_per_host=chips_per_host,
-        sampling=config.retrieval.candidate_sampling,
+        sampling=r.candidate_sampling,
+        shard_local=r.shard_local_negatives,
         single_slice=single_slice,
     )
 
@@ -291,25 +345,15 @@ def main() -> None:
     ap.add_argument("--dcn-bytes-per-s", type=float, default=V5E_DCN_BYTES_PER_S)
     args = ap.parse_args()
     cfg = load_config(args.config)
-    traffic = sparse_step_traffic(
-        batch=cfg.training.batch_size,
-        num_data=cfg.mesh.num_data,
-        num_model=cfg.mesh.num_model,
-        emb_dim=cfg.model.embedding_dim,
-        out_dim=cfg.model.output_dim,
-        capacity_factor=cfg.mesh.a2a_capacity_factor,
+    rep = preset_report(
+        cfg,
+        compute_ms=args.compute_ms,
         dense_params=dense_tower_params(cfg),
         chips_per_host=args.chips_per_host,
-    )
-    rep = predicted_efficiency(
-        traffic,
-        compute_ms=args.compute_ms,
         ici_bytes_per_s=args.ici_bytes_per_s,
         dcn_bytes_per_s=args.dcn_bytes_per_s,
-        config=args.config,
-        mesh=f"{cfg.mesh.num_data}x{cfg.mesh.num_model}",
-        batch=cfg.training.batch_size,
     )
+    rep.meta["config"] = args.config
     print(json.dumps(rep.as_dict(), indent=2))
 
 

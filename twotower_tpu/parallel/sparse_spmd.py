@@ -20,18 +20,24 @@ Layout (differs from the dense GSPMD path in parallel/spmd.py):
 Per-device step (inside one ``shard_map``):
 
 1. Each model peer takes a ``1/S`` slice of its data shard's ids and
-   gathers the rows over the combined axis (``a2a.alltoall_lookup``), then
-   ``all_gather`` along ``model`` reassembles the local batch's rows —
-   row traffic is ``B`` rows total, never ``S x`` redundant.
+   gathers the rows over the combined axis (``a2a.alltoall_lookup``).
+   The rows STAY per-peer — model-axis tower sharding: each peer runs the
+   towers on its ``b/(D*S)`` row slice only (at S=4 that is 4x less tower
+   FLOPs per device than replicating the shard's rows), and only the
+   F-wide tower OUTPUTS are ``all_gather``-ed along ``model`` where the
+   loss needs columns — never the E-wide embedding rows.
 2. ``jax.grad`` INSIDE the body differentiates each device's share of the
-   global loss (its ``[b, B]`` score block against the item columns
-   all-gathered along ``data``). The ``all_gather`` transpose
-   (psum-scatter) sums the item-row cotangents across data shards
-   automatically; the in-batch loss runs the fused Pallas block kernel on
-   TPU (ops/pallas_kernels.py) and the XLA twin elsewhere.
-3. Dense grads are ``psum``-ed over ``data`` only (model peers compute
-   replicated grads) and applied with the optax optimizer.
-4. Each model peer routes its slice of row gradients to the owner shards
+   global loss (its ``[b/(D*S), B]`` score block against the item columns
+   reassembled along ``model`` and — unless
+   ``retrieval.shard_local_negatives`` — all-gathered along ``data``).
+   The gathers' transposes (reduce-scatter / psum-scatter) sum the
+   column cotangents back to the owning peers automatically; the in-batch
+   loss runs the fused Pallas block kernel on TPU (ops/pallas_kernels.py)
+   and the XLA twin elsewhere.
+3. Dense grads are ``psum``-ed over the COMBINED axis (each peer towers a
+   distinct row block) — optionally in bf16 (``mesh.dense_grad_dtype``) —
+   and applied with the optax optimizer.
+4. Each peer routes the row gradients of its slice to the owner shards
    (``a2a.alltoall_row_update``): all-to-all exchange, owner-side dedup
    (sort + segment-sum), packed lazy-Adam on the local rows. Summing
    duplicate rows across devices happens at the owner by construction.
@@ -149,6 +155,12 @@ def make_sparse_sharded_train_step(
     # the configured num_negatives.
     negs_padded = -(-num_negs // num_model) * num_model if sample_negs else 0
     log_uniform = -math.log(num_items) if mixed else 0.0
+    # Shard-local candidate columns (retrieval.shard_local_negatives): skip
+    # the data-axis item-column all_gather entirely — the pod-scale scaling
+    # wall (docs/architecture.md dossier: 60 MiB/step/device at 64 chips).
+    # Each row then scores b_local in-batch columns (+ the shared sampled
+    # negatives for mixed). Uniform sampling is already gather-free.
+    local_cols = bool(rcfg.shard_local_negatives) and not uniform
 
     batch_size = tcfg.batch_size
     if batch_size % (num_data * num_model) != 0:
@@ -175,19 +187,31 @@ def make_sparse_sharded_train_step(
     # Fused Pallas block kernel on TPU when the [b_local, B] block fits
     # (in-batch columns only; the mixed/uniform losses have sampled-negative
     # blocks and run the XLA twins).
+    # Tower rows per model peer (model-axis tower sharding): the loss row
+    # block is k_rows, its columns b_local (shard-local) or the full batch.
+    k_rows_static = b_local // num_model
     use_pallas = (
         not sample_negs
         and pallas_enabled()
         and jax.default_backend() == "tpu"
-        and pallas_kernels.supported_block(b_local, batch_size, out_dim)
+        and pallas_kernels.supported_block(
+            k_rows_static, b_local if local_cols else batch_size, out_dim
+        )
+    )
+    # bf16 dense-grad all-reduce (mesh.dense_grad_dtype): halves the ring
+    # bytes of the combined-axis psum; Adam still updates in f32.
+    grad_dtype = (
+        jnp.bfloat16 if mesh_cfg.dense_grad_dtype == "bfloat16" else None
     )
     loss_block = (
         pallas_kernels.fused_in_batch_softmax_block if use_pallas
         else in_batch_softmax_block
     )
     logger.info(
-        "sparse mesh step: mesh=(%s=%d, %s=%d), local_batch=%d, pallas=%s",
+        "sparse mesh step: mesh=(%s=%d, %s=%d), local_batch=%d, pallas=%s, "
+        "columns=%s",
         data_ax, num_data, model_ax, num_model, b_local, use_pallas,
+        "shard-local" if local_cols else "global",
     )
 
     lr_fn = make_lr_fn(tcfg)
@@ -208,8 +232,13 @@ def make_sparse_sharded_train_step(
             return jax.lax.dynamic_slice_in_dim(x, m_idx * k, k, axis=0)
 
         def gather(name, flat_ids):
-            """Model-peer-sliced lookup over the combined row axis, then
-            all_gather along model -> every peer holds all rows."""
+            """Model-peer-sliced lookup over the combined row axis. Returns
+            (my 1/M slice of rows, my ids, drop count) — rows stay PER-PEER:
+            the towers run on each peer's slice (model-axis tower sharding)
+            and only the F-wide tower OUTPUTS are reassembled, never the
+            E-wide embedding rows. At M=4 this quarters per-device tower
+            FLOPs and shrinks the model-axis gather from E-wide inputs to
+            F-wide outputs (scaling dossier term 2)."""
             k = flat_ids.shape[0] // num_model
             my_ids = slice_of(flat_ids, k)
             rows_m, drop = alltoall_lookup(
@@ -219,29 +248,44 @@ def make_sparse_sharded_train_step(
                 capacity=_capacity(k, world, cap_factor),
                 return_stats=True,
             )
-            rows = jax.lax.all_gather(rows_m, model_ax, tiled=True, axis=0)
-            return rows, drop
+            return rows_m, my_ids, drop
 
-        u_rows, drop_fwd = gather("user_embedding", ids_u)
-        i_rows, d2 = gather("item_embedding", ids_i)
+        k_rows = b_local // num_model  # tower rows per model peer
+        u_rows, my_ids_u, drop_fwd = gather("user_embedding", ids_u)
+        i_rows, my_ids_i, d2 = gather("item_embedding", ids_i)
         drop_fwd = drop_fwd + d2
-        tokens = None
+        tokens_m = None
         if item_tok is not None:
             tokens = item_tok[ids_i]  # [b, T]
-            tok_rows_flat, d3 = gather("text_embedding", tokens.reshape(-1))
+            # The flattened-token slice [m*k*T, (m+1)*k*T) is exactly rows
+            # [m*k, (m+1)*k)'s tokens (row-major), so the a2a's per-peer
+            # slicing aligns with the item-row slicing by construction.
+            tok_rows_flat, _tok_ids, d3 = gather(
+                "text_embedding", tokens.reshape(-1)
+            )
             drop_fwd = drop_fwd + d3
-            tok_rows = tok_rows_flat.reshape(b_local, tok_width, -1)
+            tok_rows = tok_rows_flat.reshape(k_rows, tok_width, -1)
+            tokens_m = slice_of(tokens.reshape(-1), k_rows * tok_width).reshape(
+                k_rows, tok_width
+            )
 
         base_rng = jax.random.fold_in(rng, state.step)
-        dropout_rng = jax.random.fold_in(base_rng, d_idx)
-        row_offset = d_idx * b_local
+        # Distinct dropout streams per device; d_idx*M + m_idx reduces to
+        # d_idx at M=1 (bit parity with the pre-tower-sharding chain).
+        dropout_rng = jax.random.fold_in(base_rng, d_idx * num_model + m_idx)
+        # This peer's rows sit at [m_idx*k, (m_idx+1)*k) of the data
+        # shard's block, which starts at d_idx*b_local of the global batch.
+        row_offset = d_idx * b_local + m_idx * k_rows
+        w_m = slice_of(w, k_rows)
 
         diff: dict[str, Any] = {"dense": dense, "u_rows": u_rows, "i_rows": i_rows}
-        if tokens is not None:
+        if tokens_m is not None:
             diff["tok_rows"] = tok_rows
         neg_ids = None
         neg_ids_x = None
-        neg_tokens = None
+        my_neg_ids = None
+        my_neg_tok_ids = None
+        neg_tokens_m = None
         if sample_negs:
             # Shared uniform negatives: base_rng is replicated (no d_idx
             # fold), so every device samples the SAME ids — the exact fold
@@ -251,8 +295,9 @@ def make_sparse_sharded_train_step(
                 neg_rng, (num_negs,), 0, num_items, dtype=jnp.int32
             )
             # Exchange-only padding up to a model-axis multiple: pad slots
-            # repeat neg_ids[0] (their gathered rows are sliced off before
-            # the loss; their routed gradients are zero).
+            # repeat neg_ids[0] (their tower outputs are sliced off after
+            # the model-axis output gather; their routed gradients are
+            # zero).
             pad = negs_padded - num_negs
             neg_ids_x = (
                 jnp.concatenate(
@@ -261,68 +306,98 @@ def make_sparse_sharded_train_step(
                 if pad
                 else neg_ids
             )
-            neg_rows, d4 = gather("item_embedding", neg_ids_x)
+            neg_rows, my_neg_ids, d4 = gather("item_embedding", neg_ids_x)
             drop_fwd = drop_fwd + d4
-            diff["neg_rows"] = neg_rows  # [negs_padded, E]
+            diff["neg_rows"] = neg_rows  # [negs_padded/M, E] per peer
             if item_tok is not None:
                 neg_tokens = item_tok[neg_ids_x]  # [negs_padded, T]
-                neg_tok_flat, d5 = gather("text_embedding", neg_tokens.reshape(-1))
+                k_neg = negs_padded // num_model
+                neg_tok_flat, my_neg_tok_ids, d5 = gather(
+                    "text_embedding", neg_tokens.reshape(-1)
+                )
                 drop_fwd = drop_fwd + d5
                 diff["neg_tok_rows"] = neg_tok_flat.reshape(
-                    negs_padded, tok_width, -1
+                    k_neg, tok_width, -1
                 )
+                neg_tokens_m = slice_of(
+                    neg_tokens.reshape(-1), k_neg * tok_width
+                ).reshape(k_neg, tok_width)
 
         def loss_fn(diff):
             dense_p = diff["dense"]
             u_rng, i_rng = jax.random.split(dropout_rng)
+            # Towers on this peer's 1/M row slice only.
             u_emb = two_tower.apply_user_tower(
                 dense_p, diff["u_rows"], mcfg, train=True, dropout_rng=u_rng
             )
             item_in = diff["i_rows"]
             if "tok_rows" in diff:
-                item_in = item_in + two_tower.pool_rows(diff["tok_rows"], tokens)
-            i_emb = two_tower.apply_item_tower(
+                item_in = item_in + two_tower.pool_rows(
+                    diff["tok_rows"], tokens_m
+                )
+            i_emb_m = two_tower.apply_item_tower(
                 dense_p, item_in, mcfg, train=True, dropout_rng=i_rng
             )
             neg_emb = None
             if sample_negs:
-                # Negatives are shared by every shard: NO all_gather — each
-                # data shard's cotangent to the neg rows is its own share,
-                # summed across shards at the owner by the route's dedup.
-                # Exchange-padding slots are sliced off here, so the loss
-                # sees exactly num_negs candidates (single-device parity).
-                neg_in = diff["neg_rows"][:num_negs]
+                # Negatives are shared by every shard: each peer towers its
+                # 1/M slice, outputs are reassembled along model, and the
+                # exchange-padding slots are sliced off so the loss sees
+                # exactly num_negs candidates (single-device parity).
+                neg_in = diff["neg_rows"]
                 if "neg_tok_rows" in diff:
                     neg_in = neg_in + two_tower.pool_rows(
-                        diff["neg_tok_rows"][:num_negs], neg_tokens[:num_negs]
+                        diff["neg_tok_rows"], neg_tokens_m
                     )
-                neg_emb = two_tower.apply_item_tower(
+                neg_out_m = two_tower.apply_item_tower(
                     dense_p, neg_in, mcfg, train=True, dropout_rng=i_rng
                 )
+                neg_emb = jax.lax.all_gather(
+                    neg_out_m, model_ax, tiled=True, axis=0
+                )[:num_negs]
             if uniform:
                 # Purely local: each row scores its OWN positive against the
-                # shared negatives — no item-column all_gather at all.
+                # shared negatives — positives never leave the peer (the
+                # u/i row slices are index-aligned by construction).
                 per_ex, correct, raw_diag = uniform_softmax_block(
                     u_emb,
-                    i_emb,
+                    i_emb_m,
                     neg_emb,
-                    ids_i,
+                    my_ids_i,
                     neg_ids,
                     temperature=rcfg.temperature,
                 )
             else:
-                # Item columns for the in-batch loss: the full global batch.
-                # The all_gather's transpose (psum-scatter over data) sums
-                # the column cotangents from every data shard automatically.
-                v_all = jax.lax.all_gather(i_emb, data_ax, tiled=True, axis=0)
-                idx_all = jax.lax.all_gather(ids_i, data_ax, tiled=True, axis=0)
-                w_all = jax.lax.all_gather(w, data_ax, tiled=True, axis=0)
+                # Reassemble the data shard's item COLUMNS from the peers'
+                # tower outputs (F-wide; uniform never needs this). The
+                # gather's transpose reduce-scatters the column cotangents
+                # back to the owning peer.
+                i_cols = jax.lax.all_gather(
+                    i_emb_m, model_ax, tiled=True, axis=0
+                )
+                if local_cols:
+                    # Shard-local columns: no data-axis all_gather — each
+                    # row's in-batch pool is this shard's b_local columns
+                    # (offset = m_idx*k within the shard). Column
+                    # cotangents stay in the shard by construction, so
+                    # there is no data-axis psum-scatter transpose either.
+                    v_all, idx_all, w_all = i_cols, ids_i, w
+                    offs = m_idx * k_rows
+                else:
+                    # Item columns for the in-batch loss: the full global
+                    # batch. The all_gather's transpose (psum-scatter over
+                    # data) sums the column cotangents from every data
+                    # shard automatically.
+                    v_all = jax.lax.all_gather(i_cols, data_ax, tiled=True, axis=0)
+                    idx_all = jax.lax.all_gather(ids_i, data_ax, tiled=True, axis=0)
+                    w_all = jax.lax.all_gather(w, data_ax, tiled=True, axis=0)
+                    offs = row_offset
                 if mixed:
                     per_ex, correct, raw_diag = mixed_softmax_block(
                         u_emb,
                         v_all,
                         idx_all,
-                        row_offset,
+                        offs,
                         neg_emb,
                         neg_ids,
                         temperature=rcfg.temperature,
@@ -335,30 +410,33 @@ def make_sparse_sharded_train_step(
                         u_emb,
                         v_all,
                         idx_all,
-                        row_offset,
+                        offs,
                         temperature=rcfg.temperature,
                         log_q=lq if rcfg.logq_correction else None,
                         weights_all=w_all,
                     )
             denom = jnp.maximum(jax.lax.psum(jnp.sum(w), data_ax), 1.0)
-            num = jnp.sum(per_ex * w)
-            # This device's SHARE of the global loss: grad of the sum over
-            # data shards of these shares == grad of the global weighted
-            # mean (collective transposes do the cross-shard summing).
+            num = jnp.sum(per_ex * w_m)
+            # This device's SHARE of the global loss: every (data, model)
+            # peer owns a distinct k-row block now, so the global weighted
+            # mean is the psum of these shares over the COMBINED axis
+            # (collective transposes do the cross-shard summing).
             loss_share = num / denom
             if mcfg.l2_regularization > 0:
-                # Dense kernels appear once in the global loss -> each data
-                # shard contributes 1/D; touched rows are per-shard terms.
-                reg = l2_penalty(dense_p, []) / num_data + l2_penalty(
+                # Dense kernels appear once in the global loss -> each of
+                # the W peers contributes 1/W; touched rows are per-peer
+                # slices, each counted exactly once globally.
+                reg = l2_penalty(dense_p, []) / world + l2_penalty(
                     {}, [diff["u_rows"], diff["i_rows"]]
                 )
                 loss_share = loss_share + mcfg.l2_regularization * reg
             aux = {
-                # loss_share includes the l2 term: psum over data = the
-                # global loss exactly as the single-device step reports it.
+                # loss_share includes the l2 term: psum over the combined
+                # axis = the global loss exactly as the single-device step
+                # reports it.
                 "loss_share": loss_share,
-                "acc_num": jnp.sum(correct * w),
-                "logit_num": jnp.sum(raw_diag * w),
+                "acc_num": jnp.sum(correct * w_m),
+                "logit_num": jnp.sum(raw_diag * w_m),
                 "denom": denom,
             }
             return loss_share, aux
@@ -367,25 +445,32 @@ def make_sparse_sharded_train_step(
 
         import optax
 
-        # Dense grads: sum over data shards only (model peers are replicas).
-        dense_g = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, data_ax), grads["dense"]
-        )
+        # Dense grads: model peers tower DISTINCT row blocks, so the global
+        # dense gradient is the psum over the combined axis (was data-only
+        # when tower compute was model-replicated). mesh.dense_grad_dtype
+        # = bfloat16 halves the ring-all-reduce bytes (the pod dossier's
+        # second-largest term); Adam still updates in f32.
+        def _dense_psum(g):
+            if grad_dtype is not None:
+                g = g.astype(grad_dtype)
+            return jax.lax.psum(g, comb).astype(jnp.float32)
+
+        dense_g = jax.tree_util.tree_map(_dense_psum, grads["dense"])
         updates, new_opt = optimizer.update(dense_g, state.opt_state, dense)
         new_dense = optax.apply_updates(dense, updates)
 
         step_num = state.step + 1
         lr = lr_fn(state.step)
 
-        def route_update(name, flat_ids, flat_grads):
-            """Each model peer contributes its 1/S slice of the (replicated)
-            row grads exactly once; owners dedup + lazy-Adam their rows."""
-            k = flat_ids.shape[0] // num_model
+        def route_update(name, my_ids, my_grads):
+            """Each peer routes the row grads of ITS tower slice exactly
+            once; owners dedup + lazy-Adam their rows."""
+            k = my_ids.shape[0]
             nt, nmo, nsq, drop = alltoall_row_update(
                 tables[name],
                 state.table_state[name]["moments"],
-                slice_of(flat_ids, k),
-                slice_of(flat_grads, k),
+                my_ids,
+                my_grads,
                 axis_name=comb,
                 capacity=_capacity(k, world, cap_factor),
                 lr=lr,
@@ -393,31 +478,36 @@ def make_sparse_sharded_train_step(
             )
             return nt, nmo, jax.lax.psum(nsq, comb), drop
 
-        item_route_ids = ids_i
+        item_route_ids = my_ids_i
         item_route_grads = grads["i_rows"]
         if sample_negs:
-            # Model peers hold identical neg grads (same data shard) and
-            # each routes a distinct 1/num_model slice of the concatenation,
-            # so every (shard, id) contribution is routed exactly once; the
-            # owner-side dedup sums the per-data-shard shares. Padded slots
-            # carry zero gradients (the loss never touched them).
-            item_route_ids = jnp.concatenate([ids_i, neg_ids_x])
-            item_route_grads = jnp.concatenate([grads["i_rows"], grads["neg_rows"]])
+            # Each peer's neg-slice grads are its own distinct share (the
+            # output gather's reduce-scatter already summed the cross-peer
+            # cotangents), so every (shard, id) contribution is routed
+            # exactly once; the owner-side dedup sums the per-shard shares.
+            # Padded slots carry zero gradients (the loss never saw them).
+            item_route_ids = jnp.concatenate([my_ids_i, my_neg_ids])
+            item_route_grads = jnp.concatenate(
+                [grads["i_rows"], grads["neg_rows"]]
+            )
         row_work = {
-            "user_embedding": (ids_u, grads["u_rows"]),
+            "user_embedding": (my_ids_u, grads["u_rows"]),
             "item_embedding": (item_route_ids, item_route_grads),
         }
-        if tokens is not None:
-            tok_route_ids = tokens.reshape(-1)
-            tok_route_grads = grads["tok_rows"].reshape(b_local * tok_width, -1)
+        if tokens_m is not None:
+            tok_route_ids = tokens_m.reshape(-1)
+            tok_route_grads = grads["tok_rows"].reshape(
+                k_rows * tok_width, -1
+            )
             if sample_negs and "neg_tok_rows" in grads:
+                k_neg = negs_padded // num_model
                 tok_route_ids = jnp.concatenate(
-                    [tok_route_ids, neg_tokens.reshape(-1)]
+                    [tok_route_ids, neg_tokens_m.reshape(-1)]
                 )
                 tok_route_grads = jnp.concatenate(
                     [
                         tok_route_grads,
-                        grads["neg_tok_rows"].reshape(negs_padded * tok_width, -1),
+                        grads["neg_tok_rows"].reshape(k_neg * tok_width, -1),
                     ]
                 )
             row_work["text_embedding"] = (tok_route_ids, tok_route_grads)
@@ -434,9 +524,9 @@ def make_sparse_sharded_train_step(
 
         denom = aux["denom"]
         metrics = {
-            "loss": jax.lax.psum(aux["loss_share"], data_ax),
-            "accuracy": jax.lax.psum(aux["acc_num"], data_ax) / denom,
-            "logits_mean": jax.lax.psum(aux["logit_num"], data_ax) / denom,
+            "loss": jax.lax.psum(aux["loss_share"], comb),
+            "accuracy": jax.lax.psum(aux["acc_num"], comb) / denom,
+            "logits_mean": jax.lax.psum(aux["logit_num"], comb) / denom,
             "grad_norm": jnp.sqrt(
                 optax.global_norm(dense_g) ** 2 + tbl_norm_sq
             ),
