@@ -7,6 +7,9 @@ synthetic interactions (zero-egress environment; data content does not affect
 step cost, shapes do).
 
 Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+The value is the MEDIAN of 5 independent two-run-length slope sessions
+(per-session spread on stderr) — reproducible under the tunnel transport's
+±15% session variance, unlike a best-session number.
 
 ``--breakdown`` additionally times the step's phases (forward loss, +backward,
 +dense Adam, table row scatter) with the same two-point-slope method and
@@ -172,17 +175,28 @@ def main() -> None:
         _ = float(metrics["loss"])
         return time.perf_counter() - t0
 
-    # Best of two slope measurements: the tunnel transport adds seconds-
-    # scale, occasionally lopsided fetch latencies, and the first measured
-    # window can still absorb autotuning/queue-depth settling — the MIN
-    # slope is the honest steady-state step time (noise only ever adds).
+    # MEDIAN of K independent slope sessions (VERDICT r4 #2: the headline
+    # must be reproducible, not the best session ever seen). Each session
+    # is its own two-run-length slope; the tunnel transport adds seconds-
+    # scale lopsided fetch latencies and ±15% session-to-session variance,
+    # so single-session numbers (and the old best-of-2 MIN) overstate what
+    # a re-run reproduces. The min/max spread goes to stderr so a noisy
+    # session is visible next to the reported median.
     n1, n2 = MEASURE_STEPS, MEASURE_STEPS * 4
+    sessions = 5
     slopes = []
-    for _ in range(2):
+    for _ in range(sessions):
         t1 = run(n1)
         t2 = run(n2)
         slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
-    step_s = min(slopes)
+    step_s = float(np.median(slopes))
+    print(
+        f"slope sessions (ms/step): "
+        f"{[round(s * 1e3, 3) for s in sorted(slopes)]} -> median "
+        f"{step_s * 1e3:.3f} (spread {min(slopes) * 1e3:.3f}"
+        f"-{max(slopes) * 1e3:.3f})",
+        file=sys.stderr,
+    )
 
     n_chips = jax.device_count()
     eps_per_chip = BATCH / step_s / n_chips

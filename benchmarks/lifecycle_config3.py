@@ -187,10 +187,11 @@ def main(argv: list[str] | None = None) -> int:
             "--override",
             "retrieval.eval_exact=true",
             "retrieval.eval_corpus_dtype=float32",
-            # The proven path at this extreme: a ~1200-step scan of exact
-            # two-pass searches crashed the TPU worker (round 4); the
-            # per-batch loop ran the same shapes fine.
-            "retrieval.eval_device_scan=false",
+            # Default config is now safe at this extreme: the round-4
+            # "scanned exact eval crashes the worker" was root-caused to a
+            # 60 s single-program execution watchdog on the tunneled
+            # worker (round 5, benchmarks/eval_scan_probe.py), and the
+            # evaluator now time-budgets its scan segments under it.
         ],
         results,
     )

@@ -313,6 +313,49 @@ class TestTraining:
         for key in m_scan:
             assert m_scan[key] == pytest.approx(m_loop[key], abs=1e-6), key
 
+    def test_eval_scan_segmentation_matches(self, tiny_config):
+        """Time-budgeted scan segmentation (the 60 s watchdog fix): a
+        near-zero budget forces many small segments whose host-merged
+        metrics must match the single-program scan and the per-batch
+        loop. batch 32 over a ~600-row split => ~19 batches: probes +
+        multiple segments + zero-weight padded tail."""
+        import jax
+
+        from twotower_tpu.models import two_tower
+
+        cfg, pp, splits = self._setup(tiny_config)
+        num_items = len(pp.vocab.items)
+        params = two_tower.init_params(
+            jax.random.PRNGKey(3), cfg.model, len(pp.vocab.users), num_items
+        )
+        u, it = splits.val.user_idx, splits.val.item_idx
+        seg_ev = Evaluator(
+            cfg.with_overrides({"retrieval.eval_scan_budget_s": 1e-9}),
+            num_items, batch_size=32,
+        )
+        m_seg = seg_ev.evaluate(params, u, it)
+        assert seg_ev._scan_ok is True
+        one_ev = Evaluator(
+            cfg.with_overrides({"retrieval.eval_scan_budget_s": 0}),
+            num_items, batch_size=32,
+        )
+        m_one = one_ev.evaluate(params, u, it)
+        for key in m_one:
+            assert m_seg[key] == pytest.approx(m_one[key], rel=1e-5), key
+
+    def test_plan_segments(self):
+        # 100 batches at 2 s/batch under a 30 s budget, 8 already probed:
+        # 92 remaining -> S_max 15 -> 7 segments of ceil(92/7)=14
+        assert Evaluator.plan_segments(100, 2.0, 30.0, 8) == (14, 7)
+        # everything fits one segment
+        assert Evaluator.plan_segments(20, 0.001, 30.0, 8) == (12, 1)
+        # nothing left after the probes
+        assert Evaluator.plan_segments(8, 2.0, 30.0, 8) == (0, 0)
+        # pathological: per-batch slower than the whole budget -> capped
+        # near probe size (evenly split, never zero)
+        s, n = Evaluator.plan_segments(20, 120.0, 30.0, 8)
+        assert (s, n) == (6, 2)
+
     def test_bf16_eval_corpus_matches_f32_within_tolerance(self, tiny_config):
         """retrieval.eval_corpus_dtype=bfloat16 (approx validation mode,
         half the eval-corpus HBM) must produce metrics within bf16 noise

@@ -259,14 +259,20 @@ class RetrievalConfig:
     # MXU-bound, not stream-bound). Validation mode only (eval_exact=false;
     # the exact path promises f32 scores).
     eval_corpus_dtype: str = "float32"
-    # Whole-split lax.scan evaluation (one dispatch, one metrics fetch).
-    # false = per-batch dispatch. The scan is the right default — but a
-    # thousand-step scan whose body is the exact two-pass search over a
-    # ~1M-row corpus builds a very large program that crashed the TPU
-    # worker on the tunneled single chip (config-3 exact eval, round 4);
-    # the per-batch loop is the proven path at that extreme, so full-scale
-    # exact CLI runs set this false.
+    # Whole-split lax.scan evaluation (one dispatch per time-budgeted
+    # segment, one metrics fetch each). false = per-batch dispatch.
     eval_device_scan: bool = True
+    # Max seconds a single dispatched eval program may run. Root-caused in
+    # round 5 (benchmarks/eval_scan_probe.py): the round-4 "scanned exact
+    # eval crashes the TPU worker" failure was a 60-second single-program
+    # execution WATCHDOG on the tunneled worker — a trivial matmul
+    # fori_loop dies at exactly 60.0 s, independent of shapes or memory.
+    # The evaluator measures per-batch time on the first probe segments
+    # and sizes subsequent scan segments to stay under this budget, so the
+    # device scan is safe BY CONSTRUCTION at any corpus/split scale.
+    # <= 0 disables segmentation (one whole-split program — only safe on
+    # hardware without an execution watchdog).
+    eval_scan_budget_s: float = 30.0
     top_k_eval: list[int] = field(default_factory=lambda: [1, 5, 10, 20, 50, 100])
 
     def __post_init__(self) -> None:

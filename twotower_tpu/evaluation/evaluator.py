@@ -190,6 +190,93 @@ class Evaluator:
         self._scan_ok: bool | None = (
             None if config.retrieval.eval_device_scan else False
         )
+        self._scan_budget_s = float(config.retrieval.eval_scan_budget_s)
+
+    @staticmethod
+    def plan_segments(
+        nb: int, per_batch_s: float, budget_s: float, probe: int
+    ) -> tuple[int, int]:
+        """Size the post-probe scan segments: ``(segment_len, n_segments)``
+        covering the ``nb - probe`` remaining batches with per-program
+        runtime ~<= ``budget_s`` (the tunneled worker kills any single
+        program past 60 s — see retrieval.eval_scan_budget_s). Segments are
+        sized EVENLY (ceil(rem / ceil(rem/S_max))) so one compiled shape
+        covers them all with under one batch of zero-weight padding each."""
+        rem = nb - probe
+        if rem <= 0:
+            return 0, 0
+        s_max = max(probe, int(budget_s / max(per_batch_s, 1e-9)))
+        s_max = min(s_max, rem)
+        n_seg = -(-rem // s_max)
+        s_even = -(-rem // n_seg)
+        return s_even, n_seg
+
+    def _run_scan_segmented(self, params, corpus, u, it, w) -> dict[str, float]:
+        """Run the device-resident scan in TIME-BUDGETED segments.
+
+        One monolithic whole-split program is killed by the tunneled
+        worker's 60 s single-program execution watchdog (root-caused round
+        5, benchmarks/eval_scan_probe.py: a trivial fori_loop dies at
+        60.0 s too — shape/memory-independent). Strategy: run two
+        fixed-size probe segments (the second, compile-free one measures
+        per-batch seconds), then cover the rest with evenly-sized segments
+        predicted to stay under ``retrieval.eval_scan_budget_s``. Two
+        compiled shapes total; per-segment host sync costs ~0.5 s on the
+        tunnel vs ~0.44 s/batch for the per-batch loop — the scan's
+        dispatch win survives segmentation."""
+        import time as _time
+
+        nb = u.shape[0]
+        sums_acc: dict[str, float] = {}
+        total_acc = 0.0
+
+        def run(lo: int, hi: int, shape: int) -> float:
+            """Scan batches [lo, hi), zero-weight-padded to ``shape``;
+            returns wall seconds (device_get is the hard sync)."""
+            su, si, sw = u[lo:hi], it[lo:hi], w[lo:hi]
+            pad = shape - (hi - lo)
+            if pad:
+                bs = u.shape[1]
+                su = np.concatenate([su, np.zeros((pad, bs), np.int32)])
+                si = np.concatenate([si, np.zeros((pad, bs), np.int32)])
+                sw = np.concatenate([sw, np.zeros((pad, bs), np.float32)])
+            t0 = _time.perf_counter()
+            sums, tot = self._eval_scan(
+                params, corpus,
+                jnp.asarray(su), jnp.asarray(si), jnp.asarray(sw),
+                self.max_k,
+            )
+            sums = jax.device_get(sums)
+            nonlocal total_acc
+            for k, v in sums.items():
+                sums_acc[k] = sums_acc.get(k, 0.0) + float(v)
+            total_acc += float(tot)
+            return _time.perf_counter() - t0
+
+        budget = self._scan_budget_s
+        if budget <= 0 or nb <= 8:
+            run(0, nb, nb)
+        else:
+            probe = 4
+            run(0, probe, probe)  # compile + exec
+            t_exec = run(probe, 2 * probe, probe)  # exec only
+            per_batch = max(t_exec / probe, 1e-9)
+            s_even, n_seg = self.plan_segments(
+                nb, per_batch, budget, 2 * probe
+            )
+            if n_seg:
+                logger.info(
+                    "eval scan: %d batches in %d segments of %d "
+                    "(~%.1f s/segment under the %.0f s program budget)",
+                    nb, n_seg + 2, s_even, s_even * per_batch, budget,
+                )
+            pos = 2 * probe
+            for _ in range(n_seg):
+                hi = min(pos + s_even, nb)
+                run(pos, hi, s_even)
+                pos = hi
+        denom = max(total_acc, 1e-12)
+        return {k: v / denom for k, v in sums_acc.items()}
 
     def _put_batch(self, arr: np.ndarray):
         """Host batch array -> sharded device array. Multi-controller: each
@@ -236,12 +323,7 @@ class Evaluator:
         if not sharded and self._scan_ok is not False:
             u, it, w = self._pack_batches(user_idx, item_idx)
             try:
-                sums, total = self._eval_scan(
-                    params, corpus,
-                    jnp.asarray(u), jnp.asarray(it), jnp.asarray(w),
-                    self.max_k,
-                )
-                sums = jax.device_get(sums)
+                out = self._run_scan_segmented(params, corpus, u, it, w)
                 self._scan_ok = True
             except Exception:
                 if self._scan_ok:  # worked before: a real runtime error
@@ -252,8 +334,6 @@ class Evaluator:
                 )
                 self._scan_ok = False
             else:
-                denom = max(float(total), 1e-12)
-                out = {k: float(v) / denom for k, v in sums.items()}
                 logger.info(
                     "evaluated %d rows over %d items: %s",
                     len(user_idx), self.num_items,

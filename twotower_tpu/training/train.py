@@ -54,10 +54,22 @@ def build_argparser() -> argparse.ArgumentParser:
         "--stream-batches", action="store_true",
         help="with --prepared-dir: stream train batches from the parquet "
         "chunk-by-chunk (windowed shuffle, bounded host memory) instead of "
-        "materializing the train split in RAM",
+        "materializing the train split in RAM (forces the 'stream' rung; "
+        "see --exec)",
     )
     p.add_argument(
-        "--shuffle-buffer", type=int, default=1 << 23,
+        "--exec", choices=["auto", "host", "device-loop", "stream"],
+        default="auto", dest="exec_rung",
+        help="execution rung for --prepared-dir runs. 'auto' (default) "
+        "picks the best rung the measured HBM/host-RAM budgets allow: "
+        "device-resident epochs when the encoded columns + train state fit "
+        "HBM (full-permutation shuffle — measured +49%% recall@10 over an "
+        "8M-row windowed stream at 50M rows), else the in-RAM host loop, "
+        "else streaming with the largest shuffle window the host allows. "
+        "--device-loop / --stream-batches force their rung",
+    )
+    p.add_argument(
+        "--shuffle-buffer", type=int, default=None,
         help="windowed-shuffle buffer rows for --stream-batches (64 MB of "
         "host ids at the default 8M rows). Window size is a QUALITY dial "
         "on temporally-sorted artifacts: at 50M rows, epoch-5 val "
@@ -198,8 +210,15 @@ class _EncodedColumns:
 
 
 def run(args, config: Config) -> dict:
+    # --exec is sugar over the rung-forcing flags (kept for compat).
+    if getattr(args, "exec_rung", "auto") == "device-loop":
+        args.device_loop = True
+    elif getattr(args, "exec_rung", "auto") == "stream":
+        args.stream_batches = True
     if getattr(args, "prepared_dir", None):
         return _run_prepared(args, config)
+    if getattr(args, "shuffle_buffer", None) is None:
+        args.shuffle_buffer = 1 << 23
     from twotower_tpu.data import Preprocessor
     from twotower_tpu.utils.checkpoint import CheckpointManager
     from twotower_tpu.utils.tracking import build_writers
@@ -282,6 +301,43 @@ def _run_prepared(args, config: Config) -> dict:
         "prepared data: %d train / %d val / %d test; %d users, %d items",
         rule.n_train, rule.n_val, rule.n_test, num_users, num_items,
     )
+
+    # Execution-rung auto-selection (VERDICT r4 #6): with no forcing flag,
+    # pick the best rung the measured HBM/host-RAM budgets allow — the
+    # config-3 lifecycle with NO execution flags now gets the measured-best
+    # configuration (device-resident full-permutation epochs) instead of
+    # the conservative host loop. Decision logic is pure and unit-tested
+    # (training/rungs.py).
+    if (
+        getattr(args, "exec_rung", "auto") == "auto"
+        and not args.device_loop
+        and not args.stream_batches
+    ):
+        import jax
+
+        from twotower_tpu.training import rungs
+
+        decision = rungs.choose_execution_rung(
+            n_train=rule.n_train,
+            num_users=num_users,
+            num_items=num_items,
+            config=config,
+            device_free_bytes=rungs.device_free_bytes(),
+            host_available_bytes=rungs.host_available_bytes(),
+            multi_process=jax.process_count() > 1,
+            has_eval=not args.no_eval,
+        )
+        logger.info(
+            "execution rung: %s (auto) — %s", decision.rung, decision.reason
+        )
+        if decision.rung == "device_loop":
+            args.device_loop = True
+        elif decision.rung == "stream":
+            args.stream_batches = True
+            if args.shuffle_buffer is None:
+                args.shuffle_buffer = decision.shuffle_buffer
+    if args.shuffle_buffer is None:
+        args.shuffle_buffer = 1 << 23
 
     ckpt_dir = Path(args.checkpoint_dir or config.training.checkpoint_dir)
     manager = CheckpointManager(
@@ -519,6 +575,13 @@ def _fit_and_summarize(
         "checkpoint_dir": str(ckpt_dir),
         "num_users": num_users,
         "num_items": num_items,
+        # Which execution rung actually ran (auto-selected or forced) —
+        # operators diffing run quality need to know the shuffle regime.
+        "execution_rung": (
+            "device_loop" if args.device_loop
+            else "stream" if getattr(args, "stream_batches", False)
+            else "host"
+        ),
     }
     (ckpt_dir / "train_summary.json").write_text(json.dumps(summary, indent=2))
     return summary
