@@ -101,6 +101,24 @@ class ClusterCatalog:
         sizes = self.cluster_sizes()
         return np.maximum(1, np.ceil(sizes * catalog_frac).astype(np.int64))
 
+    def static_log_pop(self) -> tuple[np.ndarray, np.ndarray]:
+        """Oracle-mode item law: with a full catalog and zero drift, item
+        at launch position p of cluster c has within-cluster probability
+        ``(p+1)^-zipf / Z_c`` forever. Returns ``(item_cluster [N] int32,
+        log_pop [N] f32)`` — the exact ``log P(i | c(i))`` table the oracle
+        evaluator scores with."""
+        item_cluster = np.empty(self.num_items, np.int32)
+        log_pop = np.empty(self.num_items, np.float32)
+        for c in range(self.num_clusters):
+            lo = int(self.offsets[c])
+            n = int(self.offsets[c + 1] - lo)
+            slots = self.item_of_slot[lo : lo + n]
+            w = (np.arange(1, n + 1, dtype=np.float64)) ** (-self.within_zipf)
+            lp = np.log(w) - np.log(w.sum())
+            item_cluster[slots] = c
+            log_pop[slots] = lp.astype(np.float32)
+        return item_cluster, log_pop
+
     def sample_items(
         self,
         clusters: np.ndarray,
@@ -244,6 +262,7 @@ def generate_parquet(
     base_ts: int = 1_600_000_000,
     span_seconds: int = 3 * 365 * 86400,
     use_jax: bool | None = None,
+    oracle: bool = False,
 ) -> dict:
     """Write ``interactions_{k:04d}.parquet`` shards under ``out_dir``.
 
@@ -262,10 +281,35 @@ def generate_parquet(
     t0 = time.time()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if oracle:
+        # Oracle mode (VERDICT r4 #1): a STATIONARY teacher whose exact
+        # conditional P(item | user) is computable in closed form —
+        # P(i|u) = [(1-noise)*softmax_c(scale*u.c/sqrt(d)) +
+        # noise*cluster_mass][c(i)] * pop(i|c(i)). Catalog growth and
+        # popularity drift are disabled (they would make the Bayes ranker
+        # era-dependent); the teacher's parameters are written next to the
+        # shards so evaluation/oracle.py can score the exact ceiling.
+        catalog_start_frac, num_eras, drift_ranks_per_era = 1.0, 1, 0
     rng = np.random.default_rng(seed)
     u_lat = rng.normal(size=(num_users, latent_dim)).astype(np.float32)
     c_lat = rng.normal(size=(num_clusters, latent_dim)).astype(np.float32)
     catalog = ClusterCatalog(num_items, num_clusters, rng, within_zipf)
+    if oracle:
+        item_cluster, log_pop = catalog.static_log_pop()
+        np.savez_compressed(
+            out_dir / "oracle_teacher.npz",
+            u_lat=u_lat,
+            c_lat=c_lat,
+            item_cluster=item_cluster,
+            log_pop=log_pop,
+            cluster_mass=(
+                catalog.cluster_sizes().astype(np.float64) / num_items
+            ).astype(np.float32),
+            affinity_scale=np.float32(affinity_scale),
+            noise=np.float32(noise),
+            latent_dim=np.int32(latent_dim),
+            seed=np.int64(seed),
+        )
 
     if use_jax is None:
         # device path pays off once the per-chunk matmul is nontrivial
@@ -385,6 +429,7 @@ def generate_parquet(
             "num_eras": num_eras,
             "drift_ranks_per_era": drift_ranks_per_era,
             "seed": seed,
+            "oracle": oracle,
         },
     }
     (out_dir / "generator_stats.json").write_text(json.dumps(stats, indent=2))
@@ -410,6 +455,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-jax", action="store_true",
                    help="force the numpy cluster sampler")
+    p.add_argument(
+        "--oracle", action="store_true",
+        help="stationary teacher mode: disable catalog growth/drift and "
+        "write oracle_teacher.npz (exact Bayes-ceiling parameters) next "
+        "to the shards — see evaluation/oracle.py",
+    )
     return p
 
 
@@ -426,6 +477,7 @@ def main(argv: list[str] | None = None) -> int:
         rows_per_file=args.rows_per_file,
         seed=args.seed,
         use_jax=False if args.no_jax else None,
+        oracle=args.oracle,
     )
     print(json.dumps(stats))
     return 0

@@ -51,6 +51,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="which held-out slice to score",
     )
     p.add_argument(
+        "--rows", type=int, default=None,
+        help="cap scoring to a strided subsample of this many held-out "
+        "rows (same stride rule as train-model --val-rows and "
+        "evaluation.oracle --rows, so capped numbers stay comparable)",
+    )
+    p.add_argument(
         "--mesh", action="store_true",
         help="evaluate over the config's device mesh: the encoded corpus "
         "stays row-sharded P(model, None) across devices instead of "
@@ -70,6 +76,19 @@ def load_item_tokens(ckpt_dir: Path):
 
     with np.load(tokens_path) as tok:
         return tok["tokens"]
+
+
+def _capped(user_idx, item_idx, rows: "int | None"):
+    """Strided subsample (same rule as training.train.strided_subsample and
+    evaluation.oracle.strided) so capped numbers are comparable across the
+    three CLIs."""
+    import numpy as np
+
+    n = len(user_idx)
+    if not rows or rows >= n:
+        return user_idx, item_idx
+    sel = np.linspace(0, n - 1, num=rows, dtype=np.int64)
+    return user_idx[sel], item_idx[sel]
 
 
 def restore_params(
@@ -166,12 +185,14 @@ def run(args, config: Config) -> dict:
         evaluator = Evaluator(
             config, num_items, item_tokens=load_item_tokens(ckpt_dir), mesh=mesh
         )
-        metrics = evaluator.evaluate(
-            params, subset_cols["user_idx"], subset_cols["item_idx"]
+        eu, ei = _capped(
+            subset_cols["user_idx"], subset_cols["item_idx"],
+            getattr(args, "rows", None),
         )
+        metrics = evaluator.evaluate(params, eu, ei)
         return {
             "subset": args.subset,
-            "rows": len(subset_cols["user_idx"]),
+            "rows": len(eu),
             "num_items": num_items,
             "checkpoint_step": meta.get("step"),
             "metrics": metrics,
@@ -208,10 +229,13 @@ def run(args, config: Config) -> dict:
     evaluator = Evaluator(
         config, num_items, item_tokens=load_item_tokens(ckpt_dir), mesh=mesh
     )
-    metrics = evaluator.evaluate(params, subset.user_idx, subset.item_idx)
+    eu, ei = _capped(
+        subset.user_idx, subset.item_idx, getattr(args, "rows", None)
+    )
+    metrics = evaluator.evaluate(params, eu, ei)
     return {
         "subset": args.subset,
-        "rows": len(subset),
+        "rows": len(eu),
         "num_items": num_items,
         "checkpoint_step": meta.get("step"),
         "metrics": metrics,

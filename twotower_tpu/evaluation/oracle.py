@@ -1,0 +1,224 @@
+"""Exact Bayes-ceiling evaluation against a planted oracle teacher.
+
+VERDICT r4 #1: every prior quality number ("r@10 beats random by ~680x")
+was measured on a synthetic corpus with an UNKNOWN achievable ceiling, so
+it demonstrated learning, not near-optimal learning. This module closes
+that gap: ``data.synthetic_scale --oracle`` samples interactions from a
+KNOWN stationary teacher,
+
+    P(item = i | user = u)
+        = [(1-noise) * softmax_c(scale * <u_lat[u], c_lat[c]> / sqrt(d))
+           + noise * cluster_mass[c]]_{c(i)}  *  pop(i | c(i)),
+
+whose Bayes-optimal ranker (sort items by P(i|u), i.e. by
+``log p_u[c(i)] + log_pop[i]``) is computable in closed form. The teacher's
+own Recall@K / NDCG@K on the held-out split IS the ceiling — no model can
+beat it in expectation — so a trained student's metrics become a
+percentage of optimal instead of a bare number.
+
+Ranks are computed EXACTLY (no top-k truncation): for each held-out row
+the rank of the true item is the count of items scoring strictly higher,
+plus same-score items with a lower index (``lax.top_k``'s tie order, so
+teacher and student tie semantics match). Scoring streams the item table
+in chunks per user batch — each dispatched program stays well under the
+tunneled worker's 60 s execution watchdog (docs/evaluation.md).
+
+CLI::
+
+    python -m twotower_tpu.evaluation.oracle \
+        --teacher <gen_dir>/oracle_teacher.npz --prepared-dir <prep> \
+        --subset test [--rows 500000]
+
+Reference target this substitutes for: Recall@10 0.342 / NDCG@10 0.287
+(/root/reference/README.md:80) — unreachable offline (zero egress), so
+ceiling-fraction on the oracle corpus is the strongest offline evidence
+the train/eval stack optimizes what it claims to.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from twotower_tpu.logging_utils import get_logger, setup_logging
+
+logger = get_logger(__name__)
+
+
+class OracleTeacher:
+    """Closed-form scorer for the planted teacher."""
+
+    def __init__(self, npz_path: str | Path):
+        with np.load(npz_path) as z:
+            self.u_lat = z["u_lat"]
+            self.c_lat = z["c_lat"]
+            self.item_cluster = z["item_cluster"]
+            self.log_pop = z["log_pop"]
+            self.cluster_mass = z["cluster_mass"]
+            self.affinity_scale = float(z["affinity_scale"])
+            self.noise = float(z["noise"])
+        self.num_users = self.u_lat.shape[0]
+        self.num_items = self.item_cluster.shape[0]
+
+    def log_p_clusters(self, user_idx: np.ndarray) -> np.ndarray:
+        """``log P(cluster | user)`` for a batch of users — [B, C] f32."""
+        import jax.nn
+
+        d = self.u_lat.shape[1]
+        logits = (
+            self.affinity_scale
+            * (self.u_lat[user_idx] @ self.c_lat.T)
+            / np.sqrt(np.float32(d))
+        )
+        p = (1.0 - self.noise) * np.asarray(
+            jax.nn.softmax(logits, axis=-1)
+        ) + self.noise * self.cluster_mass[None, :]
+        return np.log(p).astype(np.float32)
+
+    def item_scores(self, user_idx: np.ndarray) -> np.ndarray:
+        """Full ``log P(i|u)`` matrix [B, N] (small corpora / tests)."""
+        logp = self.log_p_clusters(user_idx)
+        return logp[:, self.item_cluster] + self.log_pop[None, :]
+
+
+def exact_ranks(
+    teacher: OracleTeacher,
+    user_idx: np.ndarray,
+    item_idx: np.ndarray,
+    *,
+    batch_size: int = 4096,
+    chunk: int = 262_144,
+) -> np.ndarray:
+    """Exact 0-based rank of each row's true item under the teacher."""
+    import jax
+    import jax.numpy as jnp
+
+    item_cluster = jnp.asarray(teacher.item_cluster)
+    log_pop = jnp.asarray(teacher.log_pop)
+    n_items = teacher.num_items
+    chunk = min(chunk, n_items)
+
+    @functools.partial(jax.jit, static_argnames=("lo", "hi"))
+    def count_chunk(logp, true_score, true_idx, lo: int, hi: int):
+        cc = jax.lax.dynamic_slice_in_dim(item_cluster, lo, hi - lo)
+        lp = jax.lax.dynamic_slice_in_dim(log_pop, lo, hi - lo)
+        scores = jnp.take(logp, cc, axis=1) + lp[None, :]
+        idx = jnp.arange(lo, hi, dtype=jnp.int32)[None, :]
+        better = scores > true_score[:, None]
+        tied_before = (scores == true_score[:, None]) & (idx < true_idx[:, None])
+        return (better | tied_before).sum(axis=1).astype(jnp.int32)
+
+    ranks = np.empty(len(user_idx), np.int32)
+    for s in range(0, len(user_idx), batch_size):
+        e = min(s + batch_size, len(user_idx))
+        logp = jnp.asarray(teacher.log_p_clusters(user_idx[s:e]))
+        ti = jnp.asarray(item_idx[s:e].astype(np.int32))
+        true_score = (
+            jnp.take_along_axis(
+                logp, item_cluster[ti][:, None], axis=1
+            ).squeeze(1)
+            + log_pop[ti]
+        )
+        acc = jnp.zeros(e - s, jnp.int32)
+        for lo in range(0, n_items, chunk):
+            hi = min(lo + chunk, n_items)
+            acc = acc + count_chunk(logp, true_score, ti, lo, hi)
+        ranks[s:e] = np.asarray(acc)
+    return ranks
+
+
+def metrics_from_ranks(
+    rank: np.ndarray, ks: tuple[int, ...], *, mrr_cap: int | None = None
+) -> dict[str, float]:
+    """Same formulas as ``evaluation.metrics.metrics_at_k`` (including the
+    max-K-truncated MRR) so teacher and student numbers are comparable."""
+    rank = rank.astype(np.float64)
+    out: dict[str, float] = {}
+    gain = 1.0 / np.log2(rank + 2.0)
+    for k in sorted(ks):
+        hit = rank < k
+        out[f"recall@{k}"] = float(hit.mean())
+        out[f"ndcg@{k}"] = float((hit * gain).mean())
+    cap = mrr_cap if mrr_cap is not None else max(ks)
+    out["mrr"] = float(((rank < cap) / (rank + 1.0)).mean())
+    return out
+
+
+def _vocab_to_generator_idx(ids: np.ndarray, prefix: str) -> np.ndarray:
+    """Map vocab id strings (``U00000042`` / ``I00000007``,
+    ``synthetic_scale._id_table``) back to teacher row indices."""
+    arr = np.asarray(ids, dtype=str)
+    return np.char.lstrip(arr, prefix).astype(np.int64)
+
+
+def strided(n: int, cap: int | None) -> np.ndarray:
+    """Same rule as training.train.strided_subsample / evaluate --rows."""
+    if cap is None or cap >= n:
+        return np.arange(n)
+    return np.linspace(0, n - 1, num=cap, dtype=np.int64)
+
+
+def main(argv: list[str] | None = None) -> int:
+    setup_logging()
+    ap = argparse.ArgumentParser(
+        prog="python -m twotower_tpu.evaluation.oracle",
+        description="Exact Bayes-ceiling metrics of the planted teacher "
+        "on a prepared artifact's held-out split",
+    )
+    ap.add_argument("--teacher", required=True,
+                    help="oracle_teacher.npz from synthetic_scale --oracle")
+    ap.add_argument("--prepared-dir", required=True)
+    ap.add_argument("--subset", choices=["val", "test"], default="test")
+    ap.add_argument("--rows", type=int, default=None,
+                    help="strided subsample cap (full split if omitted)")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument(
+        "--ks", type=int, nargs="*", default=[1, 5, 10, 20, 50, 100]
+    )
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    from twotower_tpu.config import Config
+    from twotower_tpu.data.prepared import PreparedDataset
+
+    teacher = OracleTeacher(args.teacher)
+    cfg = Config()
+    ds = PreparedDataset(args.prepared_dir)
+    rule = ds.temporal_rule(
+        cfg.preprocessing.train_split, cfg.preprocessing.val_split
+    )
+    split = ds.load_splits(rule, (args.subset,))[args.subset]
+    # Vocab indices -> teacher indices (the prepared artifact re-encodes
+    # ids by first appearance; the teacher is indexed by generator id).
+    user_map = _vocab_to_generator_idx(np.asarray(ds.vocab.users.ids), "U")
+    item_map = _vocab_to_generator_idx(np.asarray(ds.vocab.items.ids), "I")
+    sel = strided(len(split["user_idx"]), args.rows)
+    gen_users = user_map[split["user_idx"][sel]]
+    gen_items = item_map[split["item_idx"][sel]]
+    logger.info(
+        "oracle ceiling: %d %s rows (of %d), %d items",
+        len(sel), args.subset, len(split["user_idx"]), teacher.num_items,
+    )
+    ranks = exact_ranks(teacher, gen_users, gen_items, batch_size=args.batch)
+    metrics = metrics_from_ranks(ranks, tuple(args.ks))
+    result = {
+        "teacher": str(args.teacher),
+        "subset": args.subset,
+        "rows": int(len(sel)),
+        "metrics": metrics,
+        "median_rank": int(np.median(ranks)),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
