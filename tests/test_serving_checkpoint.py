@@ -1625,9 +1625,31 @@ class TestExclusionAndHistory:
     def test_search_depth_buckets(self):
         sd = RecommendService.search_depth
         assert sd(10, 0, 1000) == 10           # warmed fast path untouched
-        assert sd(10, 1, 1000) == 32           # bucketed to 32s
+        # ANY exclusion snaps to the covering power of two: a handful of
+        # warmable depths instead of ~max_exclude/32 lazy-compile shapes
+        # (the round-4 p99 outlier mechanism)
+        assert sd(10, 1, 1000) == 16
         assert sd(10, 30, 1000) == 64
+        assert sd(100, 200, 100000) == 512
         assert sd(10, 5, 12) == 12             # clamped to the catalog
+
+    def test_warm_depths_cover_every_reachable_depth(self, small_index):
+        """The warmup grid must contain every depth the route can produce
+        at default k for any legal exclusion count — otherwise a live
+        request compiles (the exact p99 failure the grid exists to
+        prevent)."""
+        svc = RecommendService(
+            small_index, None, max_exclude=40, max_history=16
+        )
+        n = small_index.num_items
+        for route, cap in (
+            ("recommend", 40),
+            ("similar_items", 0),
+            ("recommend_by_history", 56),
+        ):
+            grid = set(svc.warm_depths(route, 10, n))
+            for e in range(cap + 1):
+                assert svc.search_depth(10, e, n) in grid, (route, e)
 
     def test_history_matches_index_pooling(self, service, small_index):
         """Service results == direct index query with the same pooled rows,

@@ -251,12 +251,44 @@ class RecommendService:
     @staticmethod
     def search_depth(k: int, num_excluded: int, num_items: int) -> int:
         """Device-search k covering the worst case where every excluded id
-        ranks above the k-th survivor. Bucketed to multiples of 32 so
-        exclusion lists of varying length reuse jit shapes; the plain
-        (no-exclusion) path stays exactly k (the warmed shape)."""
+        ranks above the k-th survivor.
+
+        Round-5 p99 fix: exclusion-bearing requests used to bucket the
+        depth to multiples of 32, producing up to ~(max_exclude/32)
+        DISTINCT jit shapes per batch bucket that startup warmup never
+        compiled — measured as second-scale p99 outliers on the real chip
+        (1616 ms at c=32, benchmarks/results/serving_http_tpu_r4.jsonl:
+        every outlier was a live-traffic compile). Now ANY exclusion
+        snaps the depth to the power of two covering ``k + num_excluded``
+        — at most ~2 depths per family in practice, all pre-compiled by
+        ``MicroBatcher.warmup(ks=...)``/``warm_depths``. The plain
+        (no-exclusion) path stays exactly ``k`` (the default warmed
+        shape); extra depth only costs the search O(k) work and the
+        filter truncates back to ``k``.
+        """
         if num_excluded == 0:
             return k
-        return min(-(-(k + num_excluded) // 32) * 32, num_items)
+        need = k + num_excluded
+        return min(1 << (need - 1).bit_length(), num_items)
+
+    def warm_depths(self, route: str, k: int, num_items: int) -> tuple[int, ...]:
+        """Every search depth ``route`` can hit at default ``k``: the
+        no-exclusion fast path plus the power-of-two ladder up to the
+        route's worst-case exclusion count (max_exclude for /recommend,
+        plus max_history seen-item exclusions for /recommend_by_history).
+        The warmup compiles these per bucket so live traffic never
+        compiles; a request with k above the default still compiles
+        lazily (documented)."""
+        cap = self.max_exclude
+        if route == "recommend_by_history":
+            cap += self.max_history
+        depths = {k}
+        e = 1
+        while e <= cap:
+            depths.add(self.search_depth(k, e, num_items))
+            e *= 2
+        depths.add(self.search_depth(k, cap, num_items))
+        return tuple(sorted(depths))
 
     @staticmethod
     def filter_excluded(scores, items, exclude, k: int):
@@ -598,17 +630,21 @@ class MicroBatcher:
         scores, items = getattr(target, self.method)(queries, k)
         return scores[:n], items[:n]
 
-    def warmup(self, k: int, index=None) -> int:
-        """Compile every power-of-two bucket shape up front (``k`` fixed).
+    def warmup(self, k: int, index=None, *, extra_ks: tuple = ()) -> int:
+        """Compile every (bucket, depth) shape live traffic can hit.
 
-        Without this the first request to hit each bucket pays a jit
-        compile (hundreds of ms) in live traffic — measured as a p99 spike
-        in ``benchmarks/serving_http.py``. Call at server startup (the
-        aiohttp front does, via ``on_startup``); on hot reload pass the NEW
-        index explicitly via ``index=`` from the reload's pre-swap hook, so
-        its shapes compile while the old index still serves. Returns the
-        number of shapes compiled. Non-default ``k`` values still compile
-        lazily.
+        Without this the first request to hit each shape pays a jit
+        compile (second-scale on the tunneled chip) in live traffic —
+        measured as 1616 ms p99 outliers at c=32 in
+        ``benchmarks/results/serving_http_tpu_r4.jsonl``. ``extra_ks``
+        extends the default-``k`` grid with the exclusion-widened search
+        depths (``RecommendService.warm_depths``) so the exclude /
+        seen-item paths are warm too. Call at server startup (the aiohttp
+        front does, via ``on_startup``); on hot reload pass the NEW index
+        explicitly via ``index=`` from the reload's pre-swap hook, so its
+        shapes compile while the old index still serves. Returns the
+        number of shapes compiled. Non-default request ``k`` values still
+        compile lazily.
         """
         target = index if index is not None else self.index
         # Clamp to what the index can actually answer: default_k may exceed
@@ -616,7 +652,7 @@ class MicroBatcher:
         # similar_items searches k+1 internally (self-match), so its family
         # clamps one tighter.
         limit = target.num_items - (1 if self.method == "similar_items" else 0)
-        k = max(1, min(k, limit))
+        ks = sorted({max(1, min(kk, limit)) for kk in (k, *extra_ks)})
         sizes = []
         b = 1
         while b < self.max_batch:
@@ -625,12 +661,15 @@ class MicroBatcher:
         sizes.append(self.max_batch)  # the clamp bucket (non-power-of-two too)
         shape_tail = (self.pad_width,) if self.pad_width is not None else ()
         for b in sizes:
-            self._device_call(
-                np.full((b,) + shape_tail, self.pad_value, self.query_dtype),
-                k,
-                target,
-            )
-        return len(sizes)
+            for kk in ks:
+                self._device_call(
+                    np.full(
+                        (b,) + shape_tail, self.pad_value, self.query_dtype
+                    ),
+                    kk,
+                    target,
+                )
+        return len(sizes) * len(ks)
 
     async def _run(self, queue: asyncio.Queue):
         # ``queue`` is this worker's own (recommend() may install a fresh one
@@ -893,10 +932,16 @@ def create_app(
                 # configured_k (not the old catalog-clamped default_k): that
                 # is what default_k becomes after the swap on a big catalog,
                 # and warmup re-clamps it to the new index itself. Every
-                # endpoint family's bucket shapes warm against the NEW
-                # index before the swap.
-                for b in batchers.values():
-                    b.warmup(service.configured_k, index=new_index)
+                # endpoint family's (bucket x depth) shapes warm against
+                # the NEW index before the swap.
+                for name, b in batchers.items():
+                    b.warmup(
+                        service.configured_k,
+                        index=new_index,
+                        extra_ks=service.warm_depths(
+                            name, service.configured_k, new_index.num_items
+                        ),
+                    )
         async with reload_lock:
             if release_first and batcher is not None:
                 # Drop the batchers' pins too — otherwise the old corpus's
@@ -961,12 +1006,24 @@ def create_app(
             loop = asyncio.get_running_loop()
 
             def warm_all() -> int:
+                n_items = service.index.num_items
                 return sum(
-                    b.warmup(service.default_k) for b in batchers.values()
+                    b.warmup(
+                        service.default_k,
+                        extra_ks=service.warm_depths(
+                            name, service.default_k, n_items
+                        ),
+                    )
+                    for name, b in batchers.items()
                 )
 
+            t0 = time.perf_counter()
             shapes = await loop.run_in_executor(None, warm_all)
-            logger.info("serving warmup: %d bucket shapes compiled", shapes)
+            logger.info(
+                "serving warmup: %d (bucket x depth) shapes compiled in "
+                "%.1fs (incl. exclusion-widened search depths)",
+                shapes, time.perf_counter() - t0,
+            )
 
         app.on_startup.append(_warm)
     return app
