@@ -35,34 +35,42 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+# Corpus-shape rationale (round-5 attribution, PARITY.md "oracle"):
+# 1. Duplicate (user,item) pairs must be RARE: dedupe-keep-latest on a
+#    resampling teacher flattens the per-user law — measured 0.92 of
+#    ceiling for raw draws vs 0.30 after dedup+temporal on a 29%-dup
+#    corpus. Real Amazon reviews are naturally dup-free, so low-dup
+#    shapes are also the realistic ones. within_zipf=0.5 + large
+#    items/cluster keeps measured dup rates at 2.9% (config2) / 0.9%
+#    (config3).
+# 2. Draws per user must RESOLVE the teacher: ~200 deduped draws per user
+#    against a 64-256-cluster mixture makes the exact-teacher ceiling
+#    information-theoretically approachable; at 20 draws/user the
+#    finite-sample limit, not the training stack, caps the fraction.
 SCALES = {
     # rows, users, items, clusters, latent_dim, model overrides, epochs
     "smoke": dict(
-        rows=120_000, users=2_000, items=4_000, clusters=64, latent=8,
+        rows=120_000, users=1_000, items=8_000, clusters=16, latent=8,
+        zipf=0.5,
         model=["model.embedding_dim=32", "model.user_tower_dims=[64,32]",
                "model.item_tower_dims=[64,32]", "training.batch_size=512",
                "training.patience=10"],
         epochs=40,
     ),
-    # BASELINE config 2: "1M interactions, 64-dim embeddings, batch 4096".
-    # Corpus shape picked for a ~3% duplicate-pair rate (measured,
-    # /tmp-free estimator in docs/oracle.md): dedupe-keep-latest on a
-    # RESAMPLING teacher flattens the per-user law (round-5 attribution:
-    # raw+temporal 0.92 of ceiling, dedup+temporal 0.30 on a 29%-dup
-    # corpus), and real Amazon reviews are naturally dup-free — so the
-    # honest oracle corpus keeps duplicates rare.
+    # BASELINE config 2: "1M interactions, 64-dim embeddings, batch 4096"
     "config2": dict(
-        rows=1_000_000, users=50_000, items=100_000, clusters=512, latent=16,
+        rows=1_000_000, users=5_000, items=100_000, clusters=64, latent=16,
+        zipf=0.5,
         model=["model.embedding_dim=64", "model.user_tower_dims=[256,128,64]",
                "model.item_tower_dims=[256,128,64]",
-               "training.batch_size=4096"],
-        epochs=40,
+               "training.batch_size=4096", "training.patience=8"],
+        epochs=60,
     ),
     # BASELINE config 3: "~50M interactions, 128-dim embeddings" on 1 chip
-    # (mirrors configs/lifecycle_50m_1chip.yaml's shape)
+    # (model shape mirrors configs/lifecycle_50m_1chip.yaml)
     "config3": dict(
-        rows=50_000_000, users=2_500_000, items=1_200_000, clusters=2048,
-        latent=16,
+        rows=50_000_000, users=250_000, items=1_200_000, clusters=256,
+        latent=16, zipf=0.5,
         model=["model.embedding_dim=128",
                "training.batch_size=8192",
                "training.sparse_table_updates=true",
@@ -117,6 +125,7 @@ def main() -> int:
         "--output-dir", str(gen),
         "--interactions", str(s["rows"]), "--users", str(s["users"]),
         "--items", str(s["items"]), "--clusters", str(s["clusters"]),
+        "--latent-dim", str(s["latent"]), "--within-zipf", str(s["zipf"]),
         "--seed", "42",
     ], results)
 

@@ -124,3 +124,34 @@ class TestOracleGeneration:
         m = metrics_from_ranks(ranks, (10,))
         random_r10 = 10 / t.num_items
         assert m["recall@10"] > 5 * random_r10
+
+    def test_plugin_skyline_approaches_teacher_with_data(self, oracle_corpus):
+        """The plug-in skyline (teacher's family fitted to samples) must
+        approach the exact teacher as data grows — it is the
+        achievable-from-data yardstick the parity report uses."""
+        import pyarrow.parquet as pq
+
+        from twotower_tpu.evaluation.oracle import plugin_ranks
+
+        out, stats = oracle_corpus
+        t = OracleTeacher(out / "oracle_teacher.npz")
+        tables = [pq.read_table(out / f) for f in stats["files"]]
+        users = np.concatenate([
+            np.char.lstrip(np.asarray(tb.column("user_id"), str), "U").astype(int)
+            for tb in tables
+        ])
+        items = np.concatenate([
+            np.char.lstrip(np.asarray(tb.column("parent_asin"), str), "I").astype(int)
+            for tb in tables
+        ])
+        # holdout = last 4000 rows; train = the rest (36k draws, 120/user)
+        tr_u, tr_i = users[:-4000], items[:-4000]
+        te_u, te_i = users[-4000:], items[-4000:]
+        exact = metrics_from_ranks(
+            exact_ranks(t, te_u, te_i, batch_size=1024), (10,)
+        )
+        plug = metrics_from_ranks(
+            plugin_ranks(t, tr_u, tr_i, te_u, te_i, batch_size=1024), (10,)
+        )
+        # with ~120 draws/user over 16 clusters the fitted mixture is sharp
+        assert plug["recall@10"] >= 0.8 * exact["recall@10"], (plug, exact)

@@ -450,6 +450,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--users", type=int, default=2_500_000)
     p.add_argument("--items", type=int, default=1_200_000)
     p.add_argument("--clusters", type=int, default=2048)
+    p.add_argument("--latent-dim", type=int, default=16)
+    p.add_argument("--affinity-scale", type=float, default=4.0)
+    p.add_argument("--noise", type=float, default=0.3)
+    p.add_argument(
+        "--within-zipf", type=float, default=0.8,
+        help="within-cluster popularity exponent; oracle-parity corpora "
+        "use flatter values (0.5) to keep duplicate (user,item) pairs "
+        "rare — dedupe-keep-latest on a resampling teacher otherwise "
+        "distorts the law the ceiling is computed for",
+    )
     p.add_argument("--chunk-rows", type=int, default=1_000_000)
     p.add_argument("--rows-per-file", type=int, default=5_000_000)
     p.add_argument("--seed", type=int, default=42)
@@ -473,6 +483,10 @@ def main(argv: list[str] | None = None) -> int:
         num_users=args.users,
         num_items=args.items,
         num_clusters=args.clusters,
+        latent_dim=args.latent_dim,
+        affinity_scale=args.affinity_scale,
+        noise=args.noise,
+        within_zipf=args.within_zipf,
         chunk_rows=args.chunk_rows,
         rows_per_file=args.rows_per_file,
         seed=args.seed,

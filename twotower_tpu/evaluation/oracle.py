@@ -95,12 +95,85 @@ def exact_ranks(
     chunk: int = 262_144,
 ) -> np.ndarray:
     """Exact 0-based rank of each row's true item under the teacher."""
+    return _structured_ranks(
+        teacher.log_p_clusters, teacher.item_cluster, teacher.log_pop,
+        user_idx, item_idx, batch_size=batch_size, chunk=chunk,
+    )
+
+
+def plugin_ranks(
+    teacher: OracleTeacher,
+    train_user: np.ndarray,
+    train_item: np.ndarray,
+    user_idx: np.ndarray,
+    item_idx: np.ndarray,
+    *,
+    batch_size: int = 4096,
+    chunk: int = 262_144,
+    mix_prior: float = 5.0,
+    pop_prior: float = 0.1,
+) -> np.ndarray:
+    """Ranks under the PLUG-IN skyline: the teacher's own parametric
+    family fitted to the (finite) train data instead of the true
+    parameters — empirical per-user cluster mixture and empirical
+    within-cluster popularity, Dirichlet-smoothed toward the global law.
+
+    This is the natural ``achievable-from-this-data`` yardstick between
+    the exact-teacher ceiling (infinite-data optimum) and the student: a
+    learner cannot be expected to beat a correctly-specified model with
+    oracle knowledge of the structure fitted to the SAME rows. The
+    student/plug-in ratio therefore isolates what the TRAINING STACK
+    loses, with the finite-sample gap (plug-in/teacher) reported
+    separately. Not a formal bound — a skyline.
+    """
+    C = teacher.c_lat.shape[0]
+    n_items = teacher.num_items
+    tr_cl = teacher.item_cluster[train_item]
+    # global cluster mass and within-cluster item popularity from train
+    cl_counts = np.bincount(tr_cl, minlength=C).astype(np.float64)
+    global_mix = (cl_counts + 1.0) / (cl_counts + 1.0).sum()
+    item_counts = np.bincount(train_item, minlength=n_items).astype(np.float64)
+    pop = item_counts + pop_prior
+    cluster_tot = np.bincount(
+        teacher.item_cluster, weights=pop, minlength=C
+    )
+    log_pop_hat = np.log(pop / cluster_tot[teacher.item_cluster]).astype(
+        np.float32
+    )
+    # per-user mixture: counts over clusters, smoothed toward global
+    key = train_user.astype(np.int64) * C + tr_cl
+    uc = np.bincount(key, minlength=teacher.num_users * C).astype(np.float64)
+    uc = uc.reshape(teacher.num_users, C)
+    mix = uc + mix_prior * global_mix[None, :]
+    logp_all = np.log(mix / mix.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    def logp_fn(users: np.ndarray) -> np.ndarray:
+        return logp_all[users]
+
+    return _structured_ranks(
+        logp_fn, teacher.item_cluster, log_pop_hat,
+        user_idx, item_idx, batch_size=batch_size, chunk=chunk,
+    )
+
+
+def _structured_ranks(
+    logp_fn,
+    item_cluster_np: np.ndarray,
+    log_pop_np: np.ndarray,
+    user_idx: np.ndarray,
+    item_idx: np.ndarray,
+    *,
+    batch_size: int = 4096,
+    chunk: int = 262_144,
+) -> np.ndarray:
+    """Exact ranks for any ``score(u, i) = logp_u[c(i)] + log_pop[i]``
+    scorer (chunked device scoring; ``lax.top_k`` tie order)."""
     import jax
     import jax.numpy as jnp
 
-    item_cluster = jnp.asarray(teacher.item_cluster)
-    log_pop = jnp.asarray(teacher.log_pop)
-    n_items = teacher.num_items
+    item_cluster = jnp.asarray(item_cluster_np)
+    log_pop = jnp.asarray(log_pop_np)
+    n_items = item_cluster_np.shape[0]
     chunk = min(chunk, n_items)
 
     @functools.partial(jax.jit, static_argnames=("lo", "hi"))
@@ -116,7 +189,7 @@ def exact_ranks(
     ranks = np.empty(len(user_idx), np.int32)
     for s in range(0, len(user_idx), batch_size):
         e = min(s + batch_size, len(user_idx))
-        logp = jnp.asarray(teacher.log_p_clusters(user_idx[s:e]))
+        logp = jnp.asarray(logp_fn(user_idx[s:e]))
         ti = jnp.asarray(item_idx[s:e].astype(np.int32))
         true_score = (
             jnp.take_along_axis(
@@ -180,6 +253,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--ks", type=int, nargs="*", default=[1, 5, 10, 20, 50, 100]
     )
+    ap.add_argument(
+        "--plugin", action="store_true",
+        help="also score the PLUG-IN skyline (teacher's parametric family "
+        "fitted to the train split): the achievable-from-this-data "
+        "yardstick between the exact-teacher ceiling and the student",
+    )
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -192,7 +271,9 @@ def main(argv: list[str] | None = None) -> int:
     rule = ds.temporal_rule(
         cfg.preprocessing.train_split, cfg.preprocessing.val_split
     )
-    split = ds.load_splits(rule, (args.subset,))[args.subset]
+    subsets = (args.subset, "train") if args.plugin else (args.subset,)
+    splits = ds.load_splits(rule, subsets)
+    split = splits[args.subset]
     # Vocab indices -> teacher indices (the prepared artifact re-encodes
     # ids by first appearance; the teacher is indexed by generator id).
     user_map = _vocab_to_generator_idx(np.asarray(ds.vocab.users.ids), "U")
@@ -213,6 +294,18 @@ def main(argv: list[str] | None = None) -> int:
         "metrics": metrics,
         "median_rank": int(np.median(ranks)),
     }
+    if args.plugin:
+        train = splits["train"]
+        p_ranks = plugin_ranks(
+            teacher,
+            user_map[train["user_idx"]],
+            item_map[train["item_idx"]],
+            gen_users,
+            gen_items,
+            batch_size=args.batch,
+        )
+        result["plugin_metrics"] = metrics_from_ranks(p_ranks, tuple(args.ks))
+        result["plugin_median_rank"] = int(np.median(p_ranks))
     line = json.dumps(result)
     print(line)
     if args.out:
