@@ -397,3 +397,34 @@ class TestTraining:
         # Keras convention: exactly `patience` non-improving rounds stop.
         assert es.update(0.4, 3) is True
         assert es.best == 0.5 and es.best_step == 1
+
+
+class TestLrSchedule:
+    def test_cosine_decay_shared_by_dense_and_sparse(self):
+        """training.decay_steps: one warmup+cosine schedule drives both the
+        optax chain and the sparse lazy-Adam rows (single source of
+        truth), ending at 1% of peak."""
+        import numpy as np
+
+        from twotower_tpu.config import Config
+        from twotower_tpu.training.sparse import make_lr_fn
+        from twotower_tpu.training.state import _lr_schedule
+
+        cfg = Config().with_overrides(
+            {"training.warmup_steps": 10, "training.decay_steps": 90,
+             "training.learning_rate": 0.01}
+        )
+        sched = _lr_schedule(cfg.training)
+        fn = make_lr_fn(cfg.training)
+        for step in (0, 5, 10, 50, 100, 200):
+            assert float(fn(step)) == pytest.approx(float(sched(step)))
+        assert float(sched(0)) == 0.0
+        assert float(sched(10)) == pytest.approx(0.01)
+        assert float(sched(100)) == pytest.approx(1e-4, rel=1e-3)
+        assert float(sched(55)) < 0.01  # decaying mid-way
+        # constant config unchanged
+        c2 = Config()
+        f2 = make_lr_fn(c2.training)
+        assert float(f2(0)) == float(f2(1000)) == pytest.approx(
+            c2.training.learning_rate
+        )

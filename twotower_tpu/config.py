@@ -168,6 +168,11 @@ class TrainingConfig:
     optimizer: str = "adam"
     weight_decay: float = 0.0
     warmup_steps: int = 0
+    # Cosine decay to ~1% of peak over this many post-warmup steps
+    # (0 = constant lr after warmup). One schedule drives BOTH the dense
+    # optax chain and the sparse lazy-Adam rows (make_lr_fn mirrors
+    # make_optimizer).
+    decay_steps: int = 0
     seed: int = 42
     # Sparse (lazy-Adam, scatter-add) embedding-table updates — the
     # TPU-native fast path (training/sparse.py); disable for exact dense
@@ -228,6 +233,8 @@ class TrainingConfig:
             raise ValueError("training.patience must be >= 0")
         if self.segment_steps < 0:
             raise ValueError("training.segment_steps must be >= 0")
+        if self.decay_steps < 0:
+            raise ValueError("training.decay_steps must be >= 0")
 
 
 @dataclass

@@ -158,12 +158,10 @@ def adam_row_update_packed(
 def make_lr_fn(config: TrainingConfig) -> Callable[[Array], Array]:
     """The SAME optax schedule the dense optimizer uses
     (training.state.make_optimizer) — one source of truth for lr."""
-    import optax
+    if config.warmup_steps > 0 or config.decay_steps > 0:
+        from twotower_tpu.training.state import _lr_schedule
 
-    if config.warmup_steps > 0:
-        return optax.linear_schedule(
-            0.0, config.learning_rate, config.warmup_steps
-        )
+        return _lr_schedule(config)
     base = jnp.asarray(config.learning_rate, jnp.float32)
     return lambda step: base
 

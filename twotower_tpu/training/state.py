@@ -109,12 +109,29 @@ def init_train_state(
     return TrainState.for_config(params, optimizer, config)
 
 
+def _lr_schedule(config: TrainingConfig):
+    """Warmup + optional cosine decay (training.decay_steps) to 1% of
+    peak. The ONE schedule shared by the dense optax chain and the sparse
+    lazy-Adam row updates (training.sparse.make_lr_fn delegates here)."""
+    if config.decay_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if config.warmup_steps > 0 else config.learning_rate,
+            peak_value=config.learning_rate,
+            warmup_steps=max(config.warmup_steps, 0),
+            decay_steps=max(config.warmup_steps, 0) + config.decay_steps,
+            end_value=0.01 * config.learning_rate,
+        )
+    return optax.linear_schedule(
+        0.0, config.learning_rate, config.warmup_steps
+    )
+
+
 def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
     """Build the optimizer chain from config (reference schema:
     optimizer adam, lr 0.001 — configs/data_config.yaml:62-63)."""
     lr: Any = config.learning_rate
-    if config.warmup_steps > 0:
-        lr = optax.linear_schedule(0.0, config.learning_rate, config.warmup_steps)
+    if config.warmup_steps > 0 or config.decay_steps > 0:
+        lr = _lr_schedule(config)
     name = config.optimizer.lower()
     if name == "adam":
         tx = optax.adam(lr)
