@@ -166,3 +166,24 @@ def test_shipped_config_presets_load():
         cfg = load_config(path)
         assert cfg.model.embedding_dim > 0
         assert cfg.mesh.num_model >= 1
+
+
+def test_cli_override_scientific_notation():
+    """YAML 1.1 parses bare '1e-5' as a STRING — the override parser must
+    coerce numeric-looking values (round-5 bug: model.l2_regularization=1e-5
+    crashed inside the jitted loss with a str/int comparison)."""
+    from twotower_tpu.config import parse_cli_overrides
+
+    out = parse_cli_overrides([
+        "model.l2_regularization=1e-5",
+        "training.learning_rate=2.5E-3",
+        "training.epochs=3",
+        "dataset.name=books",
+        "model.user_tower_dims=[64,32]",
+    ])
+    assert out["model.l2_regularization"] == pytest.approx(1e-5)
+    assert isinstance(out["model.l2_regularization"], float)
+    assert out["training.learning_rate"] == pytest.approx(2.5e-3)
+    assert out["training.epochs"] == 3
+    assert out["dataset.name"] == "books"
+    assert out["model.user_tower_dims"] == [64, 32]

@@ -585,11 +585,26 @@ def load_config_for_checkpoint(
 
 
 def parse_cli_overrides(pairs: list[str]) -> dict[str, Any]:
-    """Parse ``key=value`` CLI override strings with YAML-typed values."""
+    """Parse ``key=value`` CLI override strings with YAML-typed values.
+
+    YAML 1.1 treats bare scientific notation (``1e-5``) as a STRING
+    (floats need ``1.0e-5``) — a silent foot-gun for CLI overrides like
+    ``model.l2_regularization=1e-5`` that only explodes later inside a
+    jitted comparison. Numeric-looking strings are coerced here.
+    """
     out: dict[str, Any] = {}
     for pair in pairs:
         if "=" not in pair:
             raise ValueError(f"override must be key=value, got {pair!r}")
         key, _, value = pair.partition("=")
-        out[key.strip()] = yaml.safe_load(value)
+        v = yaml.safe_load(value)
+        if isinstance(v, str):
+            try:
+                v = int(v)
+            except ValueError:
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
+        out[key.strip()] = v
     return out
