@@ -150,12 +150,15 @@ def main(argv: list[str] | None = None) -> int:
             (prepared / "dataset_stats.json").read_text()
         )
 
-    # -- stage 3: train (streamed batches, approx bf16 validation) -----------
+    # -- stage 3: train (execution rung AUTO-selected: at config-3 scale
+    # the columns + state fit HBM, so this resolves to the device-resident
+    # full-permutation epochs that measured both the best metric (+49%
+    # r@10 vs the 8M-row windowed stream) and the best wall rate;
+    # --exec/--stream-batches would force a rung) ----------------------------
     train_cmd = [
         py, "-m", "twotower_tpu.training.train",
         "--config", "configs/lifecycle_50m_1chip.yaml",
         "--prepared-dir", str(prepared),
-        "--stream-batches",
         "--checkpoint-dir", str(ckpt_dir),
         "--val-rows", str(args.val_rows),
     ]
