@@ -57,14 +57,20 @@ SCALES = {
                "training.patience=10"],
         epochs=40,
     ),
-    # BASELINE config 2: "1M interactions, 64-dim embeddings, batch 4096"
+    # BASELINE config 2: "1M interactions, 64-dim embeddings, batch 4096".
+    # dropout 0.25 + L2 1e-5 are the round-5 sweep winners (recorded in
+    # docs/oracle.md + PARITY.md): at ~10 observations/item the item
+    # embeddings are estimation-noise-limited and regularization is the
+    # decisive lever (dropout 0.1 -> 0.58 of ceiling, 0 -> 0.39,
+    # 0.25 -> 0.85; +L2 1e-5 -> 0.895).
     "config2": dict(
         rows=1_000_000, users=5_000, items=100_000, clusters=64, latent=16,
         zipf=0.5,
         model=["model.embedding_dim=64", "model.user_tower_dims=[256,128,64]",
                "model.item_tower_dims=[256,128,64]",
-               "training.batch_size=4096", "training.patience=8"],
-        epochs=60,
+               "training.batch_size=4096", "training.patience=12",
+               "model.dropout_rate=0.25", "model.l2_regularization=1e-5"],
+        epochs=80,
     ),
     # BASELINE config 3: "~50M interactions, 128-dim embeddings" on 1 chip
     # (model shape mirrors configs/lifecycle_50m_1chip.yaml)
@@ -75,6 +81,8 @@ SCALES = {
                "training.batch_size=8192",
                "training.sparse_table_updates=true",
                "training.async_checkpoint=true",
+               "model.dropout_rate=0.25",
+               "model.l2_regularization=1e-5",
                "training.patience=3"],
         epochs=16,
     ),
@@ -137,7 +145,7 @@ def main() -> int:
     ceiling_cmd = [
         py, "-m", "twotower_tpu.evaluation.oracle",
         "--teacher", str(gen / "oracle_teacher.npz"),
-        "--prepared-dir", str(prep), "--subset", "test",
+        "--prepared-dir", str(prep), "--subset", "test", "--plugin",
     ]
     if args.rows_cap:
         ceiling_cmd += ["--rows", str(args.rows_cap)]
@@ -170,11 +178,16 @@ def main() -> int:
     results["student"] = student
 
     ratios = {}
+    plugin_ratios = {}
+    plug = ceiling.get("plugin_metrics") or {}
     for k, ceil_v in ceiling["metrics"].items():
         stu_v = student["metrics"].get(k)
         if stu_v is not None and ceil_v > 0:
             ratios[k] = round(stu_v / ceil_v, 4)
+        if stu_v is not None and plug.get(k, 0) > 0:
+            plugin_ratios[k] = round(stu_v / plug[k], 4)
     results["ceiling_fraction"] = ratios
+    results["plugin_fraction"] = plugin_ratios
     results["total_seconds"] = round(
         sum(v["seconds"] for v in results["stages"].values()), 1
     )
@@ -184,9 +197,11 @@ def main() -> int:
     print(json.dumps({
         "scale": args.scale,
         "ceiling_recall@10": ceiling["metrics"].get("recall@10"),
+        "plugin_recall@10": plug.get("recall@10"),
         "student_recall@10": student["metrics"].get("recall@10"),
         "fraction_recall@10": ratios.get("recall@10"),
         "fraction_ndcg@10": ratios.get("ndcg@10"),
+        "plugin_fraction_recall@10": plugin_ratios.get("recall@10"),
         "out": str(out),
     }))
     return 0
