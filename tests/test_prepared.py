@@ -415,11 +415,17 @@ class TestEndToEnd:
 
     def test_prepared_matches_legacy_data_path(self, prepared, tmp_path, capsys):
         """The fast path must reproduce the legacy path's training trajectory
-        and metrics EXACTLY (same splits, same vocab, same batch order)."""
+        and metrics EXACTLY (same splits, same vocab, same batch order).
+        Both runs pin --exec host: this test verifies DATA-path equality,
+        and the prepared path's rung auto-selection (round 5) would
+        otherwise run the device loop's different-but-equally-valid
+        shuffle (rung selection itself is tested in test_rungs.py)."""
         from twotower_tpu.training.train import main as train_main
 
         raw_path, out = prepared
-        common = [a for a in self._COMMON if a != "--no-eval"]
+        common = [a for a in self._COMMON if a != "--no-eval"] + [
+            "--exec", "host",
+        ]
         ck_a = tmp_path / "ck_legacy"
         ck_b = tmp_path / "ck_prepared"
         assert train_main(
