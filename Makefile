@@ -28,6 +28,13 @@ bench:
 bench-check:
 	python bench.py --enforce-floor
 
+# Oracle parity: planted-teacher quality validation (docs/oracle.md).
+#   make oracle-parity                       # config2 (1M rows, ~6 min)
+#   make oracle-parity ORACLE_SCALE=config3  # 50M rows, ~1 h
+ORACLE_SCALE ?= config2
+oracle-parity:
+	python benchmarks/oracle_parity.py --scale $(ORACLE_SCALE)
+
 # Validate the multi-chip sharded paths on 8 virtual CPU devices, exactly
 # as the driver does.
 dryrun:
