@@ -1147,9 +1147,11 @@ class TestCheckpoint:
 
     def test_best_step_prefers_highest_metric(self, tiny_config_module, tmp_path):
         """best_step() returns the durable step with the best validation
-        metric, ignoring metric-less preemption saves and the
-        post-starvation final backstop (whose best_val_at_stop describes a
-        DIFFERENT, lost step)."""
+        metric; metric-less preemption saves are skipped, and the
+        post-starvation final backstop competes at its best_val_at_stop
+        PROXY (round-5 incident: a starved run whose only metric-bearing
+        durable step was epoch 1 must restore the backstop, which is
+        within patience of the 30x-better lost best)."""
         cfg = tiny_config_module
         optimizer = make_optimizer(cfg.training)
         state = TrainState.create(
@@ -1161,14 +1163,28 @@ class TestCheckpoint:
         mgr.save(20, state, metrics={"recall@10": 0.5})
         mgr.save(30, state, metrics={"recall@10": 0.4})
         mgr.save(40, state, extra={"preempted": True})  # no metric
+        assert mgr.best_step() == 20
+        assert mgr.best_step("recall@10") == 20
+        assert mgr.best_step("ndcg@10") is None
+        # backstop with proxy BELOW the genuine best: genuine wins
+        mgr.save(
+            45, state, metrics={"best_val_at_stop": 0.45},
+            extra={"post_starvation_final": True},
+        )
+        assert mgr.best_step() == 20
+        # backstop with proxy ABOVE every genuine metric: expected-best
+        import shutil
+
+        shutil.rmtree(tmp_path / "ckpt" / "step_0000000045")
         mgr.save(
             50, state, metrics={"best_val_at_stop": 0.9},
             extra={"post_starvation_final": True},
         )
         assert mgr.latest_step() == 50
-        assert mgr.best_step() == 20
-        assert mgr.best_step("recall@10") == 20
-        assert mgr.best_step("ndcg@10") is None
+        assert mgr.best_step() == 50
+        # genuine metric EQUAL to the proxy: the exact metric wins the tie
+        mgr.save(60, state, metrics={"recall@10": 0.9})
+        assert mgr.best_step() == 60
 
     def test_restore_params_prefers_best_metric_step(
         self, tiny_config_module, tmp_path, caplog

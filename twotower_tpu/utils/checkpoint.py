@@ -214,21 +214,28 @@ class CheckpointManager:
     def best_step(self, metric: str | None = None) -> int | None:
         """The durable step with the highest recorded validation metric
         (``metric`` names a key in the save-time ``metrics`` dict; None
-        accepts any sole recorded metric). Steps without the metric — e.g.
-        preemption saves or the save-starvation final backstop, which
-        records ``best_val_at_stop`` (the metric of a DIFFERENT, lost
-        step), not its own quality — are skipped. None when no durable
-        step carries a metric, in which case callers fall back to latest."""
-        best: tuple[float, int] | None = None
+        accepts any sole recorded metric). Steps without a metric (e.g.
+        preemption saves) are skipped. A ``post_starvation_final``
+        backstop competes at its ``best_val_at_stop`` PROXY — that value
+        describes a lost (skipped-save) step, but the final state is
+        within early-stopping patience of it, so when the proxy EXCEEDS
+        every genuine durable metric the final state is the expected-best
+        restore (round-5 incident: a 1736 s run under a 900 s accept
+        interval left only the epoch-1 save and the backstop durable —
+        preferring the genuine epoch-1 metric evaluated a 30x-worse
+        model). Genuine metrics win ties. None when nothing qualifies,
+        in which case callers fall back to latest."""
+        best: tuple[float, int, bool] | None = None
         for step in self.all_steps():
             try:
                 meta = json.loads((self._step_dir(step) / "meta.json").read_text())
             except (OSError, ValueError):
                 continue
             metrics = meta.get("metrics") or {}
-            if meta.get("post_starvation_final"):
-                continue  # best_val_at_stop describes a lost step, not this one
-            if metric is not None:
+            proxy = bool(meta.get("post_starvation_final"))
+            if proxy:
+                value = metrics.get("best_val_at_stop")
+            elif metric is not None:
                 value = metrics.get(metric)
             elif len(metrics) == 1:
                 value = next(iter(metrics.values()))
@@ -236,8 +243,14 @@ class CheckpointManager:
                 value = None
             if value is None:
                 continue
-            if best is None or float(value) > best[0]:
-                best = (float(value), step)
+            v = float(value)
+            if (
+                best is None
+                or v > best[0]
+                # a genuine metric displaces an equal-valued proxy
+                or (v == best[0] and best[2] and not proxy)
+            ):
+                best = (v, step, proxy)
         return best[1] if best else None
 
     # ------------------------------------------------------------------
